@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceOffset
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.StructType
+
+/** Push-based (event-notification-driven) streaming file source.
+  *
+  * The Spark-native rebuild of the reference connector's core
+  * (S3ConnectorSource.scala): instead of listing storage every
+  * micro-batch, file paths arrive as queue notifications, are validated
+  * and deduplicated against an in-memory cache + persistent metadata log,
+  * and each trigger commits an offset = one durable batch of file paths.
+  * Row reading is fully delegated to Spark's DataSource/FileFormat
+  * machinery, so Catalyst pushdown/pruning and the vectorized parquet
+  * reader apply downstream unchanged.
+  *
+  * Scale notes (100 TB): driver state is file *metadata* only, bounded by
+  * the maxFileAge horizon; executors read rows directly from storage; the
+  * queue fetch overlaps query execution (asyncFetch timeout-then-
+  * background); per-trigger admission is bounded by maxFilesPerTrigger.
+  */
+class GraftFileSource(
+    sqlContext: SQLContext,
+    metadataPath: String,
+    userSchema: StructType,
+    parameters: Map[String, String]) extends Source with Logging {
+
+  private val options = ConnectorOptions(parameters)
+  private val spark = sqlContext.sparkSession
+  private val hadoopConf = sqlContext.sparkContext.hadoopConfiguration
+  private val jsonMapper = new ObjectMapper()
+
+  private val metadataLog = new FileBackedMetadataLog(metadataPath, hadoopConf)
+  private val fileCache = new FileCache(options.maxFileAgeMs)
+  private val validator = new FileValidator(fileCache, metadataLog, options.pathGlobFilter)
+
+  // restore the offset from the persisted log (exactly-once on restart)
+  private var metadataLogCurrentOffset: Long = metadataLog.getLatestBatchId.getOrElse(-1L)
+
+  @volatile private var reprocessing = false
+
+  /** Validate -> cache consumer run on the queue client's fetch threads
+    * (reference: S3ConnectorSource.scala:76-101). The validate/insert
+    * non-atomicity is resolved by queue redelivery: losing the CAS race
+    * just re-arms the message's visibility. */
+  private def consume(meta: FileMetadata): Unit = {
+    import FileValidResult._
+    validator.isValidNewFile(meta.filePath, meta.timestampMs) match {
+      case Ok =>
+        val won = fileCache.addIfAbsent(meta.filePath,
+          QueueMessageDesc(meta.timestampMs, isProcessed = false, meta.messageId))
+        if (!won) queueClient.setMessageVisibility(meta.messageId, options.visibilityTimeoutSeconds)
+      case ExistInCacheNotProcessed =>
+        // pending in another message: retry later rather than dropping
+        queueClient.setMessageVisibility(meta.messageId, options.visibilityTimeoutSeconds)
+      case verdict =>
+        logDebug(s"dropping ${meta.filePath}: $verdict")
+        queueClient.deleteMessage(meta.messageId)
+    }
+  }
+
+  private val queueClient: AsyncQueueClient = options.queueType match {
+    case ConnectorOptions.QUEUE_TYPE_IN_MEMORY =>
+      new InMemoryQueueClient(options.queueName, consume, options.maxFilesPerTrigger,
+        options.visibilityTimeoutSeconds, options.maxConcurrency,
+        options.keepMessageOnConsumerError)
+    case other =>
+      // the SQS binding needs the AWS SDK, which this zero-egress build
+      // intentionally excludes; the AsyncQueueClient seam is where it plugs in
+      throw new GraftUnsupportedQueueTypeException(other)
+  }
+
+  fileCache.purge()
+  handleReprocessing()
+
+  // ---- reprocess / replay (reference: S3ConnectorSource.scala:112-154) --
+  private def handleReprocessing(): Unit = {
+    import ConnectorOptions._
+    options.reprocessState match {
+      case NoReprocess => ()
+      case ReprocessDryRun =>
+        val files = replayFiles()
+        logInfo(s"reprocess dry-run for batches " +
+          s"[${options.reprocessStartBatchId.get}, ${options.reprocessEndBatchId.get}]:")
+        files.foreach(f => logInfo(s"  ${f.path} (ts=${f.timestampMs}, batch=${f.batchId})"))
+        throw new GraftReprocessDryRunException(files.length)
+      case ReprocessInAction =>
+        val lockPath = new Path(metadataPath, "reprocess.lock")
+        val fm = CheckpointFileManager.create(new Path(metadataPath), hadoopConf)
+        if (fm.exists(lockPath)) {
+          throw new GraftReprocessLockExistsException(lockPath.toString)
+        }
+        val out = fm.createAtomic(lockPath, overwriteIfPossible = false)
+        try {
+          out.write(System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+          out.close()
+        } catch { case t: Throwable => out.cancel(); throw t }
+        val files = replayFiles()
+        files.foreach { e =>
+          fileCache.add(e.path, QueueMessageDesc(e.timestampMs, isProcessed = false, "reprocess"))
+        }
+        reprocessing = true
+        logInfo(s"reprocessing ${files.length} files from batches " +
+          s"[${options.reprocessStartBatchId.get}, ${options.reprocessEndBatchId.get}]")
+    }
+  }
+
+  private def replayFiles(): Array[FileEntry] =
+    metadataLog.get(options.reprocessStartBatchId.get, options.reprocessEndBatchId.get)
+      .flatMap(_._2)
+
+  // ---- offset advance (reference: S3ConnectorSource.scala:193-242) ------
+  private def fetchMaxOffset(): Option[Offset] = synchronized {
+    // no queue consumption while a replay is draining
+    if (!reprocessing) {
+      queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds)
+    }
+    val files =
+      fileCache.getUnprocessedFiles(options.maxFilesPerTrigger, options.sortBatchByTimestamp)
+    if (files.nonEmpty) {
+      metadataLogCurrentOffset += 1
+      val entries =
+        files.map(f => FileEntry(f.filePath, f.timestampMs, metadataLogCurrentOffset)).toArray
+      metadataLog.add(metadataLogCurrentOffset, entries)
+      logInfo(s"batch $metadataLogCurrentOffset: ${entries.length} files admitted")
+      files.foreach(f => fileCache.markProcessed(f.filePath))
+      queueClient.handleProcessedMessageBatch(
+        files.map(_.messageId).filterNot(_ == "reprocess"))
+      if (reprocessing && fileCache.getUnprocessedFiles(None).isEmpty) {
+        reprocessing = false
+        logInfo("reprocess drained; resuming queue consumption")
+      }
+    }
+    fileCache.purge()
+    if (metadataLogCurrentOffset >= 0) Some(FileStreamSourceOffset(metadataLogCurrentOffset))
+    else None
+  }
+
+  // ---- Source contract --------------------------------------------------
+  override def schema: StructType = userSchema
+
+  override def getOffset: Option[Offset] = fetchMaxOffset()
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startId = start.map(logOffsetOf).getOrElse(-1L)
+    val endId = logOffsetOf(end)
+    val entries =
+      if (endId <= startId) Array.empty[FileEntry]
+      else metadataLog.get(startId + 1, endId).flatMap(_._2)
+    // second glob enforcement point (reference: S3ConnectorSource.scala:186-191)
+    val paths = entries.map(_.path).filter(validator.matchesGlob).toSeq
+    logInfo(s"getBatch ($startId, $endId]: ${paths.length} files")
+    if (paths.isEmpty) {
+      GraftShims.emptyStreamingDataFrame(spark, userSchema)
+    } else {
+      val formatOptions = options.formatOptions ++
+        options.basePath.map("basePath" -> _)
+      val relation = DataSource(
+        sparkSession = spark,
+        className = options.fileFormat,
+        paths = paths,
+        userSpecifiedSchema = Some(userSchema),
+        partitionColumns = options.partitionColumns.getOrElse(Nil),
+        options = formatOptions
+        // the queue told us these files exist: skip per-file existence RPCs
+      ).resolveRelation(checkFilesExist = false)
+      GraftShims.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+  }
+
+  private def logOffsetOf(o: Offset): Long = o match {
+    case f: FileStreamSourceOffset => f.logOffset
+    case other =>
+      try jsonMapper.readTree(other.json()).get("logOffset").asLong()
+      catch {
+        case NonFatal(e) =>
+          throw new GraftSourceException(s"cannot decode offset ${other.json()}", e)
+      }
+  }
+
+  override def commit(end: Offset): Unit = {
+    fileCache.purge()
+    // amortized horizon cleanup in place of the reference's background
+    // maintenance thread (<=20 batches per commit keeps it O(1)-ish)
+    metadataLog.purgeBefore(fileCache.lastPurgeTimestamp)
+    logInfo(s"committed ${logOffsetOf(end)}; queue metrics: ${queueClient.metrics.json}")
+  }
+
+  override def stop(): Unit = {
+    try queueClient.close()
+    finally metadataLog.close()
+  }
+
+  override def toString: String =
+    s"GraftFileSource[queue=${options.queueName}, format=${options.fileFormat}]"
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming over the push-based source: files announced
+  * through the in-memory queue, read via `readStream.format("graft-files")`,
+  * checked through a memory sink. Covers the reference IT suite's core
+  * scenarios (S3ConnectorSourceItSuite) hermetically: load + select/where,
+  * duplicate-announcement dedup, maxFilesPerTrigger batching, glob filter,
+  * partitioned dirs, checkpoint restart without reprocessing.
+  */
+class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType)))
+
+  private var qSeq = 0
+  private def freshQueue(): (String, InMemoryQueue) = {
+    qSeq += 1
+    val name = s"e2e-q$qSeq-${System.nanoTime()}"
+    (name, InMemoryQueueRegistry.queue(name))
+  }
+
+  private def writeJson(dir: JPath, name: String, rows: Seq[(Int, String)]): String = {
+    val f = dir.resolve(name)
+    val content = rows.map { case (i, n) => s"""{"id":$i,"name":"$n"}""" }.mkString("\n")
+    Files.write(f, content.getBytes("UTF-8"))
+    "file:" + f.toString
+  }
+
+  private def announce(q: InMemoryQueue, path: String, ts: Long = System.currentTimeMillis()): Unit =
+    q.send(s"""{"path":"$path","timestampMs":$ts}""")
+
+  private def streamDF(queueName: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream.format("graft-files").schema(schema)
+      .option("fileFormat", "json")
+      .option("queueName", queueName)
+      .option("queueFetchWaitTimeoutSeconds", "5")
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  private def runToMemory(df: DataFrame, name: String, checkpoint: Option[String] = None): Unit = {
+    val w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    val q = w.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("t1 slice: announced json files answer a select/where streaming query") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    announce(q, writeJson(dir, "a.json", Seq(1 -> "james", 2 -> "michael")))
+    announce(q, writeJson(dir, "b.json", Seq(3 -> "robert", 4 -> "maria")))
+    val df = streamDF(qn).where("id >= 2").select("name", "id")
+    runToMemory(df, "t1out")
+    val got = spark.table("t1out").collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq(("maria", 4), ("michael", 2), ("robert", 3)))
+  }
+
+  test("exactly-once: duplicate announcements of the same path load once") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val p = writeJson(dir, "dup.json", Seq(1 -> "x"))
+    announce(q, p); announce(q, p); announce(q, p)
+    announce(q, writeJson(dir, "other.json", Seq(2 -> "y")))
+    runToMemory(streamDF(qn), "dedupout")
+    assert(spark.table("dedupout").count() == 2)
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    (1 to 5).foreach(i => announce(q, writeJson(dir, s"f$i.json", Seq(i -> s"n$i"))))
+    val df = streamDF(qn, Map("maxFilesPerTrigger" -> "2"))
+    val query = df.writeStream.format("memory").queryName("mfptout").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    assert(spark.table("mfptout").count() == 5)
+    // 5 files at <=2 per trigger needs >= 3 batches
+    assert(query.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("pathGlobFilter rejects non-matching announcements") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    announce(q, writeJson(dir, "keep.json", Seq(1 -> "keep")))
+    announce(q, writeJson(dir, "skip.txt", Seq(2 -> "skip")))
+    runToMemory(streamDF(qn, Map("pathGlobFilter" -> "*.json")), "globout")
+    val names = spark.table("globout").collect().map(_.getString(1)).toSet
+    assert(names == Set("keep"))
+  }
+
+  test("hive-partitioned dirs surface partition columns in rows") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val p1 = dir.resolve("pcol=a"); val p2 = dir.resolve("pcol=b")
+    Files.createDirectories(p1); Files.createDirectories(p2)
+    announce(q, writeJson(p1, "x.json", Seq(1 -> "one")))
+    announce(q, writeJson(p2, "y.json", Seq(2 -> "two")))
+    val pschema = schema.add(StructField("pcol", StringType))
+    val df = spark.readStream.format("graft-files").schema(pschema)
+      .option("fileFormat", "json").option("queueName", qn)
+      .option("partitionColumns", "pcol")
+      .option("basePath", "file:" + dir.toString)
+      .load()
+    runToMemory(df, "partout")
+    val got = spark.table("partout").collect()
+      .map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+    assert(got == Seq(1 -> "a", 2 -> "b"))
+  }
+
+  test("checkpoint restart: committed batches are not re-read; dedup survives restart") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    def runOnce(): Unit = {
+      val query = streamDF(qn).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val p1 = writeJson(dir, "r1.json", Seq(1 -> "first"))
+    announce(q, p1)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // second run, same checkpoint: re-announce old file + one new file
+    announce(q, p1) // must be deduped via the persistent metadata log
+    val p2 = writeJson(dir, "r2.json", Seq(2 -> "second"))
+    announce(q, p2)
+    runOnce()
+    val names = spark.read.parquet(out).collect().map(_.getString(1)).sorted.toSeq
+    assert(names == Seq("first", "second"))
+  }
+
+  test("csv format options pass through (header, custom sep)") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val f = dir.resolve("c.csv")
+    Files.write(f, "id|name\n7|seven\n8|eight\n".getBytes("UTF-8"))
+    announce(q, "file:" + f.toString)
+    val df = spark.readStream.format("graft-files").schema(schema)
+      .option("fileFormat", "csv").option("queueName", qn)
+      .option("header", "true").option("sep", "|")
+      .load()
+    runToMemory(df, "csvout")
+    val got = spark.table("csvout").collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(7 -> "seven", 8 -> "eight"))
+  }
+
+  test("schema is mandatory") {
+    val (qn, _) = freshQueue()
+    intercept[Exception] {
+      spark.readStream.format("graft-files")
+        .option("fileFormat", "json").option("queueName", qn).load()
+    }
+  }
+}
