@@ -1,0 +1,177 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.InMemoryQueueRegistry
+
+/** Streaming-source queries for the correctness gate: each runs a real
+  * micro-batch streaming query over the push-based `graft-files` source
+  * (files announced through the in-memory queue), lands results in a
+  * memory sink, and returns them as a DataFrame the DuckDB oracle can
+  * check against the static `events` table.
+  *
+  * This makes the connector itself — offset arithmetic, admission,
+  * dedup, batch materialization — a hash-checked operator, not just a
+  * unit-tested component.
+  */
+object Streaming {
+  private val seq = new AtomicInteger(0)
+
+  /** Events subset written as parquet files (no text round-trip: the
+    * streamed bytes are bit-identical to the source table's). */
+  private val CUTOFF = 2000L
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Write the events subset as N parquet files, announce them on a fresh
+    * queue, and run the source to completion; returns the sink table name. */
+  private def runStream(s: SparkSession, dir: String, nFiles: Int,
+      transform: DataFrame => DataFrame, extraOptions: Map[String, String] = Map.empty): String = {
+    val runId = s"stream${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.events(s, dir)
+      .filter(col("event_id") < CUTOFF)
+      .repartition(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val files = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.foreach { f =>
+      queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${f.lastModified()}}""")
+    }
+
+    val reader = s.readStream.format("graft-files")
+      .schema(eventsSchema)
+      .option("fileFormat", "parquet")
+      .option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+    extraOptions.foreach { case (k, v) => reader.option(k, v) }
+    val sinkName = s"sink_$runId"
+    val query = transform(reader.load()).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    sinkName
+  }
+
+  /** O4/O12/O13 e2e: every announced row arrives exactly once. Announces
+    * 4 files with maxFilesPerTrigger=2 so the result spans >=2 micro-batch
+    * offsets (exercising offset arithmetic, not just one getBatch). */
+  def streamSourceRead(s: SparkSession, dir: String): DataFrame = {
+    val sink = runStream(s, dir, nFiles = 4, transform = identity,
+      extraOptions = Map("maxFilesPerTrigger" -> "2"))
+    s.table(sink)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+  val streamSourceReadSql: String =
+    s"""SELECT event_id, user_id, event_type, value FROM events
+       |WHERE event_id < $CUTOFF ORDER BY event_id""".stripMargin
+
+  /** Duplicate announcements (each file announced twice) must not produce
+    * duplicate rows — the exactly-once admission check as a query. */
+  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val runId = s"dedup${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.foreach { f => // announce every file twice
+      val msg = s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${f.lastModified()}}"""
+      queue.send(msg); queue.send(msg)
+    }
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy(col("event_type"))
+  }
+  val streamExactlyOnceSql: String =
+    s"""SELECT event_type, COUNT(*) AS n FROM events
+       |WHERE event_id < $CUTOFF GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Event-time tumbling window + watermark over the streamed rows.
+    * A far-future sentinel file (announced last, its own micro-batch via
+    * maxFilesPerTrigger=1... see below) pushes the watermark past every
+    * real window so append mode emits them; the sentinel's own window is
+    * filtered out of the result. */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runId = s"winagg${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    val ev = Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+    ev.repartition(2, col("event_id")).write.mode("overwrite").parquet(stage)
+    // sentinel: one event in year 2100 (ts is epoch nanos as long)
+    val sentinelTs = 4102444800L * 1000000000L
+    Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$stage-sentinel")
+
+    val queue = InMemoryQueueRegistry.queue(runId)
+    def filesOf(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    filesOf(stage).foreach(f =>
+      queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    filesOf(s"$stage-sentinel").foreach(f =>
+      queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
+
+    val sinkName = s"sink_$runId"
+    val streamed = s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      // real data first, sentinel in a later micro-batch, oldest-first
+      .option("maxFilesPerTrigger", "2")
+      .option("sortBatchByTimestamp", "true")
+      .load()
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("event_ts", "1 minute")
+      .groupBy(window(col("event_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
+    val query = streamed.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .filter(year(col("window.start")) < 2099) // drop the sentinel's window
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n"), col("total"))
+      .orderBy(col("win_start"))
+  }
+  val streamWindowAggSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       |FROM events WHERE event_id < $CUTOFF
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_source_read" -> streamSourceRead _,
+    "stream_exactly_once" -> streamExactlyOnce _,
+    "stream_window_agg" -> streamWindowAgg _,
+  )
+  val oracles: Map[String, String] = Map(
+    "stream_source_read" -> streamSourceReadSql,
+    "stream_exactly_once" -> streamExactlyOnceSql,
+    "stream_window_agg" -> streamWindowAggSql,
+  )
+}
