@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Document deduplication for training-data pipelines, at four levels of
+  * fuzziness: exact (content hash), normalized fingerprint, n-gram
+  * Jaccard (exact set similarity), and MinHash+LSH (approximate, the
+  * 100 TB scale path). SimHash-based near-dup lives here too.
+  *
+  * Scale design: nothing ever cross-joins documents. Pair generation is
+  * always an equi-join on a derived key (shingle, LSH band key, simhash
+  * chunk), so candidates shuffle on that key and skew is bounded by key
+  * frequency. Verification (exact Jaccard / hamming) runs only on
+  * candidate pairs. At 100 TB the only additions needed are a
+  * document-frequency cap on ultra-common shingles (drop shingles with
+  * df > threshold before the join — they contribute no discriminative
+  * signal and cause quadratic blowup) and AQE skew-join handling, both
+  * orthogonal to the operator shape used here.
+  */
+object Dedup {
+  private val ShingleSize = 3
+  private val MinhashK = 64
+  private val LshBands = 32 // 32 bands x 2 rows: P[candidate | J=0.8] ~ 1 - 3.6e-15
+  private val LshRows = 2
+
+  /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", shingles(tokens($"text"), ShingleSize).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: group by content hash (sha2 so the shuffle key is 32
+    * bytes, not the full text — the at-scale trick), keep the smallest
+    * doc_id as the canonical representative. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(sha2($"text", 256).as("h"))
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .select($"rep_id", $"n_copies")
+      .orderBy($"rep_id")
+  }
+  val dedupExactSql: String =
+    """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin
+
+  // ---------------------------------------------------------- fingerprint
+  /** Near-exact dedup on the normalized-text fingerprint (lowercase,
+    * whitespace-collapsed), via the custom 64-bit fingerprint column. */
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
+      .select($"rep_id", $"n_docs")
+      .orderBy($"rep_id")
+  }
+  val dedupFingerprintSql: String =
+    """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+      |ORDER BY rep_id""".stripMargin
+
+  // ------------------------------------------------------- exact jaccard
+  /** All pairs with exact 3-gram Jaccard >= 0.8. Pair generation is an
+    * equi-join on shared shingles (shuffle on shingle), intersection =
+    * count of shared shingles, union from per-doc set sizes. The jaccard
+    * value is an exact integer ratio, so the double is bit-identical in
+    * any engine. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = docShingles(s, d)
+    val sizes = docs.select($"doc_id", size($"sh").as("sz"))
+    val ex = docs.select($"doc_id", explode($"sh").as("s"))
+    ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+  val dedupNgramJaccardSql: String =
+    raw"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks)-1),
+         |      i -> array_to_string(toks[i:i+2], ' '))) AS shset
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |), ex AS (
+         |  SELECT doc_id, len(shset) AS sz, unnest(shset) AS s FROM sh
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------- minhash + LSH
+  /** MinHash/LSH near-dup: 64-perm minhash signature, 32x2 banding for
+    * candidate generation (equi-join on band key), exact-Jaccard
+    * verification of candidates only. At J >= 0.8 the miss probability is
+    * ~3.6e-15, so the oracle is the exact-Jaccard pair list. This is the
+    * shape that scales: signature+bands are one narrow map, candidates
+    * shuffle on band keys, verification touches only candidate pairs. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = docShingles(s, d)
+    val base = docs
+      .withColumn("sig", minhashSignature($"sh", MinhashK))
+      .withColumn("bands", lshBandKeys($"sig", LshBands, LshRows))
+    val bandsEx = base.select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_key")))
+    val cand = bandsEx.as("a")
+      .join(bandsEx.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("a_id"), $"sh".as("sh_a")), "a_id")
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("sh_b")), "b_id")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+  /** Oracle: the exact pair list (LSH recall at this operating point is
+    * 1 - 3.6e-15; candidates are verified exactly). */
+  val dedupMinhashLshSql: String = dedupNgramJaccardSql
+
+  // ------------------------------------------------------------- simhash
+  /** SimHash near-dup: 64-bit signature per doc (custom Catalyst
+    * expression), candidates from 4x16-bit chunk equality (pigeonhole:
+    * hamming <= 3 implies >= 1 equal chunk), verified by exact hamming.
+    * Not SQL-expressible -> rows-only check; recall/precision asserted in
+    * SimHashSpec against planted near-dups. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, d)
+      .select($"doc_id", simhash(tokens($"text")).as("h"))
+    val chunks = sigs.select($"doc_id", $"h",
+      posexplode(array((0 until 4).map(c => hashChunk($"h", c)): _*)).as(Seq("chunk_idx", "chunk_val")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk_val" === $"b.chunk_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        hamming64($"a.h", $"b.h").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_fingerprint" -> dedupFingerprint _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+  )
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_fingerprint" -> dedupFingerprintSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    // dedup_simhash: intentionally no oracle (not SQL-expressible)
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decode/feature-extraction as a per-partition batch
+  * map. No real codec ships in this container (and none is on the
+  * classpath), so the decode step is a DETERMINISTIC STUB — the Spark
+  * side (schema, binary handling, per-partition decoder lifecycle,
+  * partitioning) is real and tested; swap [[StubDecoder.decode]] for an
+  * actual codec binding to go to production.
+  */
+object Multimodal {
+
+  /** The stub "codec": derives fake features from the payload bytes.
+    * Initialized once per partition (the real-world pattern for model /
+    * codec handles, which are expensive and non-serializable). */
+  object StubDecoder {
+    final case class Features(nBytes: Int, meanByte: Double, headByte: Int)
+    def open(): StubDecoder.type = this // stands in for native codec init
+    def decode(payload: Array[Byte]): Features = {
+      // ??? <- a real image/audio decode goes here; deterministic fake:
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xFF; i += 1 }
+      Features(payload.length,
+        if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
+        if (payload.isEmpty) -1 else payload(0) & 0xFF)
+    }
+  }
+
+  /** Asset manifest: binary payload + typed metadata columns derived with
+    * exact integer arithmetic (oracle-checkable). The payload itself is
+    * utf-8 bytes of the text standing in for media bytes. */
+  def mmManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        length(encode($"text", "UTF-8")).as("n_bytes"),
+        concat(lit("img_"), $"source").as("fmt"),
+        (($"n_chars" % 64) + 1).cast("long").multiply(16).as("width"),
+        ((($"n_chars" / 64).cast("long") % 64) + 1).multiply(16).as("height"))
+      .orderBy($"doc_id")
+  }
+  val mmManifestSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  'img_' || source AS fmt,
+      |  (n_chars % 64 + 1) * 16 AS width,
+      |  ((n_chars // 64) % 64 + 1) * 16 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: one row per sampled frame index (every 7th frame of
+    * n_chars-derived frame counts) — the explode/flatten shape used to
+    * fan a video row out to frame rows. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("n_frames", ($"n_chars" % 91 + 10).cast("int"))
+      .select($"doc_id", explode(sequence(lit(0), $"n_frames" - 1, lit(7))).as("frame_idx"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  val mmFrameSampleSql: String =
+    """SELECT doc_id, unnest(range(0, (n_chars % 91 + 10)::INT, 7)) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Decode + feature extraction over binary payloads via mapPartitions:
+    * decoder opened once per partition, rows processed as a batch stream.
+    * Rows-only gate (the stub features are not worth oracling); the
+    * partition-lifecycle behavior is asserted in MultimodalSpec. */
+  def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { iter =>
+      val codec = StubDecoder.open() // once per partition
+      iter.map { case (id, bytes) =>
+        val f = codec.decode(bytes)
+        (id, f.nBytes, f.meanByte, f.headByte)
+      }
+    }.toDF("doc_id", "n_bytes", "mean_byte", "head_byte")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest" -> mmManifest _,
+    "mm_frame_sample" -> mmFrameSample _,
+    "mm_decode_features" -> mmDecodeFeatures _,
+  )
+  val oracles: Map[String, String] = Map(
+    "mm_manifest" -> mmManifestSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    // mm_decode_features: stubbed decode, rows-only
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * 64-dim): brute-force cosine top-k as the exactness baseline, random-
+  * hyperplane LSH bucketing as the 100 TB scale path, and cosine near-dup
+  * pairs for embedding-level dedup.
+  *
+  * All vector math composes codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — float ops happen inside whole-stage
+  * codegen, no UDF boxing. Sums accumulate left-to-right in index order,
+  * which is what makes the doubles reproducible across engines.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic Rademacher (+1/-1) hyperplanes for sign-LSH, derived
+    * from a hash so executors/plans/engines all agree. */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim))
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  /** n-bit sign-LSH bucket key: bit h = sign of <v, plane_h>. Vectors at
+    * small angle share buckets with high probability. */
+  def lshBucket(v: Column, bits: Int, dim: Int, table: Int): Column = {
+    val bitCols: Seq[Column] = (0 until bits).map { h =>
+      val plane = typedlit((0 until dim).map(k => planeSign(table * 1000 + h, k)))
+      when(dot(v, plane) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+
+  // ------------------------------------------------------- brute force
+  /** Exact top-k neighbors for the probe set (vec_id % 50 == 0): probes
+    * broadcast against a single scan of the corpus — at any scale this is
+    * one pass over the data with no shuffle of the big side. Ranking uses
+    * the 6dp-rounded similarity with vec_id tie-break so order is
+    * engine-independent. */
+  def annTopKBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val probes = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", round(cosine($"qv", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+  val annTopKBruteSql: String =
+    """WITH probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT p.query_id, e.vec_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        k -> CAST(e.embedding[k] AS DOUBLE) * CAST(p.qv[k] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           k -> CAST(e.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE))))
+      |        * sqrt(list_sum(list_transform(range(1, len(p.qv)+1),
+      |           k -> CAST(p.qv[k] AS DOUBLE) * CAST(p.qv[k] AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings e CROSS JOIN probes p
+      |  WHERE e.vec_id <> p.query_id
+      |), ranked AS (
+      |  SELECT query_id, vec_id AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------- embedding dedup
+  /** Embedding near-dup pairs: cosine >= 0.95. Self-join is fine at test
+    * scale; the LSH variant below is the shape used when the corpus no
+    * longer fits a broadcast. Output is pair ids only — no float columns
+    * — so the check is robust to accumulation order. */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    emb.as("a")
+      .crossJoin(broadcast(emb.as("b")))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(cosine($"a.embedding", $"b.embedding") >= 0.95)
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+      .orderBy($"a_id", $"b_id")
+  }
+  val dedupEmbeddingCosineSql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+      |        k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+      |        k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+      |        k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))))) >= 0.95
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------ LSH ANN
+  /** Approximate top-k via sign-LSH: 16 tables x 6-bit buckets; for each
+    * probe, candidates are corpus vectors sharing a bucket in any table
+    * (equi-join on (table, bucket) — the scale path: the corpus is never
+    * cross-joined or broadcast), then exact cosine ranks the candidates.
+    * Recall is probabilistic -> rows-only gate; SimilaritySpec asserts
+    * recall@5 against the brute-force baseline. */
+  def annTopKLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val tables = 16
+    val bits = 6
+    def bucketed(df: DataFrame) = df.select($"vec_id", $"embedding",
+      posexplode(array((0 until tables).map(t => lshBucket($"embedding", bits, 64, t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val corpus = bucketed(emb)
+    val probes = bucketed(emb.filter($"vec_id" % 50 === 0))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"tbl", $"bucket")
+    val cand = corpus.join(probes, Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qv", $"vec_id", $"embedding")
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    cand.withColumn("sim", round(cosine($"qv", $"embedding"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_brute" -> annTopKBrute _,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "ann_topk_lsh" -> annTopKLsh _,
+  )
+  val oracles: Map[String, String] = Map(
+    "ann_topk_brute" -> annTopKBruteSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    // ann_topk_lsh: approximate recall -> rows-only check
+  )
+}

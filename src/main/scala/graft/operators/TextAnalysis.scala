@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring (length/punctuation/stopword ratios), language identification
+  * (n-gram/stopword heuristic), and document fingerprinting. All built
+  * from codegen'd built-ins; one narrow projection pass over the corpus,
+  * no shuffle except the final presentation sort.
+  */
+object TextAnalysis {
+
+  // -------------------------------------------------------- token count
+  /** Whitespace tokenization + a BPE-ish subword estimate: alnum runs and
+    * single punctuation marks counted separately (the usual pre-tokenizer
+    * shape), so `bpe_ish` >= `n_tokens`. */
+  def textTokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).as("n_tokens"),
+        size(split(trim(regexp_replace($"text", "[^a-zA-Z0-9]", " ")), "\\s+")).as("bpe_ish"))
+      .orderBy($"doc_id")
+  }
+  val textTokenCountSql: String =
+    raw"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         |  len(string_split_regex(trim(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+')) AS bpe_ish
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ quality
+  /** Quality metrics per document: exact-int-ratio doubles throughout so
+    * every engine computes identical values. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        length($"text").as("len"),
+        size(toks).as("n_tokens"),
+        meanTokenLength(toks).as("mean_tok_len"),
+        stopwordRatio(toks).as("stop_ratio"),
+        punctRatio($"text").as("punct_ratio"))
+      .orderBy($"doc_id")
+  }
+  val textQualitySql: String = {
+    val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""SELECT doc_id, LENGTH(text) AS len,
+         |  len(toks) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) / len(toks) AS mean_tok_len,
+         |  CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / LENGTH(text) AS punct_ratio
+         |FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- fingerprint
+  /** Fingerprint groups: docs sharing the 64-bit normalized-text
+    * fingerprint. The oracle groups by the normalized string itself, so a
+    * hash collision would be caught as a mismatch. */
+  def textFingerprintGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("rep_id"), count(lit(1)).as("n_docs"),
+        max(length($"text")).as("max_len"))
+      .select($"rep_id", $"n_docs", $"max_len")
+      .orderBy($"rep_id")
+  }
+  val textFingerprintGroupsSql: String =
+    raw"""SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_docs, MAX(LENGTH(text)) AS max_len
+         |FROM documents
+         |GROUP BY array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+         |ORDER BY rep_id""".stripMargin
+
+  // ------------------------------------------------------------ lang id
+  private val langStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"))
+
+  /** Heuristic language ID: stopword hit-rate per language plus a CJK
+    * character-ratio channel; deterministic argmax (score desc, language
+    * code asc). A real pipeline swaps in fastText/CLD3 — the operator
+    * shape (one scored projection, no shuffle) is what matters at scale.
+    * Not SQL-expressible concisely -> rows-only gate; accuracy asserted on
+    * planted multilingual snippets in TextAnalysisSpec. */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    langId(Tables.documents(s, d))
+
+  /** Core scorer, parameterized by input for testability on planted docs. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def hitRatio(words: Seq[String]): Column = {
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).cast("double") / size(toks)
+    }
+    val cjkRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+      length(col("text"))
+    val scored = langStops.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitRatio(words).as("score"), lit(lang).as("lang"))
+    } :+ struct((cjkRatio * 3).as("score"), lit("zh").as("lang"))
+    docs
+      .withColumn("best", sort_array(array(scored: _*), asc = false).getItem(0))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        round(col("best.score"), 6).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> textTokenCount _,
+    "text_quality" -> textQuality _,
+    "text_fingerprint_groups" -> textFingerprintGroups _,
+    "text_lang_id" -> textLangId _,
+  )
+  val oracles: Map[String, String] = Map(
+    "text_token_count" -> textTokenCountSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint_groups" -> textFingerprintGroupsSql,
+    // text_lang_id: heuristic, rows-only
+  )
+}

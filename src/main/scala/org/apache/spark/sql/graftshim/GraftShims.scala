@@ -1,10 +1,12 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.classic.{ClassicConversions, ColumnConversions}
 import org.apache.spark.sql.types.StructType
 
 /** The single `private[sql]` escape hatch this engine needs.
@@ -20,6 +22,14 @@ import org.apache.spark.sql.types.StructType
 object GraftShims {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst Expression as a user-facing Column (Spark 4 hides
+    * the Column(expr) constructor behind classic ClassicConversions). */
+  def column(e: Expression): Column =
+    ClassicConversions.ColumnConstructorExt(Column).apply(e)
+
+  /** Extract the Catalyst Expression backing a Column. */
+  def expression(c: Column): Expression = ColumnConversions.expression(c)
 
   /** Empty *streaming* DataFrame (isStreaming=true), for zero-file batches. */
   def emptyStreamingDataFrame(

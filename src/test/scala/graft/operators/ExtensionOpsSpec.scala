@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.SimHash
+
+/** Behavioral specs for the training-pipeline operators on planted
+  * fixtures (the oracle gate covers the driver tables; these cover the
+  * properties the oracle can't express: simhash locality, LSH recall,
+  * lang-id accuracy, decoder lifecycle). */
+class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash: identical docs collide, near-dups land close, unrelated far") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words about spark catalyst execution engines")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id", simhash(tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) <= 12)
+    assert(ham(sigs(1L), sigs(4L)) > 12)
+  }
+
+  test("simhash column expression matches static implementation") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val viaCol = df.select(simhash(tokens($"text"))).head.getLong(0)
+    // independently: same tokens through the static path
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("a", "b", "c", "d", "e", "f", "g")
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    assert(viaCol == SimHash.compute(arr))
+  }
+
+  test("minhash signatures: agreement rate tracks jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 XX"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16 z17 z18 z19 z20")
+    ).toDF("doc_id", "text")
+    val sigs = docs
+      .select($"doc_id", minhashSignature(shingles(tokens($"text"), 3), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    // docs 1,2 share 15/21 shingles (J ~ 0.65): agreement should be high
+    assert(agree(sigs(1L), sigs(2L)) > 0.4)
+    // unrelated docs: near-zero agreement
+    assert(agree(sigs(1L), sigs(3L)) < 0.1)
+  }
+
+  test("lsh band keys find planted near-dup as candidate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (2L, ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")),
+      (3L, (100 to 130).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bands = docs.select($"doc_id",
+      posexplode(lshBandKeys(minhashSignature(shingles(tokens($"text"), 3), 64), 32, 2))
+        .as(Seq("bi", "bk")))
+    val cands = bands.as("a").join(bands.as("b"),
+        $"a.bi" === $"b.bi" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("ann LSH top-k achieves reasonable recall vs brute force") {
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annTopKLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(s"recall@5 = $recall (${lsh.size} lsh rows, ${brute.size} brute rows)")
+    assert(recall >= 0.4, s"LSH recall collapsed: $recall")
+  }
+
+  test("cosine column: identity 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 3.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", round(Similarity.cosine($"a", $"b"), 9).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0)
+  }
+
+  test("lang id picks the planted language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog went to the house of the king in that order"),
+      (2L, "le chat et la maison de le roi est une chose que pour les gens"),
+      (3L, "el gato y la casa de el rey es una cosa que para los amigos"),
+      (4L, "der hund und die katze ist ein tier zu haus mit von der familie"),
+      (5L, "数据处理系统 分布式 计算")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("stub decoder features are deterministic and match payload bytes") {
+    val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
+    assert(f.nBytes == 3 && f.headByte == 'a'.toInt)
+    assert(math.abs(f.meanByte - (97 + 98 + 99) / 3.0) < 1e-12)
+    val rows = Multimodal.mmDecodeFeatures(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) > 0))
+  }
+
+  test("dedup exact + fingerprint agree on planted duplicates") {
+    import spark.implicits._
+    // fingerprint normalizes case/whitespace; exact does not
+    val docs = Seq(
+      (1L, "Alpha Beta Gamma"), (2L, "Alpha Beta Gamma"),
+      (3L, "alpha  beta   gamma"), (4L, "something else")
+    ).toDF("doc_id", "text")
+    val exact = docs.groupBy(sha2($"text", 256)).agg(min($"doc_id").as("rep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(exact == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    val fp = docs.groupBy(fingerprint($"text")).agg(min($"doc_id").as("rep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fp == Map(1L -> 3L, 4L -> 1L))
+  }
+}
