@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long (epoch nanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

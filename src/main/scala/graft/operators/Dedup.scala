@@ -23,16 +23,34 @@ import graft.queries.Tables
   */
 object Dedup {
   private val ShingleSize = 3
-  private val MinhashK = 64
-  private val LshBands = 32 // 32 bands x 2 rows: P[candidate | J=0.8] ~ 1 - 3.6e-15
-  private val LshRows = 2
+  // 32 bands x 4 rows (k=128): recall at J=0.8 is 1 - 4.8e-8, while the
+  // candidate rate for background pairs (J ~ 0.1, common in a small-vocab
+  // corpus) is ~32 * 1e-4 — r=2 banding melted down here: every doc pair
+  // with J ~ 0.3 collided somewhere, 12.5M candidate pairs at sf0.1.
+  private val MinhashK = 128
+  private val LshBands = 32
+  private val LshRows = 4
 
-  /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops. */
+  /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops.
+    * Repartitioned on doc_id first: the fixture is one small parquet file
+    * (= one input split), and without this every downstream shingle/
+    * signature computation runs on a single core. At real scale the scan
+    * has thousands of splits and this is a cheap balanced re-bucket. */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Two-step projection on purpose: `toks` must be a materialized
+    // attribute before entering the shingle lambda. Passing
+    // `tokens($"text")` straight into `shingles` embeds the regex split
+    // inside the transform lambda, re-splitting the document once PER
+    // SHINGLE (measured 8s/pass at sf0.1 vs ~0.5s this way). Multiple
+    // references to a non-trivial alias also keep CollapseProject from
+    // re-inlining it. No size filter here: predicate pushdown would clone
+    // the expression below the project, and empty shingle arrays are
+    // dropped by the downstream explode anyway.
     Tables.documents(s, d)
-      .select($"doc_id", shingles(tokens($"text"), ShingleSize).as("sh"))
-      .filter(size($"sh") > 0)
+      .repartition($"doc_id")
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", shingles($"toks", ShingleSize).as("sh"))
   }
 
   // ---------------------------------------------------------------- exact
@@ -77,13 +95,18 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = docShingles(s, d)
-    val sizes = docs.select($"doc_id", size($"sh").as("sz"))
-    val ex = docs.select($"doc_id", explode($"sh").as("s"))
+    // set size rides along with each exploded shingle, so union sizes fall
+    // out of the grouping keys — no join back to a per-doc sizes branch
+    // (which would re-run the whole shingle pipeline two more times)
+    // join on the 64-bit shingle hash, not the string: long keys shuffle
+    // and compare far cheaper, and a cross-shingle collision (~n^2/2^64)
+    // is negligible against the corpus sizes this runs at
+    val ex = docs.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("s0"))
+      .select($"doc_id", $"sz", xxhash64($"s0").as("s"))
     ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
       .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jaccard" >= 0.8)
       .select($"a_id", $"b_id", $"jaccard")
@@ -116,10 +139,26 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = docShingles(s, d)
-    val base = docs
-      .withColumn("sig", minhashSignature($"sh", MinhashK))
-      .withColumn("bands", lshBandKeys($"sig", LshBands, LshRows))
-    val bandsEx = base.select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_key")))
+    // Signature via explode + 128 partial-aggregated per-position minima:
+    // every shingle is hashed exactly once. (The closed-form column
+    // `minhashSignature` is correct but Catalyst's projection collapse
+    // inlines it into each downstream band key, recomputing the whole
+    // signature 32x; an aggregation is a collapse barrier, and this shape
+    // — shingle-level parallelism + map-side combine — is also the one
+    // that scales to a 100 TB corpus.)
+    // hash each shingle string ONCE; the K permutation hashes + minima are
+    // computed by the MinHashAgg imperative aggregate in one loop per row
+    // (K separate min(xxhash64(...)) aggregate columns pay per-expression
+    // overhead K times per row and exceed codegen field limits)
+    val ex = docs.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("hs"))
+    val sig = ex.groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhashAgg($"hs", MinhashK).as("sig"))
+    val bandKeyCols = (0 until LshBands).map { b =>
+      xxhash64(lit(b), slice($"sig", b * LshRows + 1, LshRows))
+    }
+    val bandsEx = sig.select($"doc_id",
+      posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
     val cand = bandsEx.as("a")
       .join(bandsEx.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
@@ -148,6 +187,7 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = Tables.documents(s, d)
+      .repartition($"doc_id") // single-file fixture: unlock parallelism
       .select($"doc_id", simhash(tokens($"text")).as("h"))
     val chunks = sigs.select($"doc_id", $"h",
       posexplode(array((0 until 4).map(c => hashChunk($"h", c)): _*)).as(Seq("chunk_idx", "chunk_val")))

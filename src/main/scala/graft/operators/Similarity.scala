@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps
 import graft.queries.Tables
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
@@ -11,27 +12,27 @@ import graft.queries.Tables
   * hyperplane LSH bucketing as the 100 TB scale path, and cosine near-dup
   * pairs for embedding-level dedup.
   *
-  * All vector math composes codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) — float ops happen inside whole-stage
-  * codegen, no UDF boxing. Sums accumulate left-to-right in index order,
-  * which is what makes the doubles reproducible across engines.
+  * Vector math uses the native [[VectorOps]] dot-product expression
+  * (allocation-free loop inside whole-stage codegen — the composable
+  * `zip_with`+`aggregate` form materializes an array per evaluated pair,
+  * which is fatal in million-pair similarity joins). Norms are computed
+  * once per vector BEFORE any join, never per pair. Accumulation is
+  * left-to-right in index order, reproducible across engines.
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right double dot product of two float vectors (native). */
+  def dot(a: Column, b: Column): Column = VectorOps.dotf(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorOps.normf(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic Rademacher (+1/-1) hyperplanes for sign-LSH, derived
     * from a hash so executors/plans/engines all agree. */
-  private def planeSign(plane: Int, dim: Int): Double = {
+  private def planeSign(plane: Int, dim: Int): Float = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, dim))
-    if ((h & 1) == 0) 1.0 else -1.0
+    if ((h & 1) == 0) 1.0f else -1.0f
   }
 
   /** n-bit sign-LSH bucket key: bit h = sign of <v, plane_h>. Vectors at
@@ -53,11 +54,13 @@ object Similarity {
   def annTopKBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id") // single-file fixture: unlock parallelism
+      .withColumn("vn", norm($"embedding")) // norm once per vector, pre-join
     val probes = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
     val scored = emb.crossJoin(broadcast(probes))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("sim", round(cosine($"qv", $"embedding"), 6))
+      .withColumn("sim", round(dot($"qv", $"embedding") / ($"vn" * $"qn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -93,10 +96,12 @@ object Similarity {
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id")
+      .withColumn("vn", norm($"embedding"))
     emb.as("a")
       .crossJoin(broadcast(emb.as("b")))
       .filter($"a.vec_id" < $"b.vec_id")
-      .filter(cosine($"a.embedding", $"b.embedding") >= 0.95)
+      .filter(dot($"a.embedding", $"b.embedding") / ($"a.vn" * $"b.vn") >= 0.95)
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
       .orderBy($"a_id", $"b_id")
   }
@@ -121,6 +126,7 @@ object Similarity {
   def annTopKLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id")
     val tables = 16
     val bits = 6
     def bucketed(df: DataFrame) = df.select($"vec_id", $"embedding",
@@ -134,7 +140,7 @@ object Similarity {
       .select($"query_id", $"qv", $"vec_id", $"embedding")
       .distinct()
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
-    cand.withColumn("sim", round(cosine($"qv", $"embedding"), 6))
+    cand.withColumn("sim", round(dot($"qv", $"embedding") / (norm($"qv") * norm($"embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
