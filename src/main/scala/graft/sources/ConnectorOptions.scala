@@ -32,6 +32,7 @@ final case class ConnectorOptions(
     reprocessEndBatchId: Option[Long],
     reprocessDryRun: Boolean,
     sortBatchByTimestamp: Boolean,
+    metadataLogBackend: String,
     formatOptions: Map[String, String]) {
 
   def reprocessState: ConnectorOptions.ReprocessState =
@@ -66,6 +67,10 @@ object ConnectorOptions {
   val REPROCESS_END_BATCH_ID = "reprocessendbatchid"
   val REPROCESS_DRY_RUN = "reprocessdryrun"
   val SORT_BATCH_BY_TIMESTAMP = "sortbatchbytimestamp"
+  val METADATA_LOG = "metadatalog" // "file" (default) | "rocksdb"
+
+  val METADATA_LOG_FILE = "file"
+  val METADATA_LOG_ROCKSDB = "rocksdb"
 
   val QUEUE_TYPE_IN_MEMORY = "inmemory"
   val QUEUE_TYPE_SQS = "sqs"
@@ -149,7 +154,7 @@ object ConnectorOptions {
       QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, LONG_POLL_WAIT_SECONDS, MAX_CONCURRENCY,
       VISIBILITY_TIMEOUT_SECONDS, KEEP_MESSAGE_ON_CONSUMER_ERROR,
       REPROCESS_START_BATCH_ID, REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
-      SORT_BATCH_BY_TIMESTAMP)
+      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG)
     val formatOptions = params.filterNot { case (k, _) => ownKeys.contains(k) }
 
     ConnectorOptions(
@@ -172,6 +177,12 @@ object ConnectorOptions {
       reprocessEndBatchId = reEnd,
       reprocessDryRun = get(REPROCESS_DRY_RUN).forall(_.trim.equalsIgnoreCase("true")),
       sortBatchByTimestamp = get(SORT_BATCH_BY_TIMESTAMP).exists(_.trim.equalsIgnoreCase("true")),
+      metadataLogBackend = {
+        val b = get(METADATA_LOG).getOrElse(METADATA_LOG_FILE).toLowerCase(Locale.ROOT)
+        require(b == METADATA_LOG_FILE || b == METADATA_LOG_ROCKSDB,
+          s"$METADATA_LOG must be '$METADATA_LOG_FILE' or '$METADATA_LOG_ROCKSDB', got $b")
+        b
+      },
       formatOptions = formatOptions)
   }
 }

@@ -42,7 +42,12 @@ class GraftFileSource(
   private val hadoopConf = sqlContext.sparkContext.hadoopConfiguration
   private val jsonMapper = new ObjectMapper()
 
-  private val metadataLog = new FileBackedMetadataLog(metadataPath, hadoopConf)
+  private val metadataLog: FileMetadataLog = options.metadataLogBackend match {
+    case ConnectorOptions.METADATA_LOG_ROCKSDB =>
+      new RocksDBMetadataLog(metadataPath, hadoopConf)
+    case _ =>
+      new FileBackedMetadataLog(metadataPath, hadoopConf)
+  }
   private val fileCache = new FileCache(options.maxFileAgeMs)
   private val validator = new FileValidator(fileCache, metadataLog, options.pathGlobFilter)
 

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.UUID
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+import org.rocksdb.{Checkpoint, Options, RocksDB, WriteBatch, WriteOptions}
+
+/** RocksDB-backed implementation of [[FileMetadataLog]] — the stage-2
+  * log of SURVEY §7.1, giving the reference's O22-O25 capabilities
+  * (versioned KV store, incremental DFS checkpointing, version GC) in a
+  * deliberately smaller design:
+  *
+  *  - KV layout: `b:<batchId>` -> JSON file entries; `f:<path>` ->
+  *    `{ts, batch}` (the reference's two key-type tags, as prefixes).
+  *  - Durability: every `add` is a sync WriteBatch, then an incremental
+  *    checkpoint to the streaming checkpoint dir: immutable `*.sst`
+  *    files upload once under uuid-suffixed names (`SSTs/`), mutable
+  *    files (MANIFEST/CURRENT/OPTIONS/log) zip into an atomically-renamed
+  *    `<version>.zip` whose metadata lists the SSTs it needs.
+  *  - Recovery: newest zip + referenced SSTs rebuild the local DB.
+  *  - GC: versions older than `minVersionsToRetain` are deleted along
+  *    with SSTs no retained version references (amortized via commit()).
+  *
+  * The reference instead forked ~1,600 LoC of Spark's state-store
+  * internals (RocksDB.scala, RocksDBFileManager.scala); this impl uses
+  * rocksdbjni directly and keeps the same externally-observable contract.
+  */
+final class RocksDBMetadataLog(
+    metadataPath: String,
+    hadoopConf: Configuration,
+    minVersionsToRetain: Int = 10) extends FileMetadataLog with Logging {
+
+  import RocksDBMetadataLog._
+
+  RocksDB.loadLibrary()
+
+  private val mapper = new ObjectMapper()
+  private val dfsRoot = new Path(metadataPath, "rocksdb")
+  private val sstDir = new Path(dfsRoot, "SSTs")
+  private val fm = CheckpointFileManager.create(dfsRoot, hadoopConf)
+  if (!fm.exists(sstDir)) fm.mkdirs(sstDir)
+
+  private val localRoot = Files.createTempDirectory("graft-rocksdb").toFile
+  private val dbDir = new File(localRoot, "db")
+
+  // local sst name -> dfs uploaded name (survives across versions)
+  private val uploadedSsts = mutable.HashMap[String, String]()
+  @volatile private var version: Long = 0L
+  @volatile private var latestBatch: Option[Long] = None
+
+  private val dbOptions = new Options().setCreateIfMissing(true)
+  private val writeOptions = new WriteOptions().setSync(true)
+  private var db: RocksDB = restore()
+
+  // ---------------------------------------------------------------- keys
+  private def batchKey(id: Long): Array[Byte] =
+    f"b:$id%020d".getBytes(StandardCharsets.UTF_8)
+  private def fileKey(path: String): Array[Byte] =
+    ("f:" + path).getBytes(StandardCharsets.UTF_8)
+
+  private def entriesToJson(entries: Array[FileEntry]): Array[Byte] = {
+    val arr = mapper.createArrayNode()
+    entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("path", e.path); o.put("timestampMs", e.timestampMs)
+    }
+    mapper.writeValueAsBytes(arr)
+  }
+
+  private def jsonToEntries(bytes: Array[Byte], batchId: Long): Array[FileEntry] =
+    mapper.readTree(bytes).elements().asScala.map { n =>
+      FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), batchId)
+    }.toArray
+
+  // ------------------------------------------------------------ contract
+  override def add(batchId: Long, entries: Array[FileEntry]): Boolean = synchronized {
+    if (db.get(batchKey(batchId)) != null) throw new GraftMetalogAddException(batchId)
+    val wb = new WriteBatch()
+    try {
+      wb.put(batchKey(batchId), entriesToJson(entries))
+      entries.foreach { e =>
+        wb.put(fileKey(e.path),
+          s"""{"ts":${e.timestampMs},"batch":$batchId}""".getBytes(StandardCharsets.UTF_8))
+      }
+      db.write(writeOptions, wb)
+    } finally wb.close()
+    latestBatch = Some(latestBatch.fold(batchId)(math.max(_, batchId)))
+    version += 1
+    checkpointToDfs()
+    true
+  }
+
+  override def get(batchId: Long): Option[Array[FileEntry]] =
+    Option(db.get(batchKey(batchId))).map(jsonToEntries(_, batchId))
+
+  override def get(startId: Long, endId: Long): Array[(Long, Array[FileEntry])] =
+    (startId to endId).map { id =>
+      id -> get(id).getOrElse(
+        throw new GraftSourceException(s"batch $id missing from metadata log [$startId, $endId]"))
+    }.toArray
+
+  override def getLatestBatchId: Option[Long] = latestBatch
+
+  override def isNewFile(path: String, lastPurgeTimestampMs: Long): Boolean =
+    getFile(path).forall(_.timestampMs < lastPurgeTimestampMs)
+
+  override def getFile(path: String): Option[FileEntry] =
+    Option(db.get(fileKey(path))).map { bytes =>
+      val n = mapper.readTree(bytes)
+      FileEntry(path, n.get("ts").asLong(), n.get("batch").asLong())
+    }
+
+  override def purgeBefore(horizonMs: Long): Int = synchronized {
+    val toRemove = mutable.ArrayBuffer[(Long, Array[FileEntry])]()
+    val it = db.newIterator()
+    try {
+      it.seek("b:".getBytes(StandardCharsets.UTF_8))
+      while (it.isValid && toRemove.size < FileBackedMetadataLog.MaxBatchesRemovedPerPurge &&
+        new String(it.key(), StandardCharsets.UTF_8).startsWith("b:")) {
+        val id = new String(it.key(), StandardCharsets.UTF_8).stripPrefix("b:").toLong
+        val entries = jsonToEntries(it.value(), id)
+        if (!latestBatch.contains(id) && entries.forall(_.timestampMs < horizonMs)) {
+          toRemove += ((id, entries))
+        }
+        it.next()
+      }
+    } finally it.close()
+    if (toRemove.nonEmpty) {
+      val wb = new WriteBatch()
+      try {
+        toRemove.foreach { case (id, entries) =>
+          wb.delete(batchKey(id))
+          entries.foreach { e =>
+            // only drop the file key if it still points at this batch
+            getFile(e.path).filter(_.batchId == id).foreach(_ => wb.delete(fileKey(e.path)))
+          }
+        }
+        db.write(writeOptions, wb)
+      } finally wb.close()
+      version += 1
+      checkpointToDfs()
+    }
+    toRemove.size
+  }
+
+  /** Amortized version GC (the reference's maintenance-task duty). */
+  override def commit(): Unit = deleteOldVersions()
+
+  override def close(): Unit = synchronized {
+    if (db != null) { db.close(); db = null }
+    dbOptions.close(); writeOptions.close()
+    org.apache.commons.io.FileUtils.deleteQuietly(localRoot)
+  }
+
+  // ----------------------------------------------- checkpointing to DFS
+  private def versionZip(v: Long): Path = new Path(dfsRoot, s"$v.zip")
+
+  private def checkpointToDfs(): Unit = {
+    val snapDir = new File(localRoot, s"snap-$version")
+    val cp = Checkpoint.create(db)
+    try cp.createCheckpoint(snapDir.getAbsolutePath) finally cp.close()
+    try {
+      val files = snapDir.listFiles().toSeq
+      val (ssts, mutables) = files.partition(_.getName.endsWith(".sst"))
+      // immutable SSTs: upload new ones once, under uuid-suffixed names
+      // (a restarted DB can reuse local names with different content)
+      ssts.foreach { sst =>
+        if (!uploadedSsts.contains(sst.getName)) {
+          val dfsName = s"${sst.getName}-${UUID.randomUUID().toString.take(8)}"
+          val out = fm.createAtomic(new Path(sstDir, dfsName), overwriteIfPossible = false)
+          try { Files.copy(sst.toPath, out); out.close() }
+          catch { case t: Throwable => out.cancel(); throw t }
+          uploadedSsts(sst.getName) = dfsName
+        }
+      }
+      // mutable files + metadata -> one atomic zip per version
+      val meta = mapper.createObjectNode()
+      meta.put("version", version)
+      meta.put("latestBatch", latestBatch.getOrElse(-1L))
+      val sstMap = meta.putObject("ssts")
+      ssts.foreach(s => sstMap.put(s.getName, uploadedSsts(s.getName)))
+      val out = fm.createAtomic(versionZip(version), overwriteIfPossible = true)
+      try {
+        val zos = new ZipOutputStream(out)
+        zos.putNextEntry(new ZipEntry("metadata.json"))
+        zos.write(mapper.writeValueAsBytes(meta))
+        zos.closeEntry()
+        mutables.foreach { f =>
+          zos.putNextEntry(new ZipEntry(f.getName))
+          val in = new FileInputStream(f)
+          try in.transferTo(zos) finally in.close()
+          zos.closeEntry()
+        }
+        zos.finish()
+        out.close()
+      } catch { case t: Throwable => out.cancel(); throw t }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(snapDir)
+    }
+  }
+
+  private def listVersions(): Seq[Long] =
+    if (!fm.exists(dfsRoot)) Seq.empty
+    else fm.list(dfsRoot).toSeq
+      .flatMap(_.getPath.getName.stripSuffix(".zip") match {
+        case s if s.forall(_.isDigit) && s.nonEmpty => Some(s.toLong)
+        case _ => None
+      })
+
+  private def restore(): RocksDB = {
+    dbDir.mkdirs()
+    val versions = listVersions()
+    if (versions.nonEmpty) {
+      val latest = versions.max
+      val in = new ZipInputStream(fm.open(versionZip(latest)))
+      var metaBytes: Array[Byte] = null
+      try {
+        var entry = in.getNextEntry
+        while (entry != null) {
+          val target = new File(dbDir, new File(entry.getName).getName)
+          if (entry.getName == "metadata.json") {
+            metaBytes = in.readAllBytes()
+          } else {
+            val fos = new FileOutputStream(target)
+            try in.transferTo(fos) finally fos.close()
+          }
+          entry = in.getNextEntry
+        }
+      } finally in.close()
+      val meta = mapper.readTree(metaBytes)
+      version = meta.get("version").asLong()
+      latestBatch = Some(meta.get("latestBatch").asLong()).filter(_ >= 0)
+      meta.get("ssts").properties().asScala.foreach { e =>
+        val localName = e.getKey
+        val dfsName = e.getValue.asText()
+        val is = fm.open(new Path(sstDir, dfsName))
+        try Files.copy(is, new File(dbDir, localName).toPath)
+        finally is.close()
+        uploadedSsts(localName) = dfsName
+      }
+      logInfo(s"restored rocksdb metadata log at version $version, " +
+        s"latestBatch=$latestBatch, ${uploadedSsts.size} SSTs")
+    }
+    RocksDB.open(dbOptions, dbDir.getAbsolutePath)
+  }
+
+  /** Drop version zips beyond the retention window and SSTs that no
+    * retained version references. */
+  private def deleteOldVersions(): Unit = synchronized {
+    val versions = listVersions().sorted
+    if (versions.size <= minVersionsToRetain) return
+    val (old, keep) = versions.splitAt(versions.size - minVersionsToRetain)
+    val referenced = mutable.HashSet[String]()
+    keep.foreach { v =>
+      val in = new ZipInputStream(fm.open(versionZip(v)))
+      try {
+        var entry = in.getNextEntry
+        while (entry != null && entry.getName != "metadata.json") entry = in.getNextEntry
+        if (entry != null) {
+          mapper.readTree(in.readAllBytes()).get("ssts").properties().asScala
+            .foreach(e => referenced += e.getValue.asText())
+        }
+      } finally in.close()
+    }
+    old.foreach(v => fm.delete(versionZip(v)))
+    fm.list(sstDir).foreach { st =>
+      if (!referenced.contains(st.getPath.getName)) fm.delete(st.getPath)
+    }
+    logInfo(s"metadata log GC: removed ${old.size} versions, kept ${keep.size}")
+  }
+}
+
+object RocksDBMetadataLog

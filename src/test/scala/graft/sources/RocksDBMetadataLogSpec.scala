@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Same contract battery as FileMetadataLogSpec, against the RocksDB
+  * backend, plus version GC and crash-recovery-from-checkpoint behavior
+  * (reference: RocksDBS3SourceLogSuite scenarios). */
+class RocksDBMetadataLogSpec extends AnyFunSuite {
+
+  private def withLog(dir: String = Files.createTempDirectory("graft-rdb").toString)(
+      f: (RocksDBMetadataLog, String) => Unit): Unit = {
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 3)
+    try f(log, dir) finally log.close()
+  }
+
+  private def entries(batchId: Long, paths: (String, Long)*): Array[FileEntry] =
+    paths.map { case (p, ts) => FileEntry(p, ts, batchId) }.toArray
+
+  test("add/get roundtrip, latest, duplicate rejection") {
+    withLog() { (log, _) =>
+      assert(log.getLatestBatchId.isEmpty)
+      log.add(0, entries(0, "a" -> 10L, "b" -> 20L))
+      log.add(1, entries(1, "c" -> 30L))
+      assert(log.getLatestBatchId.contains(1L))
+      assert(log.get(0).get.map(_.path).toSeq == Seq("a", "b"))
+      assert(log.get(99).isEmpty)
+      intercept[GraftMetalogAddException](log.add(1, entries(1, "x" -> 1L)))
+      assert(log.get(0, 1).map(_._1).toSeq == Seq(0L, 1L))
+      intercept[GraftSourceException](log.get(0, 5))
+    }
+  }
+
+  test("file index: getFile / isNewFile with expiry resurrection") {
+    withLog() { (log, _) =>
+      log.add(0, entries(0, "p" -> 100L))
+      assert(log.getFile("p").contains(FileEntry("p", 100L, 0L)))
+      assert(!log.isNewFile("p", 50L))
+      assert(log.isNewFile("p", 150L)) // past horizon: vouching expires
+      assert(log.isNewFile("unseen", 0L))
+    }
+  }
+
+  test("recovery: a new instance on the same checkpoint path restores state") {
+    val dir = Files.createTempDirectory("graft-rdb").toString
+    val log1 = new RocksDBMetadataLog(dir, new Configuration())
+    log1.add(0, entries(0, "p1" -> 100L))
+    log1.add(1, entries(1, "p2" -> 200L))
+    log1.close()
+
+    val log2 = new RocksDBMetadataLog(dir, new Configuration())
+    try {
+      assert(log2.getLatestBatchId.contains(1L))
+      assert(log2.get(0).get.head.path == "p1")
+      assert(log2.getFile("p2").get.batchId == 1L)
+      assert(!log2.isNewFile("p1", 0L))
+      // and it can keep writing
+      log2.add(2, entries(2, "p3" -> 300L))
+      assert(log2.getLatestBatchId.contains(2L))
+    } finally log2.close()
+  }
+
+  test("purgeBefore removes fully-expired batches, never the latest") {
+    withLog() { (log, _) =>
+      log.add(0, entries(0, "a" -> 10L, "b" -> 500L))
+      log.add(1, entries(1, "c" -> 20L))
+      log.add(2, entries(2, "d" -> 900L))
+      assert(log.purgeBefore(300L) == 1)
+      assert(log.get(1).isEmpty && log.get(0).isDefined && log.get(2).isDefined)
+      assert(log.purgeBefore(Long.MaxValue) == 1) // batch 0 only; latest kept
+      assert(log.get(2).isDefined)
+    }
+  }
+
+  test("version GC keeps the retention window and recovery still works") {
+    val dir = Files.createTempDirectory("graft-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 3)
+    (0 until 8).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.commit() // triggers deleteOldVersions
+    log.close()
+    val log2 = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 3)
+    try {
+      assert(log2.getLatestBatchId.contains(7L))
+      (0 until 8).foreach(i => assert(log2.get(i).get.head.path == s"f$i"))
+    } finally log2.close()
+  }
+
+  test("e2e: streaming source runs with metadataLog=rocksdb and survives restart") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val qn = s"rdb-${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(qn)
+      val dir = Files.createTempDirectory("rdb-e2e")
+      val out = Files.createTempDirectory("rdb-out").toString
+      val ckpt = Files.createTempDirectory("rdb-ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType)))
+      def put(name: String, id: Int): String = {
+        val f = dir.resolve(name)
+        Files.write(f, s"""{"id":$id}""".getBytes)
+        "file:" + f
+      }
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-files").schema(schema)
+          .option("fileFormat", "json").option("queueName", qn)
+          .option("metadataLog", "rocksdb")
+          .option("queueFetchWaitTimeoutSeconds", "5")
+          .load().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val p1 = put("a.json", 1)
+      queue.send(s"""{"path":"$p1","timestampMs":1}""")
+      runOnce()
+      assert(spark.read.parquet(out).count() == 1)
+      queue.send(s"""{"path":"$p1","timestampMs":1}""") // dup across restart
+      queue.send(s"""{"path":"${put("b.json", 2)}","timestampMs":2}""")
+      runOnce()
+      assert(spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    } finally spark.stop()
+  }
+}
