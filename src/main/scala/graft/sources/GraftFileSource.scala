@@ -4,10 +4,14 @@ import java.nio.charset.StandardCharsets
 
 import scala.util.control.NonFatal
 
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
@@ -35,7 +39,8 @@ class GraftFileSource(
     sqlContext: SQLContext,
     metadataPath: String,
     userSchema: StructType,
-    parameters: Map[String, String]) extends Source with Logging {
+    parameters: Map[String, String])
+  extends Source with SupportsTriggerAvailableNow with Logging {
 
   private val options = ConnectorOptions(parameters)
   private val spark = sqlContext.sparkSession
@@ -55,6 +60,7 @@ class GraftFileSource(
   private var metadataLogCurrentOffset: Long = metadataLog.getLatestBatchId.getOrElse(-1L)
 
   @volatile private var reprocessing = false
+  @volatile private var availableNowDrained = false
 
   /** Validate -> cache consumer run on the queue client's fetch threads
     * (reference: S3ConnectorSource.scala:76-101). The validate/insert
@@ -126,10 +132,30 @@ class GraftFileSource(
     metadataLog.get(options.reprocessStartBatchId.get, options.reprocessEndBatchId.get)
       .flatMap(_._2)
 
+  /** Trigger.AvailableNow: drain the queue completely up front, then let
+    * normal triggers admit the snapshot from the cache in
+    * maxFilesPerTrigger chunks with no further queue consumption — the
+    * query self-terminates once offsets stop advancing. (Implementing
+    * SupportsTriggerAvailableNow directly keeps MicroBatchExecution from
+    * pinning the end offset at the first getOffset, which would truncate
+    * the run to one chunk.) */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var done = false
+    while (!done) {
+      val res = Await.result(
+        queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds), 10.minutes)
+      done = res.isEmpty ||
+        res.contains(ConsumeResult.ReceiveEmpty) ||
+        res.contains(ConsumeResult.ReceiveException)
+    }
+    availableNowDrained = true
+    logInfo(s"AvailableNow: queue drained, ${fileCache.size} files cached")
+  }
+
   // ---- offset advance (reference: S3ConnectorSource.scala:193-242) ------
   private def fetchMaxOffset(): Option[Offset] = synchronized {
-    // no queue consumption while a replay is draining
-    if (!reprocessing) {
+    // no queue consumption while a replay or an AvailableNow snapshot drains
+    if (!reprocessing && !availableNowDrained) {
       queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds)
     }
     val files =
@@ -157,6 +183,16 @@ class GraftFileSource(
   override def schema: StructType = userSchema
 
   override def getOffset: Option[Offset] = fetchMaxOffset()
+
+  // SupportsAdmissionControl (pulled in by SupportsTriggerAvailableNow):
+  // the engine calls latestOffset instead of getOffset. Per-trigger
+  // admission is governed by the source's own options, which is also what
+  // the default read limit advertises.
+  override def getDefaultReadLimit: ReadLimit =
+    options.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset =
+    fetchMaxOffset().orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startId = start.map(logOffsetOf).getOrElse(-1L)

@@ -164,6 +164,18 @@ class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(7 -> "seven", 8 -> "eight"))
   }
 
+  test("Trigger.AvailableNow drains the announced backlog and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    (1 to 3).foreach(i => announce(q, writeJson(dir, s"t$i.json", Seq(i -> s"v$i"))))
+    val query = streamDF(qn, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("avnow").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(query.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    assert(spark.table("avnow").count() == 3)
+  }
+
   test("schema is mandatory") {
     val (qn, _) = freshQueue()
     intercept[Exception] {
