@@ -39,7 +39,8 @@ object Similarity {
     * small angle share buckets with high probability. */
   def lshBucket(v: Column, bits: Int, dim: Int, table: Int): Column = {
     val bitCols: Seq[Column] = (0 until bits).map { h =>
-      val plane = typedlit((0 until dim).map(k => planeSign(table * 1000 + h, k)))
+      // Array, not Seq: Literal conversion rejects Vector[Float]
+      val plane = typedlit((0 until dim).map(k => planeSign(table * 1000 + h, k)).toArray)
       when(dot(v, plane) >= 0, lit(1L << h)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a + b)
