@@ -530,6 +530,79 @@ object Relational {
       |WHERE o_totalprice > avg_price
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Gap-based sessionization with windows (lag -> gap flag -> running
+    * sum = session id -> per-session aggregate). ts is epoch-nanos long;
+    * both sides work in microseconds (DuckDB reads nanos parquet at
+    * micro precision), all exact integer arithmetic. */
+  def q29Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000L // 30 min in micros
+    val tsUs = expr("ts div 1000")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", tsUs)
+      .withColumn("prev_ts", lag($"ts_us", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).as("duration_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+  val q29Sql: String =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM (
+      |  SELECT user_id, ts_us, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |      CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |             OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                > CAST(30 AS BIGINT)*60*1000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Array functions over tokenized text: size/contains/sort/slice/join. */
+  def q30ArrayFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"doc_id",
+        size($"toks").as("n"),
+        array_contains($"toks", "spark").as("has_spark"),
+        concat_ws("|", slice(sort_array($"toks"), 1, 3)).as("first3_sorted"),
+        size(array_distinct($"toks")).as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+  val q30Sql: String =
+    raw"""SELECT doc_id, len(toks) AS n,
+         |  list_contains(toks, 'spark') AS has_spark,
+         |  array_to_string(list_sort(toks)[1:3], '|') AS first3_sorted,
+         |  len(list_distinct(toks)) AS n_distinct
+         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Regexp scalar functions (extract group, replace). */
+  def q31Regexp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey",
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        regexp_replace($"p_type", "[aeiou]", "_").as("devoweled"))
+      .orderBy($"p_partkey")
+  }
+  val q31Sql: String =
+    raw"""SELECT p_partkey, regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
+         |FROM part ORDER BY p_partkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -560,6 +633,9 @@ object Relational {
     "q26_revenue_by_nation" -> q26RevenueByNation _,
     "q27_full_outer" -> q27FullOuter _,
     "q28_above_avg" -> q28AboveAvg _,
+    "q29_sessionize" -> q29Sessionize _,
+    "q30_array_fns" -> q30ArrayFns _,
+    "q31_regexp" -> q31Regexp _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,5 +667,8 @@ object Relational {
     "q26_revenue_by_nation" -> q26Sql,
     "q27_full_outer" -> q27Sql,
     "q28_above_avg" -> q28Sql,
+    "q29_sessionize" -> q29Sql,
+    "q30_array_fns" -> q30Sql,
+    "q31_regexp" -> q31Sql,
   )
 }

@@ -164,14 +164,51 @@ object Streaming {
        |FROM events WHERE event_id < $CUTOFF
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Row-level streaming dedup (`dropDuplicates` state across batches):
+    * the same rows are staged in two separate files announced separately,
+    * so duplicates span micro-batches and only the dedup state removes
+    * them. Complements the connector's file-level exactly-once. */
+  def streamDropDuplicates(s: SparkSession, dir: String): DataFrame = {
+    val runId = s"dropdup${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
+    val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString
+    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+    ev.coalesce(1).write.mode("overwrite").parquet(stage1)
+    ev.coalesce(1).write.mode("overwrite").parquet(stage2) // same rows again
+    val queue = InMemoryQueueRegistry.queue(runId)
+    Seq(stage1, stage2).foreach { st =>
+      new java.io.File(st).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => queue.send(
+          s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${f.lastModified()}}"""))
+    }
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1") // duplicates arrive in a later batch
+      .load()
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+  val streamDropDuplicatesSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_source_read" -> streamSourceRead _,
     "stream_exactly_once" -> streamExactlyOnce _,
     "stream_window_agg" -> streamWindowAgg _,
+    "stream_drop_duplicates" -> streamDropDuplicates _,
   )
   val oracles: Map[String, String] = Map(
     "stream_source_read" -> streamSourceReadSql,
     "stream_exactly_once" -> streamExactlyOnceSql,
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_drop_duplicates" -> streamDropDuplicatesSql,
   )
 }
