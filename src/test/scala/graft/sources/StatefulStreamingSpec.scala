@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom stateful processing over the push-based source:
+  * `mapGroupsWithState` keeps per-key state across the micro-batches the
+  * connector produces (the Structured Streaming capability SURVEY §2.2
+  * lists for our extensions). Two files forced into two separate batches
+  * prove state carries across batch boundaries.
+  */
+class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("mapGroupsWithState accumulates per-user counts across micro-batches") {
+    import spark.implicits._
+    val qn = s"state-${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(qn)
+    val dir = Files.createTempDirectory("state")
+    def put(name: String, rows: Seq[(Long, Double)]): String = {
+      val f = dir.resolve(name)
+      val body = rows.map { case (u, v) => s"""{"user_id":$u,"value":$v}""" }.mkString("\n")
+      Files.write(f, body.getBytes)
+      "file:" + f
+    }
+    // batch 1: u1 x2, u2 x1; batch 2: u1 x1, u2 x2
+    queue.send(s"""{"path":"${put("b1.json", Seq(1L -> 1.0, 1L -> 2.0, 2L -> 3.0))}","timestampMs":1000}""")
+    queue.send(s"""{"path":"${put("b2.json", Seq(1L -> 4.0, 2L -> 5.0, 2L -> 6.0))}","timestampMs":2000}""")
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val ds = spark.readStream.format("graft-files").schema(schema)
+      .option("fileFormat", "json").option("queueName", qn)
+      .option("maxFilesPerTrigger", "1").option("sortBatchByTimestamp", "true")
+      .option("queueFetchWaitTimeoutSeconds", "5")
+      .load()
+      .as[(Long, Double)]
+
+    val counted = ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+
+    val sink = s"stateout${System.nanoTime()}"
+    val q = counted.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table(sink).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch1 updates: (1,2),(2,1); batch2 updates on top of kept state: (1,3),(2,3)
+    assert(got == Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L)))
+  }
+}
