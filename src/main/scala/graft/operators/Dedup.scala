@@ -47,10 +47,16 @@ object Dedup {
     // re-inlining it. No size filter here: predicate pushdown would clone
     // the expression below the project, and empty shingle arrays are
     // dropped by the downstream explode anyway.
+    // persisted: the self-joins below read this base TWICE (exchange
+    // reuse does not kick in for the aliased sides), and recomputing the
+    // tokenize+shingle pass dominates the query (measured ~10s vs ~1.8s
+    // at sf0.1). At real scale the same move is materializing the shingle
+    // table once before pair generation.
     Tables.documents(s, d)
       .repartition($"doc_id")
       .withColumn("toks", tokens($"text"))
       .select($"doc_id", shingles($"toks", ShingleSize).as("sh"))
+      .persist()
   }
 
   // ---------------------------------------------------------------- exact
