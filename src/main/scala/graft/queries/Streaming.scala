@@ -199,13 +199,46 @@ object Streaming {
     """SELECT event_id, user_id, value FROM events
       |WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  /** Stream-static join: streamed events enriched against the static
+    * customer dim inside the micro-batch plan (broadcast per batch). */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val runId = s"ssjoin${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.events(s, dir).filter(col("event_id") < 1000)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${f.lastModified()}}"""))
+    val customers = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .load()
+      .join(customers, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy(col("event_id"))
+  }
+  val streamStaticJoinSql: String =
+    """SELECT event_id, user_id, c_name, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_id < 1000 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> streamStaticJoin _,
     "stream_source_read" -> streamSourceRead _,
     "stream_exactly_once" -> streamExactlyOnce _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_drop_duplicates" -> streamDropDuplicates _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_static_join" -> streamStaticJoinSql,
     "stream_source_read" -> streamSourceReadSql,
     "stream_exactly_once" -> streamExactlyOnceSql,
     "stream_window_agg" -> streamWindowAggSql,
