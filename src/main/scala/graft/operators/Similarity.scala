@@ -148,10 +148,53 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF-flat approximate top-k: a deterministic sample of the corpus
+    * serves as coarse centroids (hash-ranked vec_ids — IVF with sampled
+    * centroids, no Lloyd iterations so the operator is fully
+    * deterministic and driver-loop-free); every vector is assigned to
+    * its nearest centroid (argmax over a broadcast 16-row table); a
+    * probe searches only its `nprobe` nearest clusters via an equi-join
+    * on cluster id. The corpus shuffles once on cluster id — the
+    * inverted-file layout that scales: at 100 TB the assignment becomes
+    * a partitioned write and queries touch nprobe/K of the data. */
+  def annTopKIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16     // coarse clusters
+    val nprobe = 4 // clusters searched per query
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id")
+      .withColumn("vn", norm($"embedding"))
+    // deterministic centroid sample: the k smallest by hashed id
+    val centroids = broadcast(
+      emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
+        .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn")))
+    def assign(df: DataFrame, idCol: String, top: Int): DataFrame =
+      df.crossJoin(centroids)
+        .withColumn("csim", dot($"embedding", $"cv") / ($"vn" * $"cn"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy($"csim".desc, $"cid")))
+        .filter($"crank" <= top)
+    val corpus = assign(emb, "vec_id", 1)
+      .select($"cid", $"vec_id", $"embedding", $"vn")
+    val probes = assign(emb.filter($"vec_id" % 50 === 0), "vec_id", nprobe)
+      .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    corpus.join(probes, "cid") // the IVF probe: equi-join on cluster id
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", round(dot($"qv", $"embedding") / ($"vn" * $"qn"), 6))
+      .select($"query_id", $"vec_id", $"sim").distinct() // nprobe clusters may repeat pairs
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> annTopKBrute _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "ann_topk_lsh" -> annTopKLsh _,
+    "ann_topk_ivf" -> annTopKIvf _,
   )
   val oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopKBruteSql,

@@ -97,6 +97,17 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, s"LSH recall collapsed: $recall")
   }
 
+  test("ann IVF top-k achieves reasonable recall vs brute force") {
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annTopKIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
   test("cosine column: identity 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
