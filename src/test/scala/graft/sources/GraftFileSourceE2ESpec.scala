@@ -176,6 +176,66 @@ class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("avnow").count() == 3)
   }
 
+  test("orc and text file formats stream through the same source") {
+    import spark.implicits._
+    // orc
+    val (qn1, q1) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val orcDir = dir.resolve("orc").toString
+    Seq((1, "o1"), (2, "o2")).toDF("id", "name").coalesce(1).write.orc(orcDir)
+    new java.io.File(orcDir).listFiles().filter(_.getName.endsWith(".orc"))
+      .foreach(f => announce(q1, "file:" + f.getAbsolutePath))
+    val orcDf = spark.readStream.format("graft-files").schema(schema)
+      .option("fileFormat", "orc").option("queueName", qn1).load()
+    runToMemory(orcDf, "orcout")
+    assert(spark.table("orcout").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // text (single value column)
+    val (qn2, q2) = freshQueue()
+    val txt = dir.resolve("t.txt")
+    Files.write(txt, "hello\nworld\n".getBytes("UTF-8"))
+    announce(q2, "file:" + txt.toString)
+    val textSchema = StructType(Seq(StructField("value", StringType)))
+    val textDf = spark.readStream.format("graft-files").schema(textSchema)
+      .option("fileFormat", "text").option("queueName", qn2).load()
+    runToMemory(textDf, "textout")
+    assert(spark.table("textout").collect().map(_.getString(0)).sorted.toSeq == Seq("hello", "world"))
+  }
+
+  test("csv schema mismatch: permissive null-fill vs DROPMALFORMED empty (reference A4)") {
+    val (qn1, q1) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val f = dir.resolve("mism.csv")
+    Files.write(f, "james,true,3000\nmichael,false,5000\n".getBytes("UTF-8"))
+    val intOnly = StructType(Seq(StructField("testInt", IntegerType)))
+    announce(q1, "file:" + f.toString)
+    val permissive = spark.readStream.format("graft-files").schema(intOnly)
+      .option("fileFormat", "csv").option("queueName", qn1).load()
+    runToMemory(permissive, "mismout")
+    val got = spark.table("mismout").collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(0))) // null-fill rows
+
+    val (qn2, q2) = freshQueue()
+    announce(q2, "file:" + f.toString)
+    val dropping = spark.readStream.format("graft-files").schema(intOnly)
+      .option("fileFormat", "csv").option("queueName", qn2)
+      .option("mode", "DROPMALFORMED").load()
+    runToMemory(dropping, "dropout")
+    assert(spark.table("dropout").count() == 0)
+  }
+
+  test("maxFileAge: announcements older than the horizon are rejected") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    val now = System.currentTimeMillis()
+    // fresh file first establishes the high-water mark, then an ancient one
+    announce(q, writeJson(dir, "fresh.json", Seq(1 -> "fresh")), ts = now)
+    announce(q, writeJson(dir, "stale.json", Seq(2 -> "stale")), ts = now - 3600_000L)
+    val df = streamDF(qn, Map("maxFileAge" -> "10m"))
+    runToMemory(df, "ageout")
+    val names = spark.table("ageout").collect().map(_.getString(1)).toSeq
+    assert(names == Seq("fresh")) // FileExpired verdict dropped the stale one
+  }
+
   test("schema is mandatory") {
     val (qn, _) = freshQueue()
     intercept[Exception] {
