@@ -603,6 +603,27 @@ object Relational {
          |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
          |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Two-phase salted aggregation: events.event_type has ~5 distinct
+    * values, so a direct groupBy shuffles everything onto 5 reducers at
+    * scale. Phase 1 aggregates on (key, salt) — 32-way parallel — phase 2
+    * merges the partials per key. Decimal sums keep the result identical
+    * to the unsalted oracle regardless of how rows split across salts. */
+  def q32SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(32)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum(dec($"value")).as("pv")) // phase 1: partials
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"pv").cast("double").as("total_value")) // phase 2: merge
+      .orderBy($"event_type")
+  }
+  val q32Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -636,6 +657,7 @@ object Relational {
     "q29_sessionize" -> q29Sessionize _,
     "q30_array_fns" -> q30ArrayFns _,
     "q31_regexp" -> q31Regexp _,
+    "q32_salted_agg" -> q32SaltedAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +692,6 @@ object Relational {
     "q29_sessionize" -> q29Sql,
     "q30_array_fns" -> q30Sql,
     "q31_regexp" -> q31Sql,
+    "q32_salted_agg" -> q32Sql,
   )
 }
