@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 relational surface: percentiles, as-of join, range join,
+  * grouping sets, correlated EXISTS, navigation-window suite.
+  *
+  * Same design rules as [[Relational]] (decimal-exact aggregates, total
+  * ORDER BY, broadcast dims). The two time-series joins (as-of, range)
+  * deliberately avoid BroadcastNestedLoopJoin — at 100 TB a nested-loop
+  * over events is unrunnable, so both are re-expressed as single-shuffle
+  * equi-joins:
+  *  - as-of  = union both sides, one window pass per user
+  *    (the classic "merge the streams" as-of; cost = 1 shuffle on user_id)
+  *  - range  = coarse time-bucket equi-key + exact residual filter
+  *    (each probe explodes to its 3 candidate buckets; join stays hash)
+  */
+object Relational2 {
+  private val D = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.ts is parquet TIMESTAMP(NANOS) read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong); DuckDB reads the same file at
+    * micro precision, so all event-time arithmetic happens in micros. */
+  private val tsUs = expr("ts div 1000")
+
+  // ---------------------------------------------------------------- q33
+  /** Exact discrete percentiles (SQL-standard percentile_disc semantics,
+    * spelled out via cume_dist so Spark and the oracle share one
+    * definition): per priority class, p50/p90/p99 of order value. The
+    * window pass and the aggregate pass shuffle on the same key, so AQE
+    * coalesces them into one exchange. */
+  def q33Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    Tables.orders(s, d)
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy($"o_orderpriority")
+      .agg(
+        min(when($"cd" >= 0.5, $"o_totalprice")).as("p50"),
+        min(when($"cd" >= 0.9, $"o_totalprice")).as("p90"),
+        min(when($"cd" >= 0.99, $"o_totalprice")).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+  val q33Sql: String =
+    """SELECT o_orderpriority,
+      |  MIN(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50,
+      |  MIN(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90,
+      |  MIN(CASE WHEN cd >= 0.99 THEN o_totalprice END) AS p99,
+      |  COUNT(*) AS n
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** As-of join: each purchase matched to the user's most recent view at
+    * or before it. Views are first deduped to one per (user, ts_us) —
+    * max event_id wins — so the "latest" row is unique on both engines.
+    * Then both sides union into one stream; a single last-ignoring-nulls
+    * window over (user, ts, side) finds the prevailing view for every
+    * purchase without any range join. */
+  def q34AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).withColumn("ts_us", tsUs)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts_us").agg(max($"event_id").as("v_event_id"))
+      .select($"user_id", $"ts_us", lit(0).as("side"),
+        lit(null).cast("long").as("p_event_id"), $"v_event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("side"),
+        $"event_id".as("p_event_id"), lit(null).cast("long").as("v_event_id"))
+    // side=0 sorts before side=1 at equal ts, making the match inclusive
+    // (a view at exactly the purchase timestamp counts).
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("matched_view", last($"v_event_id", ignoreNulls = true).over(w))
+      .withColumn("matched_ts", last(when($"side" === 0, $"ts_us"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"p_event_id", $"user_id", $"matched_view",
+        ($"ts_us" - $"matched_ts").as("gap_us"))
+      .orderBy($"p_event_id")
+  }
+  val q34Sql: String =
+    """SELECT p.event_id AS p_event_id, p.user_id, v.v_event_id AS matched_view,
+      |  epoch_us(p.ts) - v.ts_us AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS v_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)) v
+      |ON p.user_id = v.user_id AND epoch_us(p.ts) >= v.ts_us
+      |ORDER BY p_event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Range join, bucketized: for each purchase, how many error events the
+    * same user produced within ±5 minutes. Errors carry their 5-minute
+    * bucket; each purchase probes its 3 candidate buckets (b-1, b, b+1 via
+    * explode), the join is a plain hash equi-join on (user_id, bucket),
+    * and the exact |Δt| ≤ 5 min predicate filters the residue. Matches are
+    * deduped by error id before counting (an error can sit in two probed
+    * buckets... it cannot — each error lands in exactly one bucket and each
+    * probe bucket is distinct per purchase, so pairs are already unique). */
+  def q35RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucketUs = 5L * 60 * 1000000L // 5 min
+    val ev = Tables.events(s, d).withColumn("ts_us", tsUs)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts_us".as("e_ts"), $"event_id".as("e_id"),
+        expr(s"ts_us div $bucketUs").as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("p_ts"), $"event_id".as("p_id"),
+        expr(s"ts_us div $bucketUs").as("b"))
+      .withColumn("bucket", explode(array($"b" - 1, $"b", $"b" + 1)))
+    purchases.join(errors, Seq("user_id", "bucket"), "left")
+      .groupBy($"p_id", $"user_id")
+      .agg(sum(when($"e_id".isNotNull && abs($"p_ts" - $"e_ts") <= bucketUs, 1L)
+        .otherwise(0L)).as("n_errors_5min"))
+      .orderBy($"p_id")
+  }
+  val q35Sql: String =
+    """SELECT p.event_id AS p_id, p.user_id,
+      |  COUNT(e.event_id) AS n_errors_5min
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= CAST(5 AS BIGINT)*60*1000000
+      |GROUP BY p.event_id, p.user_id ORDER BY p_id""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** CUBE over (segment, nation) with grouping flags — all four grouping
+    * sets in one pass (Expand + single shuffle). */
+  def q36GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .cube($"c_mktsegment", $"n_name")
+      .agg(count(lit(1)).as("n"),
+        grouping($"c_mktsegment").as("g_seg"),
+        grouping($"n_name").as("g_nat"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+  val q36Sql: String =
+    """SELECT c_mktsegment, n_name, COUNT(*) AS n,
+      |  CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
+      |  CAST(GROUPING(n_name) AS TINYINT) AS g_nat
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (c_mktsegment, n_name)
+      |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Correlated EXISTS / NOT EXISTS through SQL text — exercises Catalyst
+    * subquery decorrelation (both rewrite to semi/anti joins; the oracle
+    * runs the identical statement). */
+  def q37Exists(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g37_customer")
+    Tables.orders(s, d).createOrReplaceTempView("g37_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM g37_customer c
+        |WHERE EXISTS (SELECT 1 FROM g37_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM g37_orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+  val q37Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Navigation-window suite: ntile / percent_rank / cume_dist /
+    * first_value / nth_value over a total per-partition order. The
+    * value-navigation frames are pinned to the full partition so both
+    * engines read the same rows. */
+  def q38WindowSuite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Seq($"o_totalprice".desc, $"o_orderkey".asc)
+    val w = Window.partitionBy($"o_orderpriority").orderBy(ord: _*)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first($"o_orderkey").over(wFull).as("top_orderkey"),
+        nth_value($"o_orderkey", 2).over(wFull).as("second_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+  val q38Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  ntile(4)       OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist()    OVER w AS cd,
+      |  first_value(o_orderkey) OVER wf AS top_orderkey,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_orderkey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q33_percentiles" -> q33Percentiles _,
+    "q34_asof_join" -> q34AsofJoin _,
+    "q35_range_join" -> q35RangeJoin _,
+    "q36_grouping_sets" -> q36GroupingSets _,
+    "q37_exists" -> q37Exists _,
+    "q38_window_suite" -> q38WindowSuite _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_percentiles" -> q33Sql,
+    "q34_asof_join" -> q34Sql,
+    "q35_range_join" -> q35Sql,
+    "q36_grouping_sets" -> q36Sql,
+    "q37_exists" -> q37Sql,
+    "q38_window_suite" -> q38Sql,
+  )
+}
