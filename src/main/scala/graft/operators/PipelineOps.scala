@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.Tables
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * train/val splitting, sequence packing, tf-idf term ranking, PII
+  * redaction, and embedding quantization.
+  *
+  * Scale notes, per operator:
+  *  - split: a pure map over md5(doc_id) — embarrassingly parallel, no
+  *    shuffle, and stable under re-runs / re-partitioning (the split of a
+  *    document never depends on which other documents are present).
+  *  - packing: a global prefix sum. A naive `Window.orderBy(doc_id)`
+  *    funnels the whole corpus through ONE task; instead this runs the
+  *    classic two-phase scan — per-range-partition running sums in
+  *    parallel, then a tiny per-partition-totals pass (#partitions rows)
+  *    computes the offsets that make them global.
+  *  - tf-idf: two hash aggregations (term frequency, document frequency)
+  *    plus an equi-join on term. Document-frequency skew (stopwords) is
+  *    the known hazard at 100 TB; the df side is term-level (vocabulary-
+  *    sized, zipf-bounded) so the join broadcasts once vocab << corpus.
+  *  - redaction: a pure regexp map, codegen'd, no shuffle.
+  *  - quantization: a pure per-vector map (min/max + transform), no
+  *    shuffle; int8 output shrinks the shuffle/storage footprint of every
+  *    downstream consumer by 4x, which is the point of the operator.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------- train/val split
+  /** Deterministic 90/10 split on md5(doc_id): the first 4 hex digits form
+    * a uniform 16-bit bucket; bucket %% 100 < 90 ⇒ train. Content-
+    * independent, so re-ingesting a changed document never flips its
+    * split (no train/val leakage across dataset versions). */
+  def splitTrainVal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"), lit(100L)))
+      .withColumn("split", when($"bucket" < 90, "train").otherwise("val"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"split")
+  }
+  val splitTrainValSql: String =
+    """SELECT CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90
+      |            THEN 'train' ELSE 'val' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------ sequence packing
+  /** Pack the doc_id-ordered token stream into fixed 2048-token context
+    * windows: each document belongs to the window its first token falls
+    * in. Needs the global prefix sum of token counts — computed scalably:
+    * range-partition by doc_id, cumsum inside each partition (parallel),
+    * then lift to global with per-partition offsets (a #partitions-row
+    * aggregate, broadcast back). Output is per-pack stats. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ctx = 2048L
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .repartitionByRange(32, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted: both the offsets pass and the final join read this frame,
+    // and the range partitioner samples its boundaries per evaluation — a
+    // recompute could re-draw them and skew pid against the offsets table.
+    val withLocal = docs.withColumn("local_cum", sum($"ntok").over(wIn)).persist()
+    // per-partition totals -> exclusive prefix = global offset of each pid
+    val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy($"pid").agg(sum($"ntok").as("ptot"))
+      .withColumn("offset", coalesce(sum($"ptot").over(wOff), lit(0L)))
+      .select($"pid", $"offset")
+    withLocal.join(broadcast(offsets), "pid")
+      .withColumn("cum", $"local_cum" + $"offset")
+      .withColumn("pack_id", expr(s"(cum - ntok) div $ctx"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+  val packSequencesSql: String =
+    raw"""SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM (
+         |  SELECT doc_id, ntok, (CAST(cum AS BIGINT) - ntok) // 2048 AS pack_id
+         |  FROM (
+         |    SELECT doc_id, ntok, SUM(ntok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM (SELECT doc_id,
+         |            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+         |          FROM documents)))
+         |GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  // ------------------------------------------------------------- tf-idf
+  /** Top-3 terms per document by tf-idf. Since the corpus size N is a
+    * constant per query, ranking by tf/df is ranking by tf-idf (any
+    * monotone idf); the exact integer ratio avoids engine-specific
+    * log(double) last-ulp drift. Ties break on the term itself. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .repartition($"doc_id") // single-file fixture: unlock parallelism
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"term".asc)
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"rk")
+  }
+  val tfidfTopTermsSql: String =
+    raw"""WITH terms AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         |    FROM documents) WHERE term <> ''
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |)
+         |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         |FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rk
+         |  FROM tf JOIN df USING (term))
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // --------------------------------------------------------- PII redaction
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitRunRe = "\\d{3,}"
+
+  /** Scrub emails and long digit runs (id/phone-shaped) from text; report
+    * how many of each were removed. Pure codegen'd regexp map — the shape
+    * that runs at ingest over the full corpus. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"), DigitRunRe, "<NUM>")
+          .as("clean_text"),
+        (size(split($"text", EmailRe, -1)) - 1).as("n_emails"),
+        (size(split($"text", DigitRunRe, -1)) - 1).as("n_digit_runs"))
+      .orderBy($"doc_id")
+  }
+  val piiRedactSql: String =
+    raw"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\d{3,}', '<NUM>', 'g') AS clean_text,
+         |  len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_emails,
+         |  len(regexp_split_to_array(text, '\d{3,}')) - 1 AS n_digit_runs
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- int8 quantization
+  /** Per-vector min/max scalar quantization of embeddings to int8 range
+    * [0, 255]: q = round((x - mn) * 255 / (mx - mn)). mn/mx ride as
+    * materialized attributes so the lambda does not recompute the
+    * array_min per element. Degenerate (constant) vectors quantize to 0. */
+  def embQuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .withColumn("mn", array_min($"embedding").cast("double"))
+      .withColumn("mx", array_max($"embedding").cast("double"))
+      .select($"vec_id", $"mn", $"mx",
+        transform($"embedding", x =>
+          when($"mx" === $"mn", lit(0))
+            .otherwise(round((x.cast("double") - $"mn") * 255 / ($"mx" - $"mn")).cast("int")))
+          .as("q"))
+      .orderBy($"vec_id")
+  }
+  val embQuantizeInt8Sql: String =
+    """SELECT vec_id, mn, mx,
+      |  list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+      |    ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) AS INTEGER) END) AS q
+      |FROM (SELECT vec_id, embedding,
+      |        CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |        CAST(list_max(embedding) AS DOUBLE) AS mx
+      |      FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "split_train_val" -> splitTrainVal _,
+    "pack_sequences" -> packSequences _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
+    "pii_redact" -> piiRedact _,
+    "emb_quantize_int8" -> embQuantizeInt8 _,
+  )
+  val oracles: Map[String, String] = Map(
+    "split_train_val" -> splitTrainValSql,
+    "pack_sequences" -> packSequencesSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "pii_redact" -> piiRedactSql,
+    "emb_quantize_int8" -> embQuantizeInt8Sql,
+  )
+}
