@@ -118,8 +118,9 @@ object Dedup {
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
-  val dedupNgramJaccardSql: String =
-    raw"""WITH sh AS (
+  /** Shared oracle CTE: exploded (doc_id, set size, shingle) rows. */
+  private val ShingleCteSql: String =
+    raw"""sh AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(toks)-1),
          |      i -> array_to_string(toks[i:i+2], ' '))) AS shset
@@ -127,13 +128,15 @@ object Dedup {
          |  WHERE len(toks) >= 3
          |), ex AS (
          |  SELECT doc_id, len(shset) AS sz, unnest(shset) AS s FROM sh
-         |)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
-         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id
-         |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin
+         |)""".stripMargin
+  val dedupNgramJaccardSql: String =
+    s"""WITH $ShingleCteSql
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+       |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------- minhash + LSH
   /** MinHash/LSH near-dup: 64-perm minhash signature, 32x2 banding for
@@ -208,12 +211,77 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  // --------------------------------------------- connected components
+  /** Cluster the exact-verified near-dup pairs into connected components
+    * (a pair list alone under-merges: A~B and B~C must collapse into one
+    * cluster even when A~C misses the threshold). Iterative min-label
+    * propagation over the symmetric edge list — each round is one
+    * distributed join+aggregate, and rounds are bounded by component
+    * diameter (near-dup clusters are shallow; the 50 cap is a safety
+    * rail, convergence is detected by the monotone label-sum). This is
+    * the same shape GraphX/GraphFrames CC runs at cluster scale.
+    * Output: every clustered doc with its component id (= min doc_id in
+    * the component) and the component size. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupNgramJaccard(s, d).select($"a_id", $"b_id")
+    val edges = pairs
+      .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lab", $"doc_id").persist()
+    // fixpoint loop: labels only ever decrease, so the label sum is a
+    // strictly-monotone convergence witness (one cheap action per round)
+    var prevSum = Option(labels.agg(sum($"lab")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = prevSum == 0L
+    var iter = 0
+    while (!converged && iter < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), labels("lab"))
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"lab").as("lab"))
+        .persist()
+      val newSum = prop.agg(sum($"lab")).first().getLong(0)
+      labels.unpersist()
+      labels = prop
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"lab")
+    labels
+      .select($"doc_id", $"lab".as("cluster_id"),
+        count(lit(1)).over(wc).as("cluster_size"))
+      .orderBy($"doc_id")
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ShingleCteSql,
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |), e AS (
+       |  SELECT a_id AS s, b_id AS t FROM p UNION SELECT b_id, a_id FROM p
+       |), walk(s, t) AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT walk.s, e2.t FROM walk JOIN e e2 ON walk.t = e2.s
+       |), lab AS (
+       |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM walk GROUP BY s
+       |)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_fingerprint" -> dedupFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_cc" -> dedupClusters _,
   )
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -221,5 +289,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     // dedup_simhash: intentionally no oracle (not SQL-expressible)
+    "dedup_cc" -> dedupClustersSql,
   )
 }
