@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, PipelineOps, Similarity, TextAnalysis}
-import graft.queries.{Relational, Relational2, Streaming}
+import graft.queries.{Relational, Relational2, Streaming, Streaming2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,14 +17,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Relational2.queries ++ Streaming.queries ++
+    Relational.queries ++ Relational2.queries ++
+      Streaming.queries ++ Streaming2.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ Streaming.oracles ++
+    Relational.oracles ++ Relational2.oracles ++
+      Streaming.oracles ++ Streaming2.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles
 }

@@ -1,0 +1,213 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.sources.InMemoryQueueRegistry
+
+/** Round-2 streaming surface over the `graft-files` source: session
+  * windows, stream-stream interval join, and custom session state via
+  * flatMapGroupsWithState. Same harness discipline as [[Streaming]]:
+  * every query runs a real micro-batch pipeline end-to-end and lands in a
+  * memory sink the DuckDB oracle can hash-check against the static table.
+  */
+object Streaming2 {
+  private val seq = new AtomicInteger(0)
+  private val CUTOFF = 2000L
+  /** Session gap: events are sparse (~1 per user per 11 h), so a 12 h gap
+    * actually merges events (688 sessions from 2000 rows at sf0.01) —
+    * a 30 min gap would make every session a singleton and test nothing. */
+  private val GapHours = 12
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def stageAndAnnounce(s: SparkSession, dir: String, runId: String,
+      nFiles: Int, tsMs: Long = 1000L): Unit = {
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":$tsMs"""  + "}"))
+  }
+
+  private def reader(s: SparkSession, runId: String) =
+    s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+
+  // ------------------------------------------------------ session window
+  /** Native session windows (merging state windows) per user with a
+    * watermark; a far-future sentinel in a later micro-batch pushes the
+    * watermark past every real session so append mode emits them all.
+    * session_window merges an event iff its gap to the previous is
+    * STRICTLY below the gap duration — the oracle's islands start at
+    * gap >= 12 h to match. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runId = s"sesswin${seq.incrementAndGet()}_${System.nanoTime()}"
+    stageAndAnnounce(s, dir, runId, nFiles = 2)
+    // sentinel: year 2100, its own later micro-batch (timestampMs orders it)
+    val sentinelTs = 4102444800L * 1000000000L
+    val sentStage = Files.createTempDirectory(s"graft-$runId-sent").toString
+    Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(sentStage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(sentStage).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
+
+    val sinkName = s"sink_$runId"
+    val query = reader(s, runId)
+      .option("maxFilesPerTrigger", "2").option("sortBatchByTimestamp", "true")
+      .load()
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 minute")
+      .groupBy($"user_id", session_window($"event_ts", s"$GapHours hours"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .filter(year($"session_window.start") < 2099) // drop the sentinel's
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"n")
+      .orderBy($"user_id", $"win_start")
+  }
+  val streamSessionWindowSql: String =
+    s"""SELECT user_id,
+       |  strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  COUNT(*) AS n
+       |FROM (
+       |  SELECT user_id, ts_us,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM (
+       |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+       |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |           >= CAST($GapHours AS BIGINT)*3600*1000000 THEN 1 ELSE 0 END AS ns
+       |    FROM events WHERE event_id < $CUTOFF))
+       |GROUP BY user_id, sess ORDER BY user_id, win_start""".stripMargin
+
+  // -------------------------------------------------- stream-stream join
+  /** Watermarked stream-stream interval join: purchases joined to the
+    * same user's clicks from the preceding 6 hours. Two independent
+    * streaming sources (separate queues over the same staged files), a
+    * user_id equi-key plus an event-time range — the state-store join
+    * shape that runs unbounded at scale because both sides expire state
+    * past the watermark + interval. Inner joins emit as matches arrive,
+    * so no sentinel is needed. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runA = s"ssjA${seq.incrementAndGet()}_${System.nanoTime()}"
+    val runB = s"ssjB${seq.incrementAndGet()}_${System.nanoTime()}"
+    stageAndAnnounce(s, dir, runA, nFiles = 2)
+    stageAndAnnounce(s, dir, runB, nFiles = 2)
+    val purchases = reader(s, runA).load()
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+        timestamp_micros(expr("ts div 1000")).as("p_ts"))
+      .withWatermark("p_ts", "1 minute")
+    val clicks = reader(s, runB).load()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"),
+        timestamp_micros(expr("ts div 1000")).as("c_ts"))
+      .withWatermark("c_ts", "1 minute")
+    val sinkName = s"sink_$runA"
+    val query = purchases.join(clicks,
+        expr(s"p_user = c_user AND c_ts >= p_ts - INTERVAL $GapHours HOURS AND c_ts <= p_ts"))
+      .select($"p_id", $"c_id", $"p_user".as("user_id"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runA); InMemoryQueueRegistry.remove(runB)
+    s.table(sinkName).orderBy($"p_id", $"c_id")
+  }
+  val streamStreamJoinSql: String =
+    s"""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+       |FROM (SELECT * FROM events WHERE event_id < $CUTOFF AND event_type = 'purchase') p
+       |JOIN (SELECT * FROM events WHERE event_id < $CUTOFF AND event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - CAST($GapHours AS BIGINT)*3600*1000000
+       |                        AND epoch_us(p.ts)
+       |ORDER BY p_id, c_id""".stripMargin
+
+  // ------------------------------------- flatMapGroupsWithState sessions
+  /** Custom sessionization state machine via flatMapGroupsWithState —
+    * the arbitrary-state operator the built-in session_window cannot
+    * generalize beyond (per-group logic is arbitrary Scala over the
+    * group's events). Emits one row per closed session; the single
+    * micro-batch (no trigger cap) keeps emission deterministic for the
+    * hash gate, while GraftStatefulStreamingSpec covers the cross-batch
+    * state path. */
+  def streamMgwsSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runId = s"mgws${seq.incrementAndGet()}_${System.nanoTime()}"
+    stageAndAnnounce(s, dir, runId, nFiles = 2)
+    val gapUs = GapHours.toLong * 3600L * 1000000L
+    val sessionize = (user: Long, it: Iterator[(Long, Long, Long)],
+        state: GroupState[Long]) => {
+      val evs = it.toArray.sortBy(e => (e._2, e._1)) // (event_id, ts_us, user)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var sessId = 0L; var n = 0L; var start = 0L; var last = Long.MinValue
+      for ((_, tsUs, _) <- evs) {
+        if (last == Long.MinValue || tsUs - last >= gapUs) {
+          if (n > 0) out += ((user, sessId, n, last - start))
+          sessId += 1; n = 0L; start = tsUs
+        }
+        n += 1; last = tsUs
+      }
+      if (n > 0) out += ((user, sessId, n, last - start))
+      out.iterator
+    }
+    val sinkName = s"sink_$runId"
+    val query = reader(s, runId).load()
+      .select($"event_id", expr("ts div 1000").as("ts_us"), $"user_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(sessionize)
+      .toDF("user_id", "session_id", "n_events", "duration_us")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"user_id", $"session_id")
+  }
+  val streamMgwsSessionSql: String =
+    s"""SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       |  MAX(ts_us) - MIN(ts_us) AS duration_us
+       |FROM (
+       |  SELECT user_id, ts_us,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM (
+       |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+       |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |           >= CAST($GapHours AS BIGINT)*3600*1000000 THEN 1 ELSE 0 END AS ns
+       |    FROM events WHERE event_id < $CUTOFF))
+       |GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_window" -> streamSessionWindow _,
+    "stream_stream_join" -> streamStreamJoin _,
+    "stream_mgws_session" -> streamMgwsSession _,
+  )
+  val oracles: Map[String, String] = Map(
+    "stream_session_window" -> streamSessionWindowSql,
+    "stream_stream_join" -> streamStreamJoinSql,
+    "stream_mgws_session" -> streamMgwsSessionSql,
+  )
+}
