@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational2
+
+/** Round-2 operator specs: properties the DuckDB oracle can't express —
+  * planted-fixture behavior (CC transitivity, redaction, quantization
+  * error bounds), conservation invariants (packing), and plan-shape
+  * assertions (the time-series joins must never degenerate into a
+  * nested-loop join, which is the difference between running and not
+  * running at 100 TB). */
+class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Plant a documents table in a temp dir so the table-bound operators
+    * run on fixture content. */
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-r2docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_cc merges a transitive near-dup chain into one cluster") {
+    // zero-padded tokens: plain replace must not hit other tokens by prefix
+    val base = (1 to 40).map(i => f"tok$i%02d").mkString(" ")
+    val variantB = base.replace("tok40", "tokX") // A~B high jaccard
+    val variantC = variantB.replace("tok01", "tokY") // B~C high, A~C lower
+    val dir = plantDocs(Seq(
+      10L -> base, 20L -> variantB, 30L -> variantC,
+      99L -> "completely unrelated words about catalyst physical planning"))
+    val out = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((10L, 10L, 3L), (20L, 10L, 3L), (30L, 10L, 3L)),
+      s"expected one 3-doc cluster rooted at 10, got ${out.mkString(",")}")
+  }
+
+  test("pack_sequences conserves tokens and packs contiguous doc ranges") {
+    val packs = PipelineOps.packSequences(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(packs.map(_.getLong(2)).sum == docs, "token totals must be conserved")
+    // doc ranges must be contiguous and ordered across packs
+    val sorted = packs.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(4) < b.getLong(3), "pack doc ranges must not overlap")
+      case _ =>
+    }
+    // every pack starts at the window its first token falls in: pack ids
+    // are the running-sum prefix divided by the context length
+    assert(sorted.head.getLong(0) == 0L)
+  }
+
+  test("pii_redact scrubs planted emails and digit runs") {
+    val dir = plantDocs(Seq(
+      1L -> "contact alice.smith+x@example.co.uk or call 5551234567 now",
+      2L -> "no pii here at all"))
+    val rows = PipelineOps.piiRedact(spark, dir).collect()
+    assert(rows(0).getString(1) == "contact <EMAIL> or call <NUM> now")
+    assert(rows(0).getInt(2) == 1 && rows(0).getInt(3) == 1)
+    assert(rows(1).getString(1) == "no pii here at all")
+    assert(rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
+  }
+
+  test("emb_quantize_int8 bounds reconstruction error by half a step") {
+    val out = PipelineOps.embQuantizeInt8(spark, sf)
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+    val joined = out.join(orig, "vec_id").select(
+      col("vec_id"), col("mn"), col("mx"), col("q"), col("embedding")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      val q = r.getSeq[Int](3); val emb = r.getSeq[Float](4)
+      assert(q.forall(v => v >= 0 && v <= 255))
+      if (mx > mn) {
+        val step = (mx - mn) / 255.0
+        q.zip(emb).foreach { case (qi, x) =>
+          val recon = mn + qi * step
+          assert(math.abs(recon - x) <= step / 2 + 1e-9,
+            s"vec ${r.getLong(0)}: |$recon - $x| > $step/2")
+        }
+      } else assert(q.forall(_ == 0))
+    }
+  }
+
+  test("split_train_val is content-independent and deterministic") {
+    val a = PipelineOps.splitTrainVal(spark, sf).collect()
+    val b = PipelineOps.splitTrainVal(spark, sf).collect()
+    assert(a.sameElements(b))
+    val byName = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byName.values.sum
+    // 90/10 within generous binomial slack
+    assert(byName("train").toDouble / total > 0.8 && byName("train").toDouble / total < 0.97)
+  }
+
+  test("as-of and range joins never plan a nested-loop join") {
+    Seq(Relational2.q34AsofJoin(spark, sf), Relational2.q35RangeJoin(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"time-series join degenerated into a nested loop:\n$plan")
+      }
+  }
+
+  test("tfidf ranks a document's distinctive term above corpus-common terms") {
+    // tf/df: unique terms score 2/1 = 2.0, shared scores 3/3 = 1.0
+    val dir = plantDocs(Seq(
+      1L -> "shared shared shared unique1 unique1",
+      2L -> "shared shared shared unique2 unique2",
+      3L -> "shared shared shared unique3 unique3"))
+    val top1 = PipelineOps.tfidfTopTerms(spark, dir)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1 == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
+  }
+}
