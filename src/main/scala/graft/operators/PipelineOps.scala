@@ -191,6 +191,37 @@ object PipelineOps {
       |      FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ source mixing
+  /** Deterministic weighted mixture sampling — the "data mixing" step of
+    * a training pipeline: each source gets a sampling weight (here a
+    * fixed function of the source id: 25/50/75/100%), and a document
+    * survives iff its content-independent md5 bucket clears the source's
+    * threshold. Pure map + one aggregate; re-runs and re-partitions
+    * cannot change which documents are sampled, so mixtures are
+    * reproducible across dataset versions. */
+  def mixWeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      pmod(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+    val thresh = (pmod(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(4L)) + 1) * 25L
+    Tables.documents(s, d)
+      .withColumn("keep", bucket < thresh)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"keep", $"n_chars").otherwise(0L)).as("chars_sampled"))
+      .orderBy($"source")
+  }
+  val mixWeightedSampleSql: String =
+    raw"""SELECT source, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+         |FROM (SELECT source, n_chars,
+         |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+         |          < (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1) * 25 AS keep
+         |      FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "split_train_val" -> splitTrainVal _,
@@ -198,6 +229,7 @@ object PipelineOps {
     "tfidf_top_terms" -> tfidfTopTerms _,
     "pii_redact" -> piiRedact _,
     "emb_quantize_int8" -> embQuantizeInt8 _,
+    "mix_weighted_sample" -> mixWeightedSample _,
   )
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
@@ -205,5 +237,6 @@ object PipelineOps {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "pii_redact" -> piiRedactSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,
+    "mix_weighted_sample" -> mixWeightedSampleSql,
   )
 }

@@ -208,6 +208,38 @@ object Relational2 {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Explicit runtime-filter pattern: a Bloom filter built from the
+    * selective dim side broadcasts into a fact-side pre-filter, pruning
+    * most of the fact BEFORE its shuffle; the exact semi join then runs
+    * on the survivors, so false positives cannot leak into the result.
+    * This is what Spark's own runtime row-level filtering injects when it
+    * fires — spelled out as an operator so the pruning is guaranteed, not
+    * heuristic. The filter is sized from the dim's actual count (one tiny
+    * action on the already-filtered dim). */
+  def q39BloomSemi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
+    Tables.lineitem(s, d)
+      .filter(mightContain($"l_orderkey")) // ~fpp of the non-matching fact survives
+      .join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+  val q39Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -216,6 +248,7 @@ object Relational2 {
     "q36_grouping_sets" -> q36GroupingSets _,
     "q37_exists" -> q37Exists _,
     "q38_window_suite" -> q38WindowSuite _,
+    "q39_bloom_semi" -> q39BloomSemi _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +258,6 @@ object Relational2 {
     "q36_grouping_sets" -> q36Sql,
     "q37_exists" -> q37Sql,
     "q38_window_suite" -> q38Sql,
+    "q39_bloom_semi" -> q39Sql,
   )
 }
