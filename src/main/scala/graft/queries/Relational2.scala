@@ -240,6 +240,86 @@ object Relational2 {
       |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Datetime scalar-function suite: extraction fields, truncation,
+    * month arithmetic with end-of-month clamping, day diffs. All pure
+    * maps over the scan (codegen'd); DATE casts on both engines pin the
+    * output type. */
+  def q40DatetimeSuite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("y"), quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"), dayofmonth($"o_orderdate").as("dom"),
+        dayofweek($"o_orderdate").as("dow"), weekofyear($"o_orderdate").as("woy"),
+        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+        last_day($"o_orderdate").as("month_end"),
+        add_months($"o_orderdate", 1).as("next_month"),
+        datediff($"o_orderdate", lit("1992-01-01").cast("timestamp")).as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+  val q40Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+      |  month(o_orderdate) AS m, dayofmonth(o_orderdate) AS dom,
+      |  dayofweek(o_orderdate) + 1 AS dow, week(o_orderdate) AS woy,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |  datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** String + bitwise scalar suite: padding, translate, reverse, repeat,
+    * ascii, left/right, levenshtein, and integer bit ops. */
+  def q41StringBitwise(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey",
+        lpad($"p_partkey".cast("string"), 9, "0").as("padded_key"),
+        rpad($"p_brand", 12, ".").as("brand_pad"),
+        translate($"p_type", "aeiou", "AEIOU").as("type_upvowel"),
+        reverse($"p_name").as("name_rev"),
+        repeat(left($"p_brand", lit(2)), 2).as("brand2x"),
+        ascii($"p_name").as("first_cp"),
+        right($"p_type", lit(4)).as("type_tail"),
+        levenshtein($"p_brand", $"p_type").as("brand_type_dist"),
+        ($"p_size".bitwiseAND(lit(12))).as("sz_and"),
+        ($"p_size".bitwiseOR(lit(3))).as("sz_or"),
+        ($"p_size".bitwiseXOR(lit(21))).as("sz_xor"),
+        shiftleft($"p_size", 2).as("sz_shl"))
+      .orderBy($"p_partkey")
+  }
+  val q41Sql: String =
+    """SELECT p_partkey,
+      |  lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS padded_key,
+      |  rpad(p_brand, 12, '.') AS brand_pad,
+      |  translate(p_type, 'aeiou', 'AEIOU') AS type_upvowel,
+      |  reverse(p_name) AS name_rev,
+      |  repeat(left(p_brand, 2), 2) AS brand2x,
+      |  ascii(p_name) AS first_cp,
+      |  right(p_type, 4) AS type_tail,
+      |  levenshtein(p_brand, p_type) AS brand_type_dist,
+      |  p_size & 12 AS sz_and, p_size | 3 AS sz_or,
+      |  xor(p_size, 21) AS sz_xor, p_size << 2 AS sz_shl
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** HLL sketch cardinalities (approx_count_distinct) per event type —
+    * the sketch that replaces exact count-distinct at 100 TB (mergeable,
+    * map-side combinable, constant memory). No SQL oracle: the driver
+    * records rows-only, and Round2OpsSpec bounds the relative error
+    * against the exact cardinality. */
+  def q42ApproxSketches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        approx_count_distinct($"event_id").as("approx_events"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -249,6 +329,9 @@ object Relational2 {
     "q37_exists" -> q37Exists _,
     "q38_window_suite" -> q38WindowSuite _,
     "q39_bloom_semi" -> q39BloomSemi _,
+    "q40_datetime_suite" -> q40DatetimeSuite _,
+    "q41_string_bitwise" -> q41StringBitwise _,
+    "q42_approx_sketches" -> q42ApproxSketches _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +342,9 @@ object Relational2 {
     "q37_exists" -> q37Sql,
     "q38_window_suite" -> q38Sql,
     "q39_bloom_semi" -> q39Sql,
+    "q40_datetime_suite" -> q40Sql,
+    "q41_string_bitwise" -> q41Sql,
+    // q42_approx_sketches: intentionally no oracle (sketch output;
+    // error-bounded against exact counts in Round2OpsSpec)
   )
 }

@@ -123,6 +123,22 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("approx sketches stay within 5% of exact cardinalities") {
+    import spark.implicits._
+    val approx = Relational2.q42ApproxSketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("u"), countDistinct($"event_id").as("e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (u, e)) =>
+      val (au, ae) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
+      assert(math.abs(ae - e).toDouble / e <= 0.05, s"$k events: $ae vs $e")
+    }
+  }
+
   test("tfidf ranks a document's distinctive term above corpus-common terms") {
     // tf/df: unique terms score 2/1 = 2.0, shared scores 3/3 = 1.0
     val dir = plantDocs(Seq(
