@@ -320,6 +320,30 @@ object Relational2 {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Null-handling + numeric guard suite: nullif/coalesce, greatest/
+    * least, modulo, and division that returns NULL instead of a runtime
+    * error on zero denominators (the nullif-divide idiom). */
+  def q43NullNumeric(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_or_open"),
+        greatest($"o_totalprice", lit(150000.0)).as("hi"),
+        least($"o_totalprice", lit(150000.0)).as("lo"),
+        ($"o_custkey" % 10).as("mod10"),
+        ($"o_totalprice" / nullif($"o_custkey" % 10, lit(0))).as("safe_ratio"))
+      .orderBy($"o_orderkey")
+  }
+  val q43Sql: String =
+    """SELECT o_orderkey,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+      |  greatest(o_totalprice, 150000.0) AS hi,
+      |  least(o_totalprice, 150000.0) AS lo,
+      |  o_custkey % 10 AS mod10,
+      |  o_totalprice / nullif(o_custkey % 10, 0) AS safe_ratio
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -332,6 +356,7 @@ object Relational2 {
     "q40_datetime_suite" -> q40DatetimeSuite _,
     "q41_string_bitwise" -> q41StringBitwise _,
     "q42_approx_sketches" -> q42ApproxSketches _,
+    "q43_null_numeric" -> q43NullNumeric _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +371,6 @@ object Relational2 {
     "q41_string_bitwise" -> q41Sql,
     // q42_approx_sketches: intentionally no oracle (sketch output;
     // error-bounded against exact counts in Round2OpsSpec)
+    "q43_null_numeric" -> q43Sql,
   )
 }

@@ -139,6 +139,18 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmeans: deterministic, covers all vectors, and descends from the init WCSS") {
+    val a = Clustering.embKmeans(spark, sf).collect()
+    val b = Clustering.embKmeans(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "re-run must be identical")
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.map(_.getLong(1)).sum == total, "every vector assigned exactly once")
+    val wcss = a.map(_.getDouble(2)).sum
+    val wcss0 = Clustering.initialWcss(spark, sf)
+    assert(wcss <= wcss0, s"Lloyd iterations must not increase WCSS: $wcss > $wcss0")
+    assert(wcss > 0.0)
+  }
+
   test("tfidf ranks a document's distinctive term above corpus-common terms") {
     // tf/df: unique terms score 2/1 = 2.0, shared scores 3/3 = 1.0
     val dir = plantDocs(Seq(
