@@ -222,6 +222,34 @@ object PipelineOps {
          |      FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------- corpus stats
+  /** Per-source corpus health report — the summary a pipeline operator
+    * watches after each ingest: volume, token mass, exact-dup pressure
+    * (docs minus distinct texts), language spread. One hash aggregate;
+    * count_distinct over full text uses the same 32-byte sha2 shuffle
+    * trick as exact dedup so text bodies never shuffle. */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", $"lang", $"n_chars",
+        sha2($"text", 256).as("th"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ntok").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        (count(lit(1)) - countDistinct($"th")).as("n_exact_dups"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"source")
+  }
+  val corpusStatsSql: String =
+    raw"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "split_train_val" -> splitTrainVal _,
@@ -230,6 +258,7 @@ object PipelineOps {
     "pii_redact" -> piiRedact _,
     "emb_quantize_int8" -> embQuantizeInt8 _,
     "mix_weighted_sample" -> mixWeightedSample _,
+    "corpus_stats" -> corpusStats _,
   )
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
@@ -238,5 +267,6 @@ object PipelineOps {
     "pii_redact" -> piiRedactSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,
     "mix_weighted_sample" -> mixWeightedSampleSql,
+    "corpus_stats" -> corpusStatsSql,
   )
 }

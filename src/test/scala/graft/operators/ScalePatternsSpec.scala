@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Scale-pattern evidence the gate queries can't show directly:
   * bucketing removes the join shuffle entirely (the co-located-join
-  * story for repeatedly-joined 100 TB tables), and foreachBatch gives an
-  * idempotent, batch-id-addressed sink (the exactly-once output story).
+  * story for repeatedly-joined 100 TB tables), AQE splits hot-key join
+  * partitions at runtime (the skew story beyond manual salting), and
+  * foreachBatch gives an idempotent, batch-id-addressed sink (the
+  * exactly-once output story).
   */
 class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -59,6 +61,40 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaBuckets == direct)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one key owns ~90% of the fact side — the classic hot-key join
+    val fact = spark.range(0, 200000)
+      .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 97).as("k"),
+        $"id".as("payload"))
+    val dim = spark.range(0, 97).select($"id".as("k"), ($"id" * 2).as("v"))
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // the downstream must NOT require hash-distribution on the join key
+      // (a groupBy(k) would make AQE refuse the split because re-splitting
+      // the partition would break the required distribution) — a global
+      // count aggregates partially per split, so the skew split is legal
+      val joined = fact.join(dim, "k").groupBy().count()
+      val rows = joined.collect() // AQE decides after the shuffle runs
+      assert(rows.head.getLong(0) == 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition as skewed:\n$plan")
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes").foreach(spark.conf.unset)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prev.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+    }
   }
 
   test("foreachBatch sink writes batch-id-addressed output idempotently") {
