@@ -344,6 +344,31 @@ object Relational2 {
       |  o_totalprice / nullif(o_custkey % 10, 0) AS safe_ratio
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Nested-type aggregation: per-user event arrays (sorted for
+    * determinism — collect order is partitioning-dependent), a distinct
+    * set, and a struct column that round-trips through parquet. */
+  def q44NestedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_id" < 500)
+      .groupBy($"user_id")
+      .agg(
+        sort_array(collect_list($"event_type")).as("types"),
+        sort_array(collect_set($"event_type")).as("distinct_types"),
+        struct(count(lit(1)).as("n"), min($"event_id").as("first_id"),
+          max($"event_id").as("last_id")).as("stats"))
+      .orderBy($"user_id")
+  }
+  val q44Sql: String =
+    """SELECT user_id,
+      |  list(event_type ORDER BY event_type) AS types,
+      |  list(DISTINCT event_type ORDER BY event_type) AS distinct_types,
+      |  struct_pack(n := COUNT(*), first_id := MIN(event_id),
+      |              last_id := MAX(event_id)) AS stats
+      |FROM events WHERE event_id < 500
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -357,6 +382,7 @@ object Relational2 {
     "q41_string_bitwise" -> q41StringBitwise _,
     "q42_approx_sketches" -> q42ApproxSketches _,
     "q43_null_numeric" -> q43NullNumeric _,
+    "q44_nested_agg" -> q44NestedAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +398,6 @@ object Relational2 {
     // q42_approx_sketches: intentionally no oracle (sketch output;
     // error-bounded against exact counts in Round2OpsSpec)
     "q43_null_numeric" -> q43Sql,
+    "q44_nested_agg" -> q44Sql,
   )
 }

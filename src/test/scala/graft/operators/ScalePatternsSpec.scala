@@ -97,6 +97,20 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val purchases = spark.read.parquet(out).filter($"event_type" === "purchase")
+    val plan = purchases.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected the event_type predicate to prune directories:\n$plan")
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"event_type" === "purchase").count()
+    assert(purchases.count() == expected)
+  }
+
   test("foreachBatch sink writes batch-id-addressed output idempotently") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-fb").toString
