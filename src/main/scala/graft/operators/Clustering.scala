@@ -87,8 +87,60 @@ object Clustering {
       .agg(sum($"dist2".cast(SumDec)).cast("double")).head.getDouble(0)
   }
 
+  // --------------------------------------------------------------- PQ
+  private val PqM = 4          // subspaces
+  private val PqSub = 16       // dims per subspace (4 x 16 = 64)
+  private val PqK = 16         // codes per subspace (4-bit codes)
+  private val PqIters = 2
+
+  /** Product quantization: an independent K-code codebook per subspace,
+    * trained with the same deterministic Lloyd loop as [[embKmeans]]
+    * (codegen'd assignment, decimal-exact centroid updates). A 64-dim
+    * float vector compresses to M=4 4-bit codes — 256 B → 2 B, the
+    * memory step that lets IVF-PQ indexes hold billions of vectors in
+    * RAM at 100 TB corpus scale. Output: per-subspace code usage and
+    * exact total squared reconstruction error (the codebook quality
+    * metric), plus the compression ratio.
+    *
+    * Training cost per subspace-iteration is one scan + one (cluster,
+    * dim) aggregate, all subspaces sharing the persisted base; only
+    * M·K·PqSub floats reach the driver. */
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding").persist()
+    val stats = (0 until PqM).map { m =>
+      val sdf = emb.select($"vec_id",
+        slice($"embedding", m * PqSub + 1, PqSub).as("embedding"))
+      var codebook: Array[Array[Float]] = sdf.orderBy($"vec_id").limit(PqK)
+        .collect().map(_.getSeq[Float](1).toArray)
+      for (_ <- 0 until PqIters) {
+        val means = assign(sdf, codebook)
+          .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
+          .groupBy($"cluster", $"pos")
+          .agg((sum($"x".cast(SumDec)) / count(lit(1))).cast("float").as("m"))
+          .collect()
+        val next = codebook.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+        codebook = next
+      }
+      val agg = assign(sdf, codebook)
+        .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
+        .agg(countDistinct($"cluster").as("codes_used"),
+          sum($"dist2".cast(SumDec)).cast("double").as("sq_err"),
+          count(lit(1)).as("n_vecs"))
+        .head()
+      (m, agg.getLong(0), agg.getDouble(1), agg.getLong(2))
+    }
+    // 64 B of float32 per subspace vs one 4-bit code = 128x
+    val compression = (PqSub * 4.0) / 0.5
+    s.createDataFrame(stats).toDF("subspace", "codes_used", "sq_err", "n_vecs")
+      .withColumn("compression_x", lit(compression))
+      .orderBy($"subspace")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
+    "emb_pq" -> embPq _,
   )
   /** No oracle: iterative clustering is not SQL-expressible; the spec
     * asserts determinism, partition-count invariance, and WCSS descent. */

@@ -151,6 +151,19 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wcss > 0.0)
   }
 
+  test("product quantization: deterministic, codes within budget, full coverage") {
+    val a = Clustering.embPq(spark, sf).collect()
+    val b = Clustering.embPq(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "re-run must be identical")
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.length == 4)
+    a.foreach { r =>
+      assert(r.getLong(1) <= 16, "at most K codes per subspace")
+      assert(r.getLong(3) == total, "every vector coded in every subspace")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("tfidf ranks a document's distinctive term above corpus-common terms") {
     // tf/df: unique terms score 2/1 = 2.0, shared scores 3/3 = 1.0
     val dir = plantDocs(Seq(
