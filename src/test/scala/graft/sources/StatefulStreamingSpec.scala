@@ -65,4 +65,49 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch1 updates: (1,2),(2,1); batch2 updates on top of kept state: (1,3),(2,3)
     assert(got == Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L)))
   }
+
+  test("windowed aggregation state survives a checkpointed restart") {
+    import org.apache.spark.sql.functions._
+    val qn = s"winrst-${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(qn)
+    val dir = Files.createTempDirectory("winrst")
+    val ckpt = Files.createTempDirectory("winrst-ck").toString
+    val out = Files.createTempDirectory("winrst-out").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def put(name: String, ids: Seq[Long]): Unit = {
+      val f = dir.resolve(name)
+      Files.write(f, ids.map(i => s"""{"id":$i}""").mkString("\n").getBytes)
+      queue.send(s"""{"path":"file:$f","timestampMs":${ids.head}}""")
+    }
+    // id -> event time id*600s; 1h tumbling windows => window k holds ids 6k..6k+5
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-files").schema(schema)
+        .option("fileFormat", "json").option("queueName", qn)
+        .option("queueFetchWaitTimeoutSeconds", "5")
+        .load()
+        .withColumn("ts", timestamp_seconds(col("id") * 600))
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("win"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: window 0 closes (ids 1-5 < 6*600s), window 1 stays OPEN in
+    // the state store with 3 rows (ids 6-8)
+    put("a.json", 1L to 8L)
+    runOnce()
+    // run 2, same checkpoint: ids 9-11 must MERGE into recovered window-1
+    // state; ids 12-14 open window 2; the sentinel flushes everything
+    put("b.json", 9L to 14L)
+    put("sent.json", Seq(1000000L))
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) / 3600 -> r.getLong(1)).toMap.removed(1000000L * 600 / 3600)
+    // window 1 counting 6 proves pre-restart partial state (3) merged
+    // with post-restart rows (3) instead of starting over
+    assert(got == Map(0L -> 5L, 1L -> 6L, 2L -> 3L), s"got $got")
+  }
 }
