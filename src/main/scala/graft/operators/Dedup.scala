@@ -98,7 +98,19 @@ object Dedup {
     * count of shared shingles, union from per-doc set sizes. The jaccard
     * value is an exact integer ratio, so the double is bit-identical in
     * any engine. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    dedupNgramJaccardCapped(s, d, dfCap = Int.MaxValue)
+
+  /** @param dfCap document-frequency cap: shingles shared by more than
+    *   this many documents are dropped BEFORE pair generation. This is
+    *   the 100 TB knob — an ultra-common shingle contributes ~df²/2
+    *   candidate pairs and no discriminative signal, so capping bounds
+    *   the worst key's shuffle fan-out. Capping can only lower a pair's
+    *   observed intersection (union sizes are unchanged), so it never
+    *   creates false pairs — at threshold 0.8 it can only drop pairs
+    *   whose evidence was mostly degenerate shingles.
+    *   `DedupDfCapSpec` shows a loose cap is exact on the fixture. */
+  def dedupNgramJaccardCapped(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     import s.implicits._
     val docs = docShingles(s, d)
     // set size rides along with each exploded shingle, so union sizes fall
@@ -107,8 +119,17 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: long keys shuffle
     // and compare far cheaper, and a cross-shingle collision (~n^2/2^64)
     // is negligible against the corpus sizes this runs at
-    val ex = docs.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("s0"))
+    val ex0 = docs.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("s0"))
       .select($"doc_id", $"sz", xxhash64($"s0").as("s"))
+    val ex =
+      if (dfCap == Int.MaxValue) ex0
+      else {
+        // df per shingle hash is a partial-aggregated count; the cap
+        // filter runs before the pair join so hot keys never shuffle
+        val rare = ex0.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" <= dfCap).select($"s")
+        ex0.join(rare, "s")
+      }
     ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
         $"a.sz".as("sz_a"), $"b.sz".as("sz_b"))

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The document-frequency cap — the knob that bounds pair-join fan-out
+  * on degenerate shingles at 100 TB. A cap looser than every shingle's
+  * df must be a no-op (exactness), and any cap can only REMOVE pairs
+  * relative to uncapped (it lowers observed intersections, never raises
+  * them), so capped results are always a subset. */
+class DedupDfCapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("a cap above every shingle df is exact; tighter caps only remove pairs") {
+    val uncapped = pairs(Dedup.dedupNgramJaccard(spark, sf))
+    val loose = pairs(Dedup.dedupNgramJaccardCapped(spark, sf, dfCap = 1000000))
+    assert(loose == uncapped, "loose cap must be a no-op")
+    val tight = pairs(Dedup.dedupNgramJaccardCapped(spark, sf, dfCap = 3))
+    assert(tight.subsetOf(uncapped), "capping must never invent pairs")
+  }
+}
