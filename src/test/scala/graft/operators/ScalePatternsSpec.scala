@@ -111,6 +111,46 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(purchases.count() == expected)
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dpp").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    // dim must come from a real source: a filter over a LocalRelation is
+    // constant-folded away and DPP no longer sees a selective predicate
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("purchase", 1), ("click", 2), ("view", 3)).toDF("et", "w")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter($"w" === 1) // selective dim filter -> only 'purchase' partitions scan
+    // DPP (default reuseBroadcastOnly) piggybacks on the dim broadcast —
+    // re-enable broadcasting, which this suite disables globally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val joined = spark.read.parquet(out).join(dim, $"event_type" === $"et")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamic partition pruning subquery on event_type:\n$plan")
+      val expected = spark.read.parquet(s"$sf/events.parquet")
+        .filter($"event_type" === "purchase").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  }
+
+  test("nested schema pruning reads only the selected struct field") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-nest").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", struct($"o_totalprice".as("price"),
+        $"o_orderpriority".as("prio"), $"o_orderstatus".as("st")).as("info"))
+      .write.mode("overwrite").parquet(out)
+    val narrow = spark.read.parquet(out).select($"o_orderkey", $"info.price")
+    val scan = narrow.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("price") && !scan.contains("prio") && !scan.contains("st,"),
+      s"struct should be pruned to the one read field:\n$scan")
+  }
+
   test("foreachBatch sink writes batch-id-addressed output idempotently") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-fb").toString
