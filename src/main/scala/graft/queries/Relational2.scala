@@ -369,6 +369,32 @@ object Relational2 {
       |FROM events WHERE event_id < 500
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL): duplicates are
+    * preserved per SQL bag semantics — one tagged result for both. */
+  def q45SetAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val upTo2 = li.filter($"l_linenumber" <= 2).select($"l_orderkey")
+    val first = li.filter($"l_linenumber" === 1).select($"l_orderkey")
+    val third = li.filter($"l_linenumber" === 3).select($"l_orderkey")
+    upTo2.exceptAll(first).withColumn("op", lit("except_all"))
+      .unionByName(upTo2.intersectAll(third).withColumn("op", lit("intersect_all")))
+      .groupBy($"op").agg(count(lit(1)).as("n"),
+        countDistinct($"l_orderkey").as("nd"))
+      .orderBy($"op")
+  }
+  val q45Sql: String =
+    """SELECT op, COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS nd FROM (
+      |  SELECT 'except_all' AS op, l_orderkey FROM (
+      |    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+      |    EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1)
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, l_orderkey FROM (
+      |    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+      |    INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_linenumber = 3))
+      |GROUP BY op ORDER BY op""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -383,6 +409,7 @@ object Relational2 {
     "q42_approx_sketches" -> q42ApproxSketches _,
     "q43_null_numeric" -> q43NullNumeric _,
     "q44_nested_agg" -> q44NestedAgg _,
+    "q45_set_all" -> q45SetAll _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +426,6 @@ object Relational2 {
     // error-bounded against exact counts in Round2OpsSpec)
     "q43_null_numeric" -> q43Sql,
     "q44_nested_agg" -> q44Sql,
+    "q45_set_all" -> q45Sql,
   )
 }
