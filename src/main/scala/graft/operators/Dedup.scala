@@ -15,11 +15,12 @@ import graft.queries.Tables
   * always an equi-join on a derived key (shingle, LSH band key, simhash
   * chunk), so candidates shuffle on that key and skew is bounded by key
   * frequency. Verification (exact Jaccard / hamming) runs only on
-  * candidate pairs. At 100 TB the only additions needed are a
-  * document-frequency cap on ultra-common shingles (drop shingles with
-  * df > threshold before the join — they contribute no discriminative
-  * signal and cause quadratic blowup) and AQE skew-join handling, both
-  * orthogonal to the operator shape used here.
+  * candidate pairs. The two 100 TB additions are both in place: the
+  * document-frequency cap on ultra-common shingles
+  * ([[dedupNgramJaccardCapped]] — they contribute no discriminative
+  * signal and cause quadratic blowup) and AQE skew-join handling
+  * (asserted in ScalePatternsSpec), both orthogonal to the operator
+  * shape used here.
   */
 object Dedup {
   private val ShingleSize = 3
