@@ -22,6 +22,20 @@ import graft.sources.InMemoryQueueRegistry
 object Streaming {
   private val seq = new AtomicInteger(0)
 
+  /** Run `body` with the state shuffle sized to the micro-batch load.
+    * Stateful streaming operators create one state store per shuffle
+    * partition per batch; at this fixture scale 32 stores are pure
+    * overhead (measured 2-3x on the stream gates), while at real scale
+    * the same knob is sized UP to the key cardinality. The conf is read
+    * at query start (fresh checkpoints here), and restored after so
+    * batch queries keep the session default. */
+  private[queries] def withStateShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Events subset written as parquet files (no text round-trip: the
     * streamed bytes are bit-identical to the source table's). */
   private val CUTOFF = 2000L
@@ -80,7 +94,7 @@ object Streaming {
 
   /** Duplicate announcements (each file announced twice) must not produce
     * duplicate rows — the exactly-once admission check as a query. */
-  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
     val runId = s"dedup${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     Tables.events(s, dir).filter(col("event_id") < CUTOFF)
@@ -114,7 +128,7 @@ object Streaming {
     * maxFilesPerTrigger=1... see below) pushes the watermark past every
     * real window so append mode emits them; the sentinel's own window is
     * filtered out of the result. */
-  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"winagg${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -168,7 +182,7 @@ object Streaming {
     * the same rows are staged in two separate files announced separately,
     * so duplicates span micro-batches and only the dedup state removes
     * them. Complements the connector's file-level exactly-once. */
-  def streamDropDuplicates(s: SparkSession, dir: String): DataFrame = {
+  def streamDropDuplicates(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
     val runId = s"dropdup${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
     val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString

@@ -54,7 +54,8 @@ object Streaming2 {
     * session_window merges an event iff its gap to the previous is
     * STRICTLY below the gap duration — the oracle's islands start at
     * gap >= 12 h to match. */
-  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"sesswin${seq.incrementAndGet()}_${System.nanoTime()}"
     stageAndAnnounce(s, dir, runId, nFiles = 2)
@@ -111,7 +112,8 @@ object Streaming2 {
     * shape that runs unbounded at scale because both sides expire state
     * past the watermark + interval. Inner joins emit as matches arrive,
     * so no sentinel is needed. */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runA = s"ssjA${seq.incrementAndGet()}_${System.nanoTime()}"
     val runB = s"ssjB${seq.incrementAndGet()}_${System.nanoTime()}"
@@ -153,7 +155,8 @@ object Streaming2 {
     * micro-batch (no trigger cap) keeps emission deterministic for the
     * hash gate, while GraftStatefulStreamingSpec covers the cross-batch
     * state path. */
-  def streamMgwsSession(s: SparkSession, dir: String): DataFrame = {
+  def streamMgwsSession(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"mgws${seq.incrementAndGet()}_${System.nanoTime()}"
     stageAndAnnounce(s, dir, runId, nFiles = 2)
