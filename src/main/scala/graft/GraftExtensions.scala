@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorDotExpression(args(0), args(1))))
 
     e.injectFunction((
+      FunctionIdentifier("hamming64"),
+      info("hamming64", "hamming64(bigint, bigint) - hamming distance of two 64-bit hashes"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor}
+        BitwiseCount(BitwiseXor(args(0), args(1)))
+      }))
+
+    e.injectFunction((
       FunctionIdentifier("minhash_agg"),
       info("minhash_agg", "minhash_agg(hash bigint, k int) - k-permutation minhash signature"),
       (args: Seq[Expression]) => {

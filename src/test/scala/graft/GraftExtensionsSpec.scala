@@ -34,6 +34,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 11.0)
   }
 
+  test("hamming64 usable from SQL and matches bit_count(xor)") {
+    val r = spark.sql("SELECT hamming64(CAST(12 AS BIGINT), CAST(10 AS BIGINT)) AS h")
+      .head.getInt(0)
+    assert(r == java.lang.Long.bitCount(12L ^ 10L))
+  }
+
   test("minhash_agg usable from SQL GROUP BY") {
     import spark.implicits._
     Seq((1L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc", "s")
