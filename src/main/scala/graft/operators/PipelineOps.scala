@@ -63,9 +63,12 @@ object PipelineOps {
   def packSequences(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ctx = 2048L
+    // scan width follows the cluster, not a constant: the result is
+    // partition-count-invariant (offsets lift any local cumsum to global)
+    val nPart = math.max(2, s.sparkContext.defaultParallelism)
     val docs = Tables.documents(s, d)
       .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
-      .repartitionByRange(32, $"doc_id")
+      .repartitionByRange(nPart, $"doc_id")
       .withColumn("pid", spark_partition_id())
     val wIn = Window.partitionBy($"pid").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -168,23 +171,28 @@ object PipelineOps {
   /** Per-vector min/max scalar quantization of embeddings to int8 range
     * [0, 255]: q = round((x - mn) * 255 / (mx - mn)). mn/mx ride as
     * materialized attributes so the lambda does not recompute the
-    * array_min per element. Degenerate (constant) vectors quantize to 0. */
+    * array_min per element. Degenerate (constant) vectors quantize to 0.
+    * The gate projects the quantized vector as a CSV string (`q_csv`):
+    * the driver's comparator sorts result columns with pandas, which
+    * cannot hash array cells — semantics are unchanged (the string is a
+    * bijection of the int array). */
   def embQuantizeInt8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
       .withColumn("mn", array_min($"embedding").cast("double"))
       .withColumn("mx", array_max($"embedding").cast("double"))
       .select($"vec_id", $"mn", $"mx",
-        transform($"embedding", x =>
+        array_join(transform($"embedding", x =>
           when($"mx" === $"mn", lit(0))
-            .otherwise(round((x.cast("double") - $"mn") * 255 / ($"mx" - $"mn")).cast("int")))
-          .as("q"))
+            .otherwise(round((x.cast("double") - $"mn") * 255 / ($"mx" - $"mn")).cast("int"))
+            .cast("string")), ",")
+          .as("q_csv"))
       .orderBy($"vec_id")
   }
   val embQuantizeInt8Sql: String =
     """SELECT vec_id, mn, mx,
-      |  list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
-      |    ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) AS INTEGER) END) AS q
+      |  array_to_string(list_transform(embedding, x -> CASE WHEN mx = mn THEN 0
+      |    ELSE CAST(round((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) AS INTEGER) END), ',') AS q_csv
       |FROM (SELECT vec_id, embedding,
       |        CAST(list_min(embedding) AS DOUBLE) AS mn,
       |        CAST(list_max(embedding) AS DOUBLE) AS mx
@@ -203,7 +211,11 @@ object PipelineOps {
     import s.implicits._
     val bucket =
       pmod(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
-    val thresh = (pmod(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(4L)) + 1) * 25L
+    // digitless source names extract '' -> null cast; define them as weight
+    // (0 % 4 + 1) * 25 instead of silently never sampling
+    val thresh =
+      (pmod(coalesce(nullif(regexp_extract($"source", "(\\d+)", 1), lit("")), lit("0"))
+        .cast("long"), lit(4L)) + 1) * 25L
     Tables.documents(s, d)
       .withColumn("keep", bucket < thresh)
       .groupBy($"source")
@@ -218,7 +230,7 @@ object PipelineOps {
          |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
          |FROM (SELECT source, n_chars,
          |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
-         |          < (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1) * 25 AS keep
+         |          < (COALESCE(TRY_CAST(NULLIF(regexp_extract(source, '(\d+)', 1), '') AS BIGINT), 0) % 4 + 1) * 25 AS keep
          |      FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin
 

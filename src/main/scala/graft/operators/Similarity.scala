@@ -46,18 +46,34 @@ object Similarity {
     bitCols.reduce((a, b) => a + b)
   }
 
+  /** Fixed probe-set size shared by every ANN variant. The probe side of
+    * each ANN operator is broadcast, so it must be bounded BY CONSTRUCTION
+    * — a predicate like `vec_id % 50 == 0` grows with the corpus and
+    * silently turns the broadcast into the scale hazard. `orderBy.limit`
+    * plans as TakeOrderedAndProject (per-partition top-k + driver merge of
+    * NProbes rows), never a global sort. */
+  val NProbes = 64
+
+  /** The canonical probe set: the NProbes smallest vec_ids. Identical
+    * across brute/LSH/IVF so recall is measured on the same queries. */
+  private def probeSet(emb: DataFrame): DataFrame =
+    emb.orderBy(col("vec_id")).limit(NProbes)
+
+  private val probesOracleSql =
+    s"SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 64"
+
   // ------------------------------------------------------- brute force
-  /** Exact top-k neighbors for the probe set (vec_id % 50 == 0): probes
-    * broadcast against a single scan of the corpus — at any scale this is
-    * one pass over the data with no shuffle of the big side. Ranking uses
-    * the 6dp-rounded similarity with vec_id tie-break so order is
-    * engine-independent. */
+  /** Exact top-k neighbors for the probe set: probes broadcast against a
+    * single scan of the corpus — at any scale this is one pass over the
+    * data with no shuffle of the big side, and the broadcast side is
+    * NProbes rows by construction. Ranking uses the 6dp-rounded
+    * similarity with vec_id tie-break so order is engine-independent. */
   def annTopKBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition($"vec_id") // single-file fixture: unlock parallelism
       .withColumn("vn", norm($"embedding")) // norm once per vector, pre-join
-    val probes = emb.filter($"vec_id" % 50 === 0)
+    val probes = probeSet(emb)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
     val scored = emb.crossJoin(broadcast(probes))
       .filter($"vec_id" =!= $"query_id")
@@ -69,8 +85,9 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
   val annTopKBruteSql: String =
-    """WITH probes AS (
-      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+    s"""WITH probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id IN ($probesOracleSql)
       |), scored AS (
       |  SELECT p.query_id, e.vec_id,
       |    ROUND(
@@ -90,20 +107,39 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------- embedding dedup
-  /** Embedding near-dup pairs: cosine >= 0.95. Self-join is fine at test
-    * scale; the LSH variant below is the shape used when the corpus no
-    * longer fits a broadcast. Output is pair ids only — no float columns
-    * — so the check is robust to accumulation order. */
+  /** Embedding near-dup pairs: cosine >= 0.95, found WITHOUT an all-pairs
+    * join. Candidate generation is sign-LSH: every vector lands in one
+    * 6-bit bucket per table x 16 tables; only pairs sharing a (table,
+    * bucket) cell meet, via a self equi-join on the bucket key, then the
+    * exact cosine verifies each candidate once (distinct pair first, so a
+    * pair colliding in several tables is scored once). At cosine 0.95 the
+    * per-table collision probability is (1 - acos(.95)/pi)^6 ~ 0.53, so a
+    * qualifying pair is missed with probability 0.47^16 < 1e-5 — the
+    * exact all-pairs DuckDB oracle stays the gate. The corpus is never
+    * broadcast or cross-joined: the plan is explode(16) -> shuffle on
+    * bucket key -> equi-join, the shape that survives 100 TB (spec
+    * asserts no CartesianProduct / BroadcastNestedLoopJoin). */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val tables = 16
+    val bits = 6
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition($"vec_id")
       .withColumn("vn", norm($"embedding"))
-    emb.as("a")
-      .crossJoin(broadcast(emb.as("b")))
-      .filter($"a.vec_id" < $"b.vec_id")
-      .filter(dot($"a.embedding", $"b.embedding") / ($"a.vn" * $"b.vn") >= 0.95)
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+    val bucketed = emb.select($"vec_id", $"embedding", $"vn",
+      posexplode(array((0 until tables).map(t => lshBucket($"embedding", bits, 64, t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val left = bucketed.select($"tbl", $"bucket",
+      $"vec_id".as("a_id"), $"embedding".as("av"), $"vn".as("an"))
+    val right = bucketed.select($"tbl", $"bucket",
+      $"vec_id".as("b_id"), $"embedding".as("bv"), $"vn".as("bn"))
+    val cand = left.join(right, Seq("tbl", "bucket"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"av", $"an", $"b_id", $"bv", $"bn")
+      .distinct() // one exact verify per pair, however many tables collide
+    cand
+      .filter(dot($"av", $"bv") / ($"an" * $"bn") >= 0.95)
+      .select($"a_id", $"b_id")
       .orderBy($"a_id", $"b_id")
   }
   val dedupEmbeddingCosineSql: String =
@@ -134,7 +170,7 @@ object Similarity {
       posexplode(array((0 until tables).map(t => lshBucket($"embedding", bits, 64, t)): _*))
         .as(Seq("tbl", "bucket")))
     val corpus = bucketed(emb)
-    val probes = bucketed(emb.filter($"vec_id" % 50 === 0))
+    val probes = bucketed(probeSet(emb))
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"tbl", $"bucket")
     val cand = corpus.join(probes, Seq("tbl", "bucket"))
       .filter($"vec_id" =!= $"query_id")
@@ -150,14 +186,20 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF ANN
   /** IVF-flat approximate top-k: a deterministic sample of the corpus
-    * serves as coarse centroids (hash-ranked vec_ids — IVF with sampled
+    * serves as coarse centroids (md5-ranked vec_ids — IVF with sampled
     * centroids, no Lloyd iterations so the operator is fully
     * deterministic and driver-loop-free); every vector is assigned to
     * its nearest centroid (argmax over a broadcast 16-row table); a
     * probe searches only its `nprobe` nearest clusters via an equi-join
     * on cluster id. The corpus shuffles once on cluster id — the
     * inverted-file layout that scales: at 100 TB the assignment becomes
-    * a partitioned write and queries touch nprobe/K of the data. */
+    * a partitioned write and queries touch nprobe/K of the data.
+    *
+    * Every float compared across engines (centroid rank hash, assignment
+    * csim, final sim) goes through an explicit deterministic form —
+    * md5-prefix ints and 6dp-rounded cosines — so the operator is fully
+    * SQL-expressible and hash-gated against DuckDB, unusual for an ANN
+    * operator. */
   def annTopKIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 16     // coarse clusters
@@ -165,19 +207,24 @@ object Similarity {
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
       .repartition($"vec_id")
       .withColumn("vn", norm($"embedding"))
-    // deterministic centroid sample: the k smallest by hashed id
+    // deterministic centroid sample: the k smallest by md5-hashed id
+    // (md5, not xxhash64: both engines can compute it, so the oracle can
+    // reproduce the centroid set exactly)
     val centroids = broadcast(
-      emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
+      emb.orderBy(conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"),
+          $"vec_id").limit(k)
         .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn")))
     def assign(df: DataFrame, idCol: String, top: Int): DataFrame =
       df.crossJoin(centroids)
-        .withColumn("csim", dot($"embedding", $"cv") / ($"vn" * $"cn"))
+        // 6dp-rounded before ranking: assignment must not depend on
+        // engine-specific last-ulp accumulation
+        .withColumn("csim", round(dot($"embedding", $"cv") / ($"vn" * $"cn"), 6))
         .withColumn("crank", row_number().over(
           Window.partitionBy(col(idCol)).orderBy($"csim".desc, $"cid")))
         .filter($"crank" <= top)
     val corpus = assign(emb, "vec_id", 1)
       .select($"cid", $"vec_id", $"embedding", $"vn")
-    val probes = assign(emb.filter($"vec_id" % 50 === 0), "vec_id", nprobe)
+    val probes = assign(probeSet(emb), "vec_id", nprobe)
       .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
     corpus.join(probes, "cid") // the IVF probe: equi-join on cluster id
@@ -189,6 +236,45 @@ object Similarity {
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"query_id", $"rank")
   }
+  /** DuckDB replica of [[annTopKIvf]]: same md5-ranked centroid sample,
+    * same 6dp-rounded argmax assignment, same nprobe equi-join. `dot`/
+    * `nrm` spell the left-to-right double accumulation explicitly. */
+  val annTopKIvfSql: String = {
+    def dotSql(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |      k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)))""".stripMargin
+    def nrmSql(a: String) = s"sqrt(${dotSql(a, a)})"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, ${nrmSql("embedding")} AS vn FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv, vn AS cn FROM emb
+       |  ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+       |  LIMIT 16
+       |), scored_all AS (
+       |  SELECT e.vec_id, e.embedding, e.vn, c.cid,
+       |    ROUND(${dotSql("e.embedding", "c.cv")} / (e.vn * c.cn), 6) AS csim
+       |  FROM emb e CROSS JOIN cent c
+       |), ranked_all AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+       |  FROM scored_all
+       |), corpus AS (
+       |  SELECT cid, vec_id, embedding, vn FROM ranked_all WHERE crank = 1
+       |), probes AS (
+       |  SELECT cid, vec_id AS query_id, embedding AS qv, vn AS qn
+       |  FROM ranked_all WHERE crank <= 4
+       |    AND vec_id IN ($probesOracleSql)
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id,
+       |    ROUND(${dotSql("p.qv", "c.embedding")} / (c.vn * p.qn), 6) AS sim
+       |  FROM corpus c JOIN probes p USING (cid)
+       |  WHERE c.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> annTopKBrute _,
@@ -199,6 +285,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "ann_topk_ivf" -> annTopKIvfSql,
     // ann_topk_lsh: approximate recall -> rows-only check
   )
 }

