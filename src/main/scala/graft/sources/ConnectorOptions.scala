@@ -33,7 +33,16 @@ final case class ConnectorOptions(
     reprocessDryRun: Boolean,
     sortBatchByTimestamp: Boolean,
     metadataLogBackend: String,
+    fetchErrorBudget: Int,
     formatOptions: Map[String, String]) {
+
+  /** Upper bound on ONE fetch round during an AvailableNow drain, derived
+    * from the polling options rather than a magic constant: a round's
+    * queue-side latency is governed by the long-poll wait and the caller-
+    * side fetch wait, so 10x their max (floor 60 s) is generous slack for
+    * consume work while still bounding a hung round. */
+  def drainRoundTimeoutSeconds: Long =
+    math.max(60L, 10L * math.max(queueFetchWaitTimeoutSeconds, longPollWaitSeconds.toLong))
 
   def reprocessState: ConnectorOptions.ReprocessState =
     (reprocessStartBatchId, reprocessEndBatchId) match {
@@ -68,6 +77,7 @@ object ConnectorOptions {
   val REPROCESS_DRY_RUN = "reprocessdryrun"
   val SORT_BATCH_BY_TIMESTAMP = "sortbatchbytimestamp"
   val METADATA_LOG = "metadatalog" // "file" (default) | "rocksdb"
+  val FETCH_ERROR_BUDGET = "queue.fetcherrorbudget"
 
   val METADATA_LOG_FILE = "file"
   val METADATA_LOG_ROCKSDB = "rocksdb"
@@ -81,6 +91,7 @@ object ConnectorOptions {
   val DEFAULT_MAX_CONCURRENCY = 50
   val MAX_POOL_SIZE = 200
   val DEFAULT_VISIBILITY_TIMEOUT_SECONDS = 60
+  val DEFAULT_FETCH_ERROR_BUDGET = 3
 
   /** Parse a duration like "15d", "2h", "30m", "45s", "500ms", bare = ms. */
   def durationMs(s: String): Long = {
@@ -154,7 +165,7 @@ object ConnectorOptions {
       QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, LONG_POLL_WAIT_SECONDS, MAX_CONCURRENCY,
       VISIBILITY_TIMEOUT_SECONDS, KEEP_MESSAGE_ON_CONSUMER_ERROR,
       REPROCESS_START_BATCH_ID, REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
-      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG)
+      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG, FETCH_ERROR_BUDGET)
     val formatOptions = params.filterNot { case (k, _) => ownKeys.contains(k) }
 
     ConnectorOptions(
@@ -182,6 +193,11 @@ object ConnectorOptions {
         require(b == METADATA_LOG_FILE || b == METADATA_LOG_ROCKSDB,
           s"$METADATA_LOG must be '$METADATA_LOG_FILE' or '$METADATA_LOG_ROCKSDB', got $b")
         b
+      },
+      fetchErrorBudget = {
+        val n = get(FETCH_ERROR_BUDGET).map(_.trim.toInt).getOrElse(DEFAULT_FETCH_ERROR_BUDGET)
+        require(n > 0, s"$FETCH_ERROR_BUDGET must be positive, got $n")
+        n
       },
       formatOptions = formatOptions)
   }

@@ -34,12 +34,20 @@ trait FileMetadataLog extends AutoCloseable {
   /** Remove batches entirely below the horizon; bounded per call. */
   def purgeBefore(horizonMs: Long): Int
   def commit(): Unit
+  /** Operational counters as one JSON object (latencies, bytes moved,
+    * GC work); logged by the source at every commit so checkpoint-sync
+    * behavior is observable at runtime, not only spec-asserted. */
+  def metricsJson: String = "{}"
 }
 
 object FileBackedMetadataLog {
   /** Amortized cleanup bound per add (reference parity:
     * RocksDBS3SourceLog.scala:489). */
   val MaxBatchesRemovedPerPurge = 20
+
+  /** Every Nth batch folds the whole live log into one `<id>.compact`
+    * file, so restart reads O(1) files instead of O(batches). */
+  val DefaultCompactInterval = 5
 }
 
 /** Metadata log over atomic one-file-per-batch JSON in the checkpoint dir
@@ -57,9 +65,17 @@ object FileBackedMetadataLog {
   *
   * Layout: <metadataPath>/graft-batches/<batchId>, one JSON array per
   * batch, written via CheckpointFileManager.createAtomic (rename-based,
-  * crash-safe). Batch files are immutable once written.
+  * crash-safe). Batch files are immutable once written. Every
+  * `compactInterval`th batch additionally writes `<batchId>.compact`
+  * holding the entire live log (HDFSMetadataLog's compaction idea), then
+  * deletes the folded per-batch files and older compacts — restart reads
+  * one compact plus at most `compactInterval - 1` tail files, instead of
+  * every batch file a long-lived low-volume query ever wrote.
   */
-final class FileBackedMetadataLog(metadataPath: String, hadoopConf: Configuration)
+final class FileBackedMetadataLog(
+    metadataPath: String,
+    hadoopConf: Configuration,
+    compactInterval: Int = FileBackedMetadataLog.DefaultCompactInterval)
   extends FileMetadataLog {
   import FileBackedMetadataLog._
 
@@ -74,32 +90,65 @@ final class FileBackedMetadataLog(metadataPath: String, hadoopConf: Configuratio
   private val batches = new java.util.concurrent.ConcurrentSkipListMap[Long, Array[FileEntry]]()
   @volatile private var latestBatchId: Option[Long] = None
 
-  // ---- init: restore state from the checkpoint dir --------------------
+  /** Files opened by the last restore — the observable restart cost. */
+  @volatile var lastRestoreFilesRead: Int = 0
+  private var compactions = 0L
+
+  // ---- init: newest compact (if any) + the per-batch tail -------------
   locally {
-    val ids = listBatchIds()
-    ids.sorted.foreach { id =>
+    var filesRead = 0
+    val compactId = listCompactIds().maxOption
+    compactId.foreach { cid =>
+      readCompactFile(cid).groupBy(_.batchId).foreach { case (id, entries) =>
+        batches.put(id, entries)
+        entries.foreach(e => fileIndex.put(e.path, e))
+      }
+      filesRead += 1
+    }
+    val tailIds = listBatchIds().filter(id => compactId.forall(id > _))
+    tailIds.sorted.foreach { id =>
       val entries = readBatchFile(id)
       batches.put(id, entries)
       entries.foreach(e => fileIndex.put(e.path, e))
+      filesRead += 1
     }
-    latestBatchId = ids.maxOption
+    latestBatchId = (tailIds ++ batches.keySet().asScala).maxOption
+    lastRestoreFilesRead = filesRead
   }
 
   private def batchFile(batchId: Long): Path = new Path(logDir, batchId.toString)
+  private def compactFile(batchId: Long): Path = new Path(logDir, s"$batchId.compact")
 
   private def listBatchIds(): Seq[Long] =
     if (!fm.exists(logDir)) Seq.empty
     else fm.list(logDir).toSeq.flatMap(s => s.getPath.getName.toLongOption)
 
-  private def readBatchFile(batchId: Long): Array[FileEntry] = {
-    val in = fm.open(batchFile(batchId))
+  private def listCompactIds(): Seq[Long] =
+    if (!fm.exists(logDir)) Seq.empty
+    else fm.list(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".compact")).flatMap(_.stripSuffix(".compact").toLongOption)
+
+  private def readFileString(p: Path): String = {
+    val in = fm.open(p)
     try {
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       val sb = new StringBuilder
       var line = reader.readLine()
       while (line != null) { sb.append(line); line = reader.readLine() }
-      parseEntries(sb.toString, batchId)
+      sb.toString
     } finally in.close()
+  }
+
+  private def readBatchFile(batchId: Long): Array[FileEntry] =
+    parseEntries(readFileString(batchFile(batchId)), batchId)
+
+  /** A compact file is the same JSON shape, but spans batches: each
+    * entry's own `batchId` field is authoritative. */
+  private def readCompactFile(compactId: Long): Array[FileEntry] = {
+    val arr = mapper.readTree(readFileString(compactFile(compactId))).asInstanceOf[ArrayNode]
+    arr.elements().asScala.map { n =>
+      FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), n.get("batchId").asLong())
+    }.toArray
   }
 
   private def parseEntries(json: String, batchId: Long): Array[FileEntry] = {
@@ -136,7 +185,25 @@ final class FileBackedMetadataLog(metadataPath: String, hadoopConf: Configuratio
     batches.put(batchId, tagged)
     tagged.foreach(e => fileIndex.put(e.path, e))
     latestBatchId = Some(latestBatchId.fold(batchId)(math.max(_, batchId)))
+    if ((batchId + 1) % compactInterval == 0) compact(batchId)
     true
+  }
+
+  /** Fold the live log into `<batchId>.compact`, then drop the folded
+    * per-batch files and superseded compacts. The compact is atomically
+    * renamed into place BEFORE anything is deleted, so a crash at any
+    * point leaves a readable log (at worst both representations exist
+    * and restore prefers the newest compact). */
+  private def compact(batchId: Long): Unit = {
+    val all = batches.values().asScala.flatten.toArray
+    val out = fm.createAtomic(compactFile(batchId), false)
+    try {
+      out.write(toJson(all).getBytes(StandardCharsets.UTF_8))
+      out.close()
+    } catch { case t: Throwable => out.cancel(); throw t }
+    listBatchIds().filter(_ <= batchId).foreach(id => fm.delete(batchFile(id)))
+    listCompactIds().filter(_ < batchId).foreach(id => fm.delete(compactFile(id)))
+    compactions += 1
   }
 
   override def get(batchId: Long): Option[Array[FileEntry]] =
@@ -190,6 +257,10 @@ final class FileBackedMetadataLog(metadataPath: String, hadoopConf: Configuratio
     * no-op, kept for contract parity (reference: RocksDBS3SourceLog
     * commit logs metrics only). */
   override def commit(): Unit = ()
+
+  override def metricsJson: String =
+    s"""{"batches":${batches.size()},"compactions":$compactions,""" +
+      s""""lastRestoreFilesRead":$lastRestoreFilesRead}"""
 
   override def close(): Unit = ()
 }

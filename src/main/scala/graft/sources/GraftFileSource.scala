@@ -142,20 +142,40 @@ class GraftFileSource(
   override def prepareForTriggerAvailableNow(): Unit = {
     var done = false
     while (!done) {
+      // round bound derives from the polling options (not a magic constant)
       val res = Await.result(
-        queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds), 10.minutes)
-      done = res.isEmpty ||
-        res.contains(ConsumeResult.ReceiveEmpty) ||
-        res.contains(ConsumeResult.ReceiveException)
+        queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds),
+        options.drainRoundTimeoutSeconds.seconds)
+      if (res.contains(ConsumeResult.ReceiveException)) {
+        // a failing queue must NOT read as a clean drain: retry within the
+        // error budget, then fail the query loudly
+        failIfReceiveBudgetExhausted("AvailableNow drain")
+      } else {
+        done = res.isEmpty || res.contains(ConsumeResult.ReceiveEmpty)
+      }
     }
     availableNowDrained = true
     logInfo(s"AvailableNow: queue drained, ${fileCache.size} files cached")
+  }
+
+  private def failIfReceiveBudgetExhausted(where: String): Unit = {
+    val streak = queueClient.consecutiveReceiveFailures
+    if (streak >= options.fetchErrorBudget) {
+      throw new GraftSourceException(
+        s"$where: $streak consecutive queue receive failures (budget " +
+          s"${options.fetchErrorBudget}) on queue '${options.queueName}' — failing the " +
+          s"query instead of treating a dead queue as empty")
+    }
   }
 
   // ---- offset advance (reference: S3ConnectorSource.scala:193-242) ------
   private def fetchMaxOffset(): Option[Offset] = synchronized {
     // no queue consumption while a replay or an AvailableNow snapshot drains
     if (!reprocessing && !availableNowDrained) {
+      // continuous-mode error budget: fetches are fire-and-forget, so a dead
+      // queue would otherwise just look idle forever — the failure streak
+      // from completed background rounds surfaces here, on the trigger thread
+      failIfReceiveBudgetExhausted("queue fetch")
       queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds)
     }
     val files =
@@ -236,7 +256,8 @@ class GraftFileSource(
     // amortized horizon cleanup in place of the reference's background
     // maintenance thread (<=20 batches per commit keeps it O(1)-ish)
     metadataLog.purgeBefore(fileCache.lastPurgeTimestamp)
-    logInfo(s"committed ${logOffsetOf(end)}; queue metrics: ${queueClient.metrics.json}")
+    logInfo(s"committed ${logOffsetOf(end)}; queue metrics: ${queueClient.metrics.json}; " +
+      s"metadata log metrics: ${metadataLog.metricsJson}")
   }
 
   override def stop(): Unit = {

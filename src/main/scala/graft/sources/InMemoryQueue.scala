@@ -19,6 +19,10 @@ final class InMemoryQueue(val name: String) {
   private case class Stored(message: QueueMessage, var visibleAtMs: Long)
   private val byId = new java.util.LinkedHashMap[String, Stored]()
 
+  /** Chaos hook: while true, every receive throws — simulates a queue
+    * endpoint outage for error-budget tests. */
+  @volatile var failReceives: Boolean = false
+
   def send(body: String): String = synchronized {
     val id = UUID.randomUUID().toString
     byId.put(id, Stored(QueueMessage(id, body), 0L))
@@ -28,6 +32,7 @@ final class InMemoryQueue(val name: String) {
   /** Up to max currently-visible messages; each becomes invisible for
     * visibilityTimeoutSeconds (at-least-once: undeleted messages come back). */
   def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage] = synchronized {
+    if (failReceives) throw new RuntimeException(s"injected receive failure on queue '$name'")
     val now = System.currentTimeMillis()
     val out = mutable.ArrayBuffer[QueueMessage]()
     val it = byId.values().iterator()
@@ -79,6 +84,9 @@ final class InMemoryQueueClient(
 
   private val queue = InMemoryQueueRegistry.queue(queueName)
   val metrics = new QueueClientMetrics
+  private val receiveFailureStreak = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def consecutiveReceiveFailures: Int = receiveFailureStreak.get()
 
   private val pool = Executors.newFixedThreadPool(math.max(2, math.min(maxConcurrency, 16)), r => {
     val t = new Thread(r, s"graft-queue-fetch-$queueName")
@@ -98,10 +106,15 @@ final class InMemoryQueueClient(
       val budget = maxFilesPerFetch.getOrElse(Int.MaxValue)
       while (!done && consumed < budget) {
         val received =
-          try queue.receive(math.min(ReceiveBatch, budget - consumed), visibilityTimeoutSeconds)
-          catch {
+          try {
+            val msgs =
+              queue.receive(math.min(ReceiveBatch, budget - consumed), visibilityTimeoutSeconds)
+            receiveFailureStreak.set(0) // the queue answered: streak over
+            msgs
+          } catch {
             case NonFatal(_) =>
               metrics.receiveMessageFailedCounter.increment()
+              receiveFailureStreak.incrementAndGet()
               results += ConsumeResult.ReceiveException
               done = true
               Seq.empty[QueueMessage]

@@ -48,6 +48,13 @@ trait AsyncQueueClient extends AutoCloseable {
     * round finishes (caller may stop waiting early and let it continue). */
   def asyncFetch(waitTimeoutSeconds: Long): Future[Seq[ConsumeResult]]
 
+  /** Number of fetch rounds in a row that ended in a receive failure; any
+    * round that talks to the queue successfully resets it. The source
+    * compares this against its error budget to fail the query loudly
+    * instead of letting a dead queue look like an idle (or, during an
+    * AvailableNow drain, a fully-drained) one. */
+  def consecutiveReceiveFailures: Int
+
   def deleteMessage(messageId: String): Unit
   def deleteMessageBatch(messageIds: Seq[String]): Unit
   def setMessageVisibility(messageId: String, timeoutSeconds: Int): Unit

@@ -59,6 +59,38 @@ final class RocksDBMetadataLog(
   @volatile private var version: Long = 0L
   @volatile private var latestBatch: Option[Long] = None
 
+  // O27 parity with the reference's RocksDB-side metrics
+  // (RocksDB.scala:334-381): commit-phase latencies + checkpoint bytes
+  // moved vs reused, surfaced via metricsJson at every source commit
+  private object metrics {
+    var adds = 0L
+    var addLatencyTotalMs = 0L
+    var lastAddLatencyMs = 0L
+    var checkpoints = 0L
+    var checkpointLatencyTotalMs = 0L
+    var lastCheckpointLatencyMs = 0L
+    var sstFilesUploaded = 0L
+    var sstBytesUploaded = 0L
+    var sstFilesReused = 0L
+    var sstBytesReused = 0L
+    var zipBytesWritten = 0L
+    var gcRuns = 0L
+    var versionsDeleted = 0L
+    var sstsDeleted = 0L
+  }
+
+  override def metricsJson: String = synchronized {
+    import metrics._
+    s"""{"adds":$adds,"addLatencyTotalMs":$addLatencyTotalMs,""" +
+      s""""lastAddLatencyMs":$lastAddLatencyMs,"checkpoints":$checkpoints,""" +
+      s""""checkpointLatencyTotalMs":$checkpointLatencyTotalMs,""" +
+      s""""lastCheckpointLatencyMs":$lastCheckpointLatencyMs,""" +
+      s""""sstFilesUploaded":$sstFilesUploaded,"sstBytesUploaded":$sstBytesUploaded,""" +
+      s""""sstFilesReused":$sstFilesReused,"sstBytesReused":$sstBytesReused,""" +
+      s""""zipBytesWritten":$zipBytesWritten,"gcRuns":$gcRuns,""" +
+      s""""versionsDeleted":$versionsDeleted,"sstsDeleted":$sstsDeleted}"""
+  }
+
   private val dbOptions = new Options().setCreateIfMissing(true)
   private val writeOptions = new WriteOptions().setSync(true)
   private var db: RocksDB = restore()
@@ -85,6 +117,7 @@ final class RocksDBMetadataLog(
 
   // ------------------------------------------------------------ contract
   override def add(batchId: Long, entries: Array[FileEntry]): Boolean = synchronized {
+    val t0 = System.nanoTime()
     if (db.get(batchKey(batchId)) != null) throw new GraftMetalogAddException(batchId)
     val wb = new WriteBatch()
     try {
@@ -98,6 +131,9 @@ final class RocksDBMetadataLog(
     latestBatch = Some(latestBatch.fold(batchId)(math.max(_, batchId)))
     version += 1
     checkpointToDfs()
+    metrics.adds += 1
+    metrics.lastAddLatencyMs = (System.nanoTime() - t0) / 1000000L
+    metrics.addLatencyTotalMs += metrics.lastAddLatencyMs
     true
   }
 
@@ -167,6 +203,7 @@ final class RocksDBMetadataLog(
   private def versionZip(v: Long): Path = new Path(dfsRoot, s"$v.zip")
 
   private def checkpointToDfs(): Unit = {
+    val t0 = System.nanoTime()
     val snapDir = new File(localRoot, s"snap-$version")
     val cp = Checkpoint.create(db)
     try cp.createCheckpoint(snapDir.getAbsolutePath) finally cp.close()
@@ -182,6 +219,11 @@ final class RocksDBMetadataLog(
           try { Files.copy(sst.toPath, out); out.close() }
           catch { case t: Throwable => out.cancel(); throw t }
           uploadedSsts(sst.getName) = dfsName
+          metrics.sstFilesUploaded += 1
+          metrics.sstBytesUploaded += sst.length()
+        } else {
+          metrics.sstFilesReused += 1
+          metrics.sstBytesReused += sst.length()
         }
       }
       // mutable files + metadata -> one atomic zip per version
@@ -204,10 +246,14 @@ final class RocksDBMetadataLog(
         }
         zos.finish()
         out.close()
+        metrics.zipBytesWritten += mutables.map(_.length()).sum
       } catch { case t: Throwable => out.cancel(); throw t }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(snapDir)
     }
+    metrics.checkpoints += 1
+    metrics.lastCheckpointLatencyMs = (System.nanoTime() - t0) / 1000000L
+    metrics.checkpointLatencyTotalMs += metrics.lastCheckpointLatencyMs
   }
 
   private def listVersions(): Seq[Long] =
@@ -275,8 +321,13 @@ final class RocksDBMetadataLog(
     }
     old.foreach(v => fm.delete(versionZip(v)))
     fm.list(sstDir).foreach { st =>
-      if (!referenced.contains(st.getPath.getName)) fm.delete(st.getPath)
+      if (!referenced.contains(st.getPath.getName)) {
+        fm.delete(st.getPath)
+        metrics.sstsDeleted += 1
+      }
     }
+    metrics.gcRuns += 1
+    metrics.versionsDeleted += old.size
     logInfo(s"metadata log GC: removed ${old.size} versions, kept ${keep.size}")
   }
 }

@@ -74,4 +74,17 @@ class ConnectorOptionsSpec extends AnyFunSuite {
       ConnectorOptions(base + ("queue.longPollingWaitTimeSeconds" -> "21")))
     assert(ConnectorOptions(base + ("queue.maxConcurrency" -> "900")).maxConcurrency == 200)
   }
+
+  test("fetch error budget: default, override, must be positive") {
+    assert(ConnectorOptions(base).fetchErrorBudget == 3)
+    assert(ConnectorOptions(base + ("queue.fetchErrorBudget" -> "7")).fetchErrorBudget == 7)
+    intercept[IllegalArgumentException](
+      ConnectorOptions(base + ("queue.fetchErrorBudget" -> "0")))
+  }
+
+  test("drain round timeout derives from the polling options") {
+    assert(ConnectorOptions(base).drainRoundTimeoutSeconds == 60L) // floor
+    val o = ConnectorOptions(base + ("queueFetchWaitTimeoutSeconds" -> "30"))
+    assert(o.drainRoundTimeoutSeconds == 300L)
+  }
 }

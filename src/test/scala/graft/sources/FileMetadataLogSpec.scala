@@ -57,6 +57,42 @@ class FileMetadataLogSpec extends AnyFunSuite {
     log2.close()
   }
 
+  test("compaction: restart after 25 batches reads O(1) files, state intact") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    val log1 = new FileBackedMetadataLog(dir, new Configuration())
+    (0L until 25L).foreach(i => log1.add(i, entries(i, s"p$i" -> (100L + i))))
+    log1.close()
+    val log2 = new FileBackedMetadataLog(dir, new Configuration())
+    assert(log2.lastRestoreFilesRead <= 3,
+      s"restart read ${log2.lastRestoreFilesRead} files; compaction is not bounding restart cost")
+    // the folded state is fully intact across the compact representation
+    assert(log2.getLatestBatchId.contains(24L))
+    (0L until 25L).foreach { i =>
+      assert(log2.get(i).get.head.path == s"p$i", s"batch $i lost in compaction")
+      assert(log2.getFile(s"p$i").get.batchId == i)
+    }
+    assert(log2.get(0, 24).length == 25)
+    // a fresh add on the restored log keeps working (and re-compacts later)
+    log2.add(25L, entries(25L, "p25" -> 200L))
+    assert(log2.getLatestBatchId.contains(25L))
+    log2.close()
+  }
+
+  test("compaction interleaves with purge: purged batches stay gone from the live log") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration())
+    (0L until 10L).foreach(i => log.add(i, entries(i, s"x$i" -> (10L + i))))
+    // purge everything except the latest (horizon above all timestamps)
+    log.purgeBefore(1000L)
+    assert(log.get(0).isEmpty && log.get(9).nonEmpty)
+    // next compaction serializes only the live state
+    (10L until 15L).foreach(i => log.add(i, entries(i, s"x$i" -> 2000L)))
+    val log2 = new FileBackedMetadataLog(dir, new Configuration())
+    assert(log2.get(9).nonEmpty && log2.get(12).nonEmpty)
+    assert(log2.get(0).isEmpty, "purged batch resurrected by compaction")
+    log2.close(); log.close()
+  }
+
   test("isNewFile: expiry resurrection semantics (SURVEY §2.2)") {
     withLog { (log, _) =>
       log.add(0, entries(0, "old" -> 100L))

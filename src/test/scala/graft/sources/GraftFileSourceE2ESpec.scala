@@ -174,6 +174,24 @@ class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .trigger(Trigger.AvailableNow()).start()
     assert(query.awaitTermination(60000), "AvailableNow query did not self-terminate")
     assert(spark.table("avnow").count() == 3)
+    // latestOffset path: 3 files at maxFilesPerTrigger=1 must drain in >= 3
+    // chunks (the wrapper must not pin the end offset at the first batch)
+    assert(query.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected a multi-chunk drain, got ${query.recentProgress.length} progress events")
+  }
+
+  test("AvailableNow on a dead queue fails the query, never reports a clean drain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (qn, q) = freshQueue()
+    q.failReceives = true
+    val query = streamDF(qn, Map("queue.fetchErrorBudget" -> "2"))
+      .writeStream.format("memory").queryName("deadq").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { query.awaitTermination(60000) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("consecutive queue receive failures")),
+      s"expected the error-budget failure, got: ${messages(e).mkString(" | ")}")
   }
 
   test("orc and text file formats stream through the same source") {

@@ -86,4 +86,26 @@ class InMemoryQueueSpec extends AnyFunSuite {
     assert(q.approximateSize == 1) // kept for DLQ-style debugging
     keeper.close()
   }
+
+  test("persistent receive failures build a streak; a working round resets it") {
+    val q = InMemoryQueueRegistry.queue("fetch-fail")
+    q.clear()
+    q.send("""{"path":"later","timestampMs":1}""")
+    var consumed = 0
+    val client = new InMemoryQueueClient("fetch-fail", _ => consumed.synchronized { consumed += 1 },
+      None, 60, 2, keepMessageOnConsumerError = false)
+    q.failReceives = true
+    (1 to 3).foreach { i =>
+      val res = Await.result(client.asyncFetch(10), Duration(30, TimeUnit.SECONDS))
+      assert(res == Seq(ConsumeResult.ReceiveException))
+      assert(client.consecutiveReceiveFailures == i, "each failing round extends the streak")
+    }
+    assert(client.metrics.receiveMessageFailedCounter.sum() == 3)
+    // queue recovers: the round consumes the backlog and the streak resets
+    q.failReceives = false
+    val ok = Await.result(client.asyncFetch(10), Duration(30, TimeUnit.SECONDS))
+    assert(ok.contains(ConsumeResult.Ok) && consumed == 1)
+    assert(client.consecutiveReceiveFailures == 0)
+    client.close()
+  }
 }

@@ -87,6 +87,24 @@ class RocksDBMetadataLogSpec extends AnyFunSuite {
     } finally log2.close()
   }
 
+  test("metrics: adds/checkpoints counted, SST bytes split into uploaded vs reused") {
+    withLog() { (log, _) =>
+      (0 until 6).foreach(i => log.add(i, entries(i, s"m$i" -> (100L + i))))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(log.metricsJson)
+      assert(m.get("adds").asLong() == 6)
+      assert(m.get("checkpoints").asLong() == 6)
+      assert(m.get("lastAddLatencyMs").asLong() >= 0)
+      assert(m.get("addLatencyTotalMs").asLong() >= m.get("lastAddLatencyMs").asLong())
+      assert(m.get("zipBytesWritten").asLong() > 0, "mutable files must ship every checkpoint")
+      // incremental sync: once an SST exists it is reused, not re-uploaded —
+      // across 6 checkpoints at least one flushed SST must have been reused
+      assert(m.get("sstFilesUploaded").asLong() >= 1)
+      assert(m.get("sstFilesReused").asLong() >= 1,
+        s"no SST reuse observed: ${log.metricsJson}")
+      assert(m.get("sstBytesUploaded").asLong() > 0 && m.get("sstBytesReused").asLong() > 0)
+    }
+  }
+
   test("e2e: streaming source runs with metadataLog=rocksdb and survives restart") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
