@@ -32,9 +32,16 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
 
+    var failed = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // a broken query must not silently "bench": scream, remember, move on
+      val n = try fn(spark, sfDir).count() catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          failed ::= name
+          -1L
+      }
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -52,5 +59,9 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

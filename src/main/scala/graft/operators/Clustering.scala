@@ -55,26 +55,32 @@ object Clustering {
   def embKmeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding").persist()
-    var centroids: Array[Array[Float]] = emb.orderBy($"vec_id").limit(K)
-      .collect().map(_.getSeq[Float](1).toArray)
-    for (_ <- 0 until Iters) {
-      val means = assign(emb, centroids)
-        .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cluster", $"pos")
-        .agg((sum($"x".cast(SumDec)) / count(lit(1))).cast("float").as("m"))
-        .collect()
-      val next = centroids.map(_.clone()) // empty cluster keeps its centroid
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getFloat(2)
+    try {
+      var centroids: Array[Array[Float]] = emb.orderBy($"vec_id").limit(K)
+        .collect().map(_.getSeq[Float](1).toArray)
+      for (_ <- 0 until Iters) {
+        val means = assign(emb, centroids)
+          .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
+          .groupBy($"cluster", $"pos")
+          .agg((sum($"x".cast(SumDec)) / count(lit(1))).cast("float").as("m"))
+          .collect()
+        val next = centroids.map(_.clone()) // empty cluster keeps its centroid
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getFloat(2)
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    assign(emb, centroids)
-      .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
-      .groupBy($"cluster")
-      .agg(count(lit(1)).as("n_vecs"),
-        sum($"dist2".cast(SumDec)).cast("double").as("wcss"))
-      .orderBy($"cluster")
+      // the result is K rows — land it on the driver so the scan cache can
+      // be dropped before this frame leaves the operator
+      val rows = assign(emb, centroids)
+        .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"dist2".cast(SumDec)).cast("double").as("wcss"))
+        .orderBy($"cluster")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      s.createDataFrame(rows).toDF("cluster", "n_vecs", "wcss")
+    } finally emb.unpersist()
   }
 
   /** WCSS against the deterministic init centroids (spec baseline). */
@@ -108,6 +114,13 @@ object Clustering {
   def embPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding").persist()
+    try {
+      embPqOn(s, emb)
+    } finally emb.unpersist()
+  }
+
+  private def embPqOn(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
     val stats = (0 until PqM).map { m =>
       val sdf = emb.select($"vec_id",
         slice($"embedding", m * PqSub + 1, PqSub).as("embedding"))

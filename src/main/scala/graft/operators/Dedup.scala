@@ -258,24 +258,39 @@ object Dedup {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var converged = prevSum == 0L
     var iter = 0
-    while (!converged && iter < 50) {
-      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), labels("lab"))
-        .union(labels)
-        .groupBy($"doc_id").agg(min($"lab").as("lab"))
+    try {
+      while (!converged && iter < 50) {
+        val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .select(edges("src").as("doc_id"), labels("lab"))
+          .union(labels)
+          .groupBy($"doc_id").agg(min($"lab").as("lab"))
+          .persist()
+        val newSum = prop.agg(sum($"lab")).first().getLong(0)
+        labels.unpersist()
+        labels = prop
+        converged = newSum == prevSum
+        prevSum = newSum
+        iter += 1
+      }
+      // under-merged labels would silently diverge from the transitive
+      // closure the caller (and the oracle) expects — refuse to return them
+      if (!converged) {
+        throw new IllegalStateException(
+          s"dedupClusters did not converge in $iter rounds: a component with " +
+            "diameter > 50 needs a pointer-doubling CC, not more rounds")
+      }
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy($"lab")
+      val out = labels
+        .select($"doc_id", $"lab".as("cluster_id"),
+          count(lit(1)).over(wc).as("cluster_size"))
+        .orderBy($"doc_id")
         .persist()
-      val newSum = prop.agg(sum($"lab")).first().getLong(0)
-      labels.unpersist()
-      labels = prop
-      converged = newSum == prevSum
-      prevSum = newSum
-      iter += 1
+      out.count() // materialize while labels is still cached
+      out
+    } finally {
+      edges.unpersist()
+      labels.unpersist() // the result is its own (clustered-docs-sized) cache
     }
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"lab")
-    labels
-      .select($"doc_id", $"lab".as("cluster_id"),
-        count(lit(1)).over(wc).as("cluster_size"))
-      .orderBy($"doc_id")
   }
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $ShingleCteSql,
