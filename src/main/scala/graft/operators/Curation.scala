@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Tables
+
+/** Corpus-curation operators a training-data pipeline runs before any
+  * token reaches a model: benchmark decontamination (n-gram overlap
+  * against an eval set), repetition-based quality filtering (the Gopher
+  * filters), and co-occurrence scoring over a bounded vocabulary.
+  *
+  * All three are oracle-checked: every score is either an exact integer
+  * or a single IEEE division of exact integers, so Spark and DuckDB
+  * produce bit-identical values.
+  */
+object Curation {
+
+  /** Contiguous n-grams of a token array as strings. Guarded: sequence()
+    * with a stop below its start counts DOWN, so a short doc must yield
+    * an empty array, not reversed garbage. */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+
+  /** 60-bit key of an n-gram, computable identically in DuckDB: at scale
+    * the join/shuffle carries 8 bytes instead of the gram text (the
+    * standard trick for contamination checks over TB-scale corpora); a
+    * collision would produce the same spurious pair on both engines, so
+    * the gate stays consistent, and at 2^60 the odds are irrelevant. */
+  private def gramKey(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  private def gramKeySql(g: String): String =
+    s"CAST(concat('0x', substring(md5($g), 1, 15)) AS BIGINT)"
+
+  // ----------------------------------------------------- decontamination
+  private val ContamN = 8 // gram order; 13 is standard, docs here are short
+
+  /** Benchmark contamination report: for every doc in the held-out eval
+    * slice (doc_id % 10 == 7), how many training-corpus docs share at
+    * least one [[ContamN]]-gram with it, and how many distinct grams
+    * leak. Every eval doc reports (zeros included) so the result size is
+    * the eval-set size, not data-dependent.
+    *
+    * Scale shape: both sides explode to (gram-key, doc) pairs — a pure
+    * map — then meet in ONE equi-join on the 60-bit key; the corpus is
+    * never collected or broadcast, and the distinct() before counting
+    * bounds duplicate grams within a doc. At 100 TB the corpus side is
+    * the big relation and shuffles once, partitioned by gram key. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= ContamN)
+    def explodeGrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
+      .select($"doc_id", gramKey($"g").as("gk"))
+      .distinct()
+    val bench = explodeGrams(docs.filter($"doc_id" % 10 === 7))
+      .withColumnRenamed("doc_id", "bench_id")
+    val corpus = explodeGrams(docs.filter($"doc_id" % 10 =!= 7))
+    val hits = bench.join(corpus, "gk")
+      .groupBy($"bench_id")
+      .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
+        countDistinct($"gk").as("n_shared_grams"))
+    Tables.documents(s, d).filter($"doc_id" % 10 === 7)
+      .select($"doc_id".as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select($"bench_id",
+        coalesce($"n_contaminated_docs", lit(0L)).as("n_contaminated_docs"),
+        coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"))
+      .orderBy($"bench_id")
+  }
+  val decontaminateSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${gramKeySql("g")} AS gk
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(t) - ${ContamN - 2}),
+         |                 i -> array_to_string(t[i:i+${ContamN - 1}], ' '))) AS g
+         |        FROM toks WHERE len(t) >= $ContamN)
+         |), hits AS (
+         |  SELECT b.doc_id AS bench_id,
+         |    COUNT(DISTINCT c.doc_id) AS n_contaminated_docs,
+         |    COUNT(DISTINCT b.gk) AS n_shared_grams
+         |  FROM grams b JOIN grams c ON b.gk = c.gk
+         |  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id AS bench_id,
+         |  COALESCE(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+         |  COALESCE(h.n_shared_grams, 0) AS n_shared_grams
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.bench_id
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY bench_id""".stripMargin
+
+  // ------------------------------------------------- repetition quality
+  /** Gopher-style repetition filters, per document: the fraction of all
+    * 2-grams (and 3-grams) taken by the single most frequent one, and the
+    * distinct-token fraction. High top-gram fractions flag boilerplate /
+    * looping text; low distinct fractions flag token spam. One narrow
+    * explode + two hash aggregates per order, all keyed by doc_id —
+    * embarrassingly parallel at any corpus size. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
+    def topFrac(n: Int, out: String): DataFrame = docs
+      .select($"doc_id", explode(ngrams($"t", n)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((max($"c").cast("double") / sum($"c")).as(out))
+    val distinctFrac = docs
+      .select($"doc_id", explode($"t").as("tok"))
+      .groupBy($"doc_id")
+      .agg((countDistinct($"tok").cast("double") / count(lit(1))).as("distinct_frac"))
+    topFrac(2, "top2_frac")
+      .join(topFrac(3, "top3_frac"), "doc_id")
+      .join(distinctFrac, "doc_id")
+      .orderBy($"doc_id")
+  }
+  val textRepetitionSql: String = {
+    def topFracSql(n: Int, out: String) =
+      raw"""SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS $out
+           |  FROM (SELECT doc_id, g, COUNT(*) AS c
+           |        FROM (SELECT doc_id,
+           |                unnest(list_transform(range(1, len(t) - ${n - 2}),
+           |                       i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+           |              FROM toks WHERE len(t) >= $n)
+           |        GROUP BY doc_id, g)
+           |  GROUP BY doc_id""".stripMargin
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), f2 AS (${topFracSql(2, "top2_frac")}
+         |), f3 AS (${topFracSql(3, "top3_frac")}
+         |), df AS (
+         |  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS distinct_frac
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+         |  GROUP BY doc_id)
+         |SELECT f2.doc_id, f2.top2_frac, f3.top3_frac, df.distinct_frac
+         |FROM f2 JOIN f3 ON f2.doc_id = f3.doc_id JOIN df ON f2.doc_id = df.doc_id
+         |ORDER BY f2.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- co-occurrence lift
+  private val VocabSize = 50
+  private val TopPairs = 100
+
+  /** Top co-occurring token pairs by lift = P(a,b) / (P(a)·P(b)) over
+    * document-level presence, restricted to the [[VocabSize]] highest-df
+    * tokens (PMI is the log of this; the raw ratio keeps the arithmetic
+    * to one exact-integer division so the oracle matches bitwise).
+    *
+    * Scale shape: the vocabulary is bounded by construction, so the
+    * per-doc token sets and the a<b self-join fan out to at most
+    * VocabSize²/2 pairs per doc regardless of corpus size; counting is
+    * two hash aggregates. The df ranking ties deterministically on the
+    * token string. */
+  def textCooccur(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docTok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .distinct()
+    val nDocs = Tables.documents(s, d).count()
+    val vocab = docTok.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"tok").limit(VocabSize)
+    val inVocab = docTok.join(broadcast(vocab), "tok")
+    val pairs = inVocab.as("x")
+      .join(inVocab.as("y"), $"x.doc_id" === $"y.doc_id" && $"x.tok" < $"y.tok")
+      .groupBy($"x.tok".as("tok_a"), $"y.tok".as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        first($"x.df").as("df_a"), first($"y.df").as("df_b"))
+    pairs
+      .select($"tok_a", $"tok_b", $"n_ab",
+        (($"n_ab" * nDocs).cast("double") / ($"df_a" * $"df_b")).as("lift"))
+      .orderBy($"lift".desc, $"tok_a", $"tok_b")
+      .limit(TopPairs)
+  }
+  val textCooccurSql: String =
+    raw"""WITH doctok AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT tok, COUNT(*) AS df FROM doctok GROUP BY tok
+         |  ORDER BY df DESC, tok LIMIT $VocabSize
+         |), iv AS (
+         |  SELECT dt.doc_id, dt.tok, v.df FROM doctok dt JOIN vocab v ON dt.tok = v.tok
+         |), pairs AS (
+         |  SELECT x.tok AS tok_a, y.tok AS tok_b, COUNT(*) AS n_ab,
+         |    ANY_VALUE(x.df) AS df_a, ANY_VALUE(y.df) AS df_b
+         |  FROM iv x JOIN iv y ON x.doc_id = y.doc_id AND x.tok < y.tok
+         |  GROUP BY x.tok, y.tok)
+         |SELECT tok_a, tok_b, n_ab,
+         |  CAST(n_ab * (SELECT COUNT(*) FROM documents) AS DOUBLE) / (df_a * df_b) AS lift
+         |FROM pairs
+         |ORDER BY lift DESC, tok_a, tok_b LIMIT $TopPairs""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> decontaminate _,
+    "text_repetition" -> textRepetition _,
+    "text_cooccur" -> textCooccur _,
+  )
+  val oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_cooccur" -> textCooccurSql,
+  )
+}
