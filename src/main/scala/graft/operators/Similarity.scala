@@ -158,8 +158,11 @@ object Similarity {
     * probe, candidates are corpus vectors sharing a bucket in any table
     * (equi-join on (table, bucket) — the scale path: the corpus is never
     * cross-joined or broadcast), then exact cosine ranks the candidates.
-    * Recall is probabilistic -> rows-only gate; SimilaritySpec asserts
-    * recall@5 against the brute-force baseline. */
+    * Recall vs brute force is probabilistic (spec-asserted), but the
+    * OPERATOR is deterministic: the hyperplanes are plan-time constants,
+    * so the oracle replays the identical index by embedding the same
+    * ±1 plane literals in SQL and the result is hash-gated like any
+    * exact query. */
   def annTopKLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
@@ -182,6 +185,54 @@ object Similarity {
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB replica of [[annTopKLsh]]: the 16x6 Rademacher planes are
+    * emitted as one literal list-of-lists (plane t*6+h at index t*6+h+1),
+    * bucket bits recomputed with the same left-to-right double dot, then
+    * the same (tbl, bucket) equi-join + exact cosine ranking. */
+  val annTopKLshSql: String = {
+    val tables = 16
+    val bits = 6
+    val planesLit = (0 until tables).flatMap { t =>
+      (0 until bits).map { h =>
+        (0 until 64).map(k => if (planeSign(t * 1000 + h, k) > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      }
+    }.mkString("[", ",\n         |  ", "]")
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), k -> CAST($a[k] AS DOUBLE) * $b[k]))"
+    def nrmSql(a: String) = s"sqrt(${dotSql(a, a)})"
+    raw"""WITH pl(p) AS (SELECT
+         |  $planesLit
+         |), bucketed AS (
+         |  SELECT vec_id, embedding, s.tbl, s.bucket
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      unnest(list_transform(range(0, $tables), t -> struct_pack(
+         |        tbl := t,
+         |        bucket := list_sum(list_transform(range(0, $bits), h ->
+         |          CASE WHEN ${dotSql("embedding", "p[t*6+h+1]")} >= 0
+         |               THEN (1::BIGINT << h) ELSE 0 END))
+         |      )), recursive := false) AS s
+         |    FROM embeddings CROSS JOIN pl)
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id
+         |  FROM bucketed p JOIN bucketed c USING (tbl, bucket)
+         |  WHERE p.vec_id IN ($probesOracleSql) AND c.vec_id <> p.vec_id
+         |), scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    ROUND(${dotSql("q.embedding", "e.embedding")}
+         |      / (${nrmSql("q.embedding")} * ${nrmSql("e.embedding")}), 6) AS sim
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.query_id
+         |  JOIN embeddings e ON e.vec_id = cand.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id AS neighbor_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
   }
 
   // ------------------------------------------------------------ IVF ANN
@@ -286,6 +337,6 @@ object Similarity {
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_topk_ivf" -> annTopKIvfSql,
-    // ann_topk_lsh: approximate recall -> rows-only check
+    "ann_topk_lsh" -> annTopKLshSql,
   )
 }

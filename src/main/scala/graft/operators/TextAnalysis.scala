@@ -86,13 +86,41 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"))
 
   /** Heuristic language ID: stopword hit-rate per language plus a CJK
-    * character-ratio channel; deterministic argmax (score desc, language
-    * code asc). A real pipeline swaps in fastText/CLD3 — the operator
-    * shape (one scored projection, no shuffle) is what matters at scale.
-    * Not SQL-expressible concisely -> rows-only gate; accuracy asserted on
-    * planted multilingual snippets in TextAnalysisSpec. */
+    * character-ratio channel; deterministic argmax (score desc, ties to
+    * the lexicographically-last language code — the order sort_array
+    * descending yields). A real pipeline swaps in fastText/CLD3 — the
+    * operator shape (one scored projection, no shuffle) is what matters
+    * at scale. Every score is an exact integer ratio, so despite being a
+    * heuristic the operator is fully oracle-checkable; accuracy is
+    * additionally asserted on planted multilingual snippets in spec. */
   def textLangId(s: SparkSession, d: String): DataFrame =
     langId(Tables.documents(s, d))
+
+  val textLangIdSql: String = {
+    def hitSql(words: Seq[String]): String = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS DOUBLE) / len(toks)"
+    }
+    val scored = (langStops.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"struct_pack(score := ${hitSql(words)}, lang := '$lang')"
+    } :+ ("struct_pack(score := 3 * CAST(LENGTH(text) - LENGTH(regexp_replace(text, " +
+      "'[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / LENGTH(text), lang := 'zh')"))
+      .mkString(",\n         |      ")
+    raw"""WITH scored AS (
+         |  SELECT doc_id, unnest([
+         |      $scored
+         |    ], recursive := false) AS s
+         |  FROM (SELECT doc_id, text,
+         |          string_split_regex(trim(lower(text)), '\s+') AS toks
+         |        FROM documents)
+         |), ranked AS (
+         |  SELECT doc_id, s.lang AS pred_lang, ROUND(s.score, 6) AS confidence,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY s.score DESC, s.lang DESC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, pred_lang, confidence FROM ranked WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+  }
 
   /** Core scorer, parameterized by input for testability on planted docs. */
   def langId(docs: DataFrame): DataFrame = {
@@ -124,6 +152,6 @@ object TextAnalysis {
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint_groups" -> textFingerprintGroupsSql,
-    // text_lang_id: heuristic, rows-only
+    "text_lang_id" -> textLangIdSql,
   )
 }
