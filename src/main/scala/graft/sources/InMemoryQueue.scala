@@ -23,6 +23,10 @@ final class InMemoryQueue(val name: String) {
     * endpoint outage for error-budget tests. */
   @volatile var failReceives: Boolean = false
 
+  /** Chaos hook: while true, the batch-delete endpoint throws (entries
+    * untouched) — exercises the client's per-message fallback. */
+  @volatile var failBatchDeletes: Boolean = false
+
   def send(body: String): String = synchronized {
     val id = UUID.randomUUID().toString
     byId.put(id, Stored(QueueMessage(id, body), 0L))
@@ -47,6 +51,13 @@ final class InMemoryQueue(val name: String) {
   }
 
   def delete(messageId: String): Boolean = synchronized { byId.remove(messageId) != null }
+
+  /** SQS DeleteMessageBatch shape: one call, per-entry outcomes (an
+    * unknown id is a failed ENTRY, not a failed CALL). */
+  def deleteBatch(messageIds: Seq[String]): Map[String, Boolean] = synchronized {
+    if (failBatchDeletes) throw new RuntimeException(s"injected batch-delete failure on '$name'")
+    messageIds.map(id => id -> (byId.remove(id) != null)).toMap
+  }
 
   def changeVisibility(messageId: String, timeoutSeconds: Int): Boolean = synchronized {
     val s = byId.get(messageId)
@@ -164,8 +175,22 @@ final class InMemoryQueueClient(
     else metrics.deleteMessageFailedCounter.increment()
   }
 
+  /** Batch delete in SQS-sized chunks of 10 with the reference's
+    * partial-failure discipline (AsyncSqsClientImpl.scala:238-289): a
+    * failed ENTRY is counted and dropped (the message redelivers and is
+    * re-acked later), while a failed CALL falls back to per-message
+    * deletes so one broken batch endpoint can't strand a whole chunk. */
   override def deleteMessageBatch(messageIds: Seq[String]): Unit =
-    messageIds.grouped(ReceiveBatch).foreach(_.foreach(deleteMessage))
+    messageIds.grouped(ReceiveBatch).foreach { chunk =>
+      try {
+        queue.deleteBatch(chunk).foreach { case (_, ok) =>
+          if (ok) metrics.deleteMessageCounter.increment()
+          else metrics.deleteMessageFailedCounter.increment()
+        }
+      } catch {
+        case NonFatal(_) => chunk.foreach(deleteMessage)
+      }
+    }
 
   override def setMessageVisibility(messageId: String, timeoutSeconds: Int): Unit = {
     if (queue.changeVisibility(messageId, timeoutSeconds)) metrics.setVisibilityCounter.increment()

@@ -87,6 +87,26 @@ class InMemoryQueueSpec extends AnyFunSuite {
     keeper.close()
   }
 
+  test("batch delete: chunked, partial entry failures counted, call failure falls back") {
+    val q = InMemoryQueueRegistry.queue("batch-del")
+    q.clear()
+    val ids = (1 to 25).map(i => q.send(s"""{"path":"d$i","timestampMs":$i}"""))
+    val client = new InMemoryQueueClient("batch-del", _ => (),
+      None, 60, 2, keepMessageOnConsumerError = false)
+    // one unknown id in the middle: a failed ENTRY, not a failed call
+    client.deleteMessageBatch(ids.take(10) :+ "no-such-id")
+    assert(client.metrics.deleteMessageCounter.sum() == 10)
+    assert(client.metrics.deleteMessageFailedCounter.sum() == 1)
+    assert(q.approximateSize == 15)
+    // batch endpoint down: per-message fallback still clears the queue
+    q.failBatchDeletes = true
+    client.deleteMessageBatch(ids.drop(10))
+    assert(q.approximateSize == 0)
+    assert(client.metrics.deleteMessageCounter.sum() == 25)
+    q.failBatchDeletes = false
+    client.close()
+  }
+
   test("persistent receive failures build a streak; a working round resets it") {
     val q = InMemoryQueueRegistry.queue("fetch-fail")
     q.clear()
