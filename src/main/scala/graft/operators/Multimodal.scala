@@ -85,14 +85,63 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Resize planning + content-addressed verification: target dims
+    * shrink the manifest dims so the long side is 256 (aspect preserved,
+    * pure integer arithmetic), the payload is cut to the matching area
+    * fraction, and a sha-256 prefix content-addresses the result — the
+    * dedup/caching key a real media pipeline stores next to the resized
+    * asset. The "pixel" transform is the deterministic stand-in (cut by
+    * characters so the oracle can replay it); a real resample plugs into
+    * the same row shape. Pure map, no shuffle, oracle-checked bitwise. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resized = mmManifest(s, d)
+      .join(Tables.documents(s, d).select($"doc_id", $"text", $"n_chars"), "doc_id")
+      // products stay far below 2^53, so double division + truncation is
+      // exact integer division on both engines
+      .withColumn("new_w",
+        when($"width" >= $"height", lit(256L))
+          .otherwise(greatest(lit(1L), ($"width" * 256 / $"height").cast("long"))))
+      .withColumn("new_h",
+        when($"width" >= $"height", greatest(lit(1L), ($"height" * 256 / $"width").cast("long")))
+          .otherwise(lit(256L)))
+      .withColumn("chars_kept",
+        greatest(lit(1L),
+          ($"n_chars" * ($"new_w" * $"new_h") / ($"width" * $"height")).cast("long")))
+    resized
+      .select($"doc_id", $"width", $"height", $"new_w", $"new_h", $"chars_kept",
+        substring(sha2(encode(expr("substring(text, 1, chars_kept)"), "UTF-8"), 256), 1, 16)
+          .as("content_key"))
+      .orderBy($"doc_id")
+  }
+  val mmResizeSql: String =
+    """SELECT doc_id, width, height, new_w, new_h, chars_kept,
+      |  substring(sha256(substring(text, 1, chars_kept::INT)), 1, 16) AS content_key
+      |FROM (
+      |  SELECT doc_id, text, width, height, new_w, new_h,
+      |    greatest(1, n_chars * (new_w * new_h) // (width * height)) AS chars_kept
+      |  FROM (
+      |    SELECT doc_id, text, n_chars, width, height,
+      |      CASE WHEN width >= height THEN 256
+      |           ELSE greatest(1, width * 256 // height) END AS new_w,
+      |      CASE WHEN width >= height THEN greatest(1, height * 256 // width)
+      |           ELSE 256 END AS new_h
+      |    FROM (SELECT doc_id, text, n_chars,
+      |            (n_chars % 64 + 1) * 16 AS width,
+      |            ((n_chars // 64) % 64 + 1) * 16 AS height
+      |          FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest" -> mmManifest _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_features" -> mmDecodeFeatures _,
+    "mm_resize" -> mmResize _,
   )
   val oracles: Map[String, String] = Map(
     "mm_manifest" -> mmManifestSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql,
     // mm_decode_features: stubbed decode, rows-only
   )
 }

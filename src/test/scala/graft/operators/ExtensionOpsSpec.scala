@@ -153,6 +153,20 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh"))
   }
 
+  test("mm_resize preserves aspect ratio with the long side pinned to 256") {
+    val rows = Multimodal.mmResize(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      val (nw, nh) = (r.getLong(3), r.getLong(4))
+      assert(math.max(nw, nh) == 256, s"long side must become 256: $r")
+      // aspect preserved within integer truncation: nw/nh ~ w/h
+      val expect = if (w >= h) h * 256 / w else w * 256 / h
+      assert(math.min(nw, nh) == math.max(1, expect), s"aspect lost: $r")
+      assert(r.getLong(5) >= 1 && r.getString(6).length == 16)
+    }
+  }
+
   test("stub decoder features are deterministic and match payload bytes") {
     val f = Multimodal.StubDecoder.decode("abc".getBytes("UTF-8"))
     assert(f.nBytes == 3 && f.headByte == 'a'.toInt)
