@@ -22,3 +22,6 @@ class GraftReprocessDryRunException(fileCount: Int)
 class GraftReprocessLockExistsException(lockPath: String)
   extends GraftSourceException(
     s"reprocess lock $lockPath exists; a previous reprocess ran against this checkpoint - delete the lock to proceed")
+
+class GraftNoCredentialsException(reason: String)
+  extends GraftSourceException(s"unable to resolve queue credentials - $reason")
