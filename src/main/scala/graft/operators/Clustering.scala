@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
 import graft.queries.Tables
@@ -15,10 +14,17 @@ import graft.queries.Tables
   *    [[VectorOps.dotf]] kernel against a broadcast literal centroid;
   *    argmin = array_min over (score, k) structs, ties to the lowest k.
   *    No UDF, no driver loop over rows — one narrow map per iteration.
-  *  - Centroid update is a (cluster, dim) hash aggregate with exact
-  *    decimal sums, so the new centroids do not depend on partitioning
-  *    or aggregation order (a plain double mean would drift run-to-run
-  *    and break the gate's hash check).
+  *  - Centroid update is a (cluster, dim) hash aggregate over FIXED-POINT
+  *    coordinates: each x quantizes to round(x·2²⁰) (exact — a ×2²⁰ is an
+  *    exponent shift, so the double is exact and only `round` discretizes),
+  *    sums as BIGINT (exact, order-free), and divides back once in double.
+  *    The new centroids therefore do not depend on partitioning or
+  *    aggregation order (a plain double mean would drift run-to-run and
+  *    break the gate's hash check), and every arithmetic step is a single
+  *    IEEE operation both engines perform identically — which is what lets
+  *    an ITERATIVE clustering loop be DuckDB-oracle-checked at all.
+  *  - WCSS totals the same way: per-row dist² rounds to integer
+  *    micro-units, sums exactly, divides once.
   *  - Only K×D numbers ever reach the driver per iteration.
   *
   * At 100 TB the same loop holds: the scan dominates, each iteration is
@@ -30,7 +36,10 @@ import graft.queries.Tables
 object Clustering {
   private val K = 10
   private val Iters = 3
-  private val SumDec = DecimalType(28, 10)
+  /** 2^20: quantization step for exact fixed-point centroid sums. */
+  private val Q = 1048576.0
+  /** Micro-units for exact WCSS totals. */
+  private val Micro = 1e6
 
   private def norm2(c: Array[Float]): Double = {
     var acc = 0.0; var i = 0
@@ -51,7 +60,26 @@ object Clustering {
       .drop("best")
   }
 
-  /** Final per-cluster stats: size and exact WCSS (decimal-summed). */
+  /** One Lloyd update: fixed-point (cluster, dim) means; clusters absent
+    * from the assignment keep their previous centroid. */
+  private def updated(assigned: DataFrame, centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    import assigned.sparkSession.implicits._
+    val means = assigned
+      .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos")
+      .agg((sum(round($"x".cast("double") * Q).cast("long")).cast("double")
+        / (count(lit(1)) * Q)).cast("float").as("m"))
+      .collect()
+    val next = centroids.map(_.clone())
+    means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    next
+  }
+
+  /** Exact micro-unit sum of the per-row squared distance, as a double. */
+  private def wcssAgg = (sum(round((VectorOps.dotf(col("embedding"), col("embedding"))
+    + col("score")) * Micro).cast("long")).cast("double") / Micro)
+
+  /** Final per-cluster stats: size and exact (micro-summed) WCSS. */
   def embKmeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding").persist()
@@ -59,24 +87,13 @@ object Clustering {
       var centroids: Array[Array[Float]] = emb.orderBy($"vec_id").limit(K)
         .collect().map(_.getSeq[Float](1).toArray)
       for (_ <- 0 until Iters) {
-        val means = assign(emb, centroids)
-          .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
-          .groupBy($"cluster", $"pos")
-          .agg((sum($"x".cast(SumDec)) / count(lit(1))).cast("float").as("m"))
-          .collect()
-        val next = centroids.map(_.clone()) // empty cluster keeps its centroid
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getFloat(2)
-        }
-        centroids = next
+        centroids = updated(assign(emb, centroids), centroids)
       }
       // the result is K rows — land it on the driver so the scan cache can
       // be dropped before this frame leaves the operator
       val rows = assign(emb, centroids)
-        .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
         .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum($"dist2".cast(SumDec)).cast("double").as("wcss"))
+        .agg(count(lit(1)).as("n_vecs"), wcssAgg.as("wcss"))
         .orderBy($"cluster")
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
       s.createDataFrame(rows).toDF("cluster", "n_vecs", "wcss")
@@ -88,10 +105,58 @@ object Clustering {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val init = emb.orderBy($"vec_id").limit(K).collect().map(_.getSeq[Float](1).toArray)
-    assign(emb, init)
-      .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
-      .agg(sum($"dist2".cast(SumDec)).cast("double")).head.getDouble(0)
+    assign(emb, init).agg(wcssAgg).head.getDouble(0)
   }
+
+  // ------------------------------------------------------ oracle SQL
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** CTE chain replaying `iters` fixed-point Lloyd rounds over `emb$tag`
+    * (columns vec_id, embedding), ending in centroid table `cent${iters}$tag`
+    * and assignment view `fin$tag` (vec_id, embedding, k, s). */
+  private def lloydSql(k: Int, iters: Int, dim: Int, tag: String): String = {
+    def assignSql(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, embedding, k, s FROM (
+         |    SELECT e.vec_id, e.embedding, c.k,
+         |      ${dotSql("c.cv", "c.cv")} - 2.0 * ${dotSql("e.embedding", "c.cv")} AS s,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotSql("c.cv", "c.cv")} - 2.0 * ${dotSql("e.embedding", "c.cv")}, c.k) AS rn
+         |    FROM emb$tag e CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    val init =
+      s"""cent0$tag AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding AS cv
+         |  FROM emb$tag ORDER BY vec_id LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      s"""${assignSql(s"cent${it - 1}$tag", s"asg$it$tag")},
+         |upd$it$tag AS (
+         |  SELECT k, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT k, pos,
+         |      CAST(CAST(sum(q) AS DOUBLE) / (count(*) * $Q) AS REAL) AS m
+         |    FROM (
+         |      SELECT a.k, i.pos,
+         |        CAST(round(CAST(a.embedding[i.pos] AS DOUBLE) * $Q) AS BIGINT) AS q
+         |      FROM asg$it$tag a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) i)
+         |    GROUP BY k, pos)
+         |  GROUP BY k),
+         |cent$it$tag AS (
+         |  SELECT c.k, COALESCE(u.cv, c.cv) AS cv
+         |  FROM cent${it - 1}$tag c LEFT JOIN upd$it$tag u USING (k))""".stripMargin
+    }
+    (init +: rounds).mkString(",\n") + ",\n" + assignSql(s"cent$iters$tag", s"fin$tag")
+  }
+
+  private def wcssSql(row: String) =
+    s"CAST(sum(CAST(round((${dotSql(s"$row.embedding", s"$row.embedding")} + $row.s) * ${Micro}) AS BIGINT)) AS DOUBLE) / ${Micro}"
+
+  val embKmeansSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${lloydSql(K, Iters, 64, "")}
+       |SELECT f.k AS cluster, count(*) AS n_vecs,
+       |  ${wcssSql("f")} AS wcss
+       |FROM fin f GROUP BY f.k ORDER BY cluster""".stripMargin
 
   // --------------------------------------------------------------- PQ
   private val PqM = 4          // subspaces
@@ -101,7 +166,7 @@ object Clustering {
 
   /** Product quantization: an independent K-code codebook per subspace,
     * trained with the same deterministic Lloyd loop as [[embKmeans]]
-    * (codegen'd assignment, decimal-exact centroid updates). A 64-dim
+    * (codegen'd assignment, fixed-point-exact centroid updates). A 64-dim
     * float vector compresses to M=4 4-bit codes — 256 B → 2 B, the
     * memory step that lets IVF-PQ indexes hold billions of vectors in
     * RAM at 100 TB corpus scale. Output: per-subspace code usage and
@@ -127,19 +192,11 @@ object Clustering {
       var codebook: Array[Array[Float]] = sdf.orderBy($"vec_id").limit(PqK)
         .collect().map(_.getSeq[Float](1).toArray)
       for (_ <- 0 until PqIters) {
-        val means = assign(sdf, codebook)
-          .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
-          .groupBy($"cluster", $"pos")
-          .agg((sum($"x".cast(SumDec)) / count(lit(1))).cast("float").as("m"))
-          .collect()
-        val next = codebook.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
-        codebook = next
+        codebook = updated(assign(sdf, codebook), codebook)
       }
       val agg = assign(sdf, codebook)
-        .withColumn("dist2", VectorOps.dotf($"embedding", $"embedding") + $"score")
         .agg(countDistinct($"cluster").as("codes_used"),
-          sum($"dist2".cast(SumDec)).cast("double").as("sq_err"),
+          wcssAgg.as("sq_err"),
           count(lit(1)).as("n_vecs"))
         .head()
       (m, agg.getLong(0), agg.getDouble(1), agg.getLong(2))
@@ -151,11 +208,31 @@ object Clustering {
       .orderBy($"subspace")
   }
 
+  val embPqSql: String = {
+    val subs = (0 until PqM).map { m =>
+      s"""emb$m AS (SELECT vec_id, embedding[${m * PqSub + 1}:${(m + 1) * PqSub}] AS embedding
+         |  FROM embeddings),
+         |${lloydSql(PqK, PqIters, PqSub, m.toString)}""".stripMargin
+    }
+    val selects = (0 until PqM).map { m =>
+      s"""SELECT $m AS subspace, count(DISTINCT f.k) AS codes_used,
+         |  ${wcssSql("f")} AS sq_err,
+         |  count(*) AS n_vecs, CAST(128.0 AS DOUBLE) AS compression_x
+         |FROM fin$m f""".stripMargin
+    }
+    s"WITH ${subs.mkString(",\n")}\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY subspace"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
     "emb_pq" -> embPq _,
   )
-  /** No oracle: iterative clustering is not SQL-expressible; the spec
-    * asserts determinism, partition-count invariance, and WCSS descent. */
-  val oracles: Map[String, String] = Map.empty
+  /** Full DuckDB replicas of both Lloyd loops: fixed-point arithmetic
+    * makes every step a single identical IEEE operation on both engines,
+    * so even iterative clustering is hash-gated. */
+  val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> embKmeansSql,
+    "emb_pq" -> embPqSql,
+  )
 }
