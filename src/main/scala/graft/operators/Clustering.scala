@@ -34,8 +34,8 @@ import graft.queries.Tables
   * changing the iteration shape).
   */
 object Clustering {
-  private val K = 10
-  private val Iters = 3
+  private[operators] val K = 10
+  private[operators] val Iters = 3
   /** 2^20: quantization step for exact fixed-point centroid sums. */
   private val Q = 1048576.0
   /** Micro-units for exact WCSS totals. */
@@ -48,7 +48,7 @@ object Clustering {
   }
 
   /** Adds `cluster` (argmin centroid) and `score` (|c|² − 2·x·c). */
-  private def assign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  private[operators] def assign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, k) =>
       struct(
         (lit(norm2(c)) - lit(2.0) * VectorOps.dotf(col("embedding"), lit(c))).as("s"),
@@ -62,7 +62,7 @@ object Clustering {
 
   /** One Lloyd update: fixed-point (cluster, dim) means; clusters absent
     * from the assignment keep their previous centroid. */
-  private def updated(assigned: DataFrame, centroids: Array[Array[Float]]): Array[Array[Float]] = {
+  private[operators] def updated(assigned: DataFrame, centroids: Array[Array[Float]]): Array[Array[Float]] = {
     import assigned.sparkSession.implicits._
     val means = assigned
       .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
@@ -109,13 +109,13 @@ object Clustering {
   }
 
   // ------------------------------------------------------ oracle SQL
-  private def dotSql(a: String, b: String) =
+  private[operators] def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   /** CTE chain replaying `iters` fixed-point Lloyd rounds over `emb$tag`
     * (columns vec_id, embedding), ending in centroid table `cent${iters}$tag`
     * and assignment view `fin$tag` (vec_id, embedding, k, s). */
-  private def lloydSql(k: Int, iters: Int, dim: Int, tag: String): String = {
+  private[operators] def lloydSql(k: Int, iters: Int, dim: Int, tag: String): String = {
     def assignSql(cent: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, embedding, k, s FROM (

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorOps
+import graft.queries.Tables
+
+/** Second-generation dedup operators: segment-level boilerplate removal
+  * (the line-level dedup of RefinedWeb/CCNet, adapted to this corpus's
+  * newline-free text) and SemDedup-style semantic dedup bounded by k-means
+  * clusters. Both fully DuckDB-oracle-checked — including the embedded
+  * Lloyd loop, replayed via [[Clustering.lloydSql]].
+  */
+object Dedup2 {
+
+  // ------------------------------------------------ segment-level dedup
+  private val SegLen = 4   // tokens per non-overlapping segment
+  private val HotDf = 2    // segments in >= HotDf distinct docs are boilerplate
+
+  /** 60-bit md5 key, computable identically in DuckDB (same trick as
+    * Curation.gramKey): the cross-corpus shuffle carries 8 bytes per
+    * segment, never the text. */
+  private def segKey(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Cross-document boilerplate removal: split every document into
+    * non-overlapping [[SegLen]]-token segments, count each segment's
+    * distinct-document frequency corpus-wide, and strip segments occurring
+    * in >= [[HotDf]] documents (headers, footers, license blurbs — text
+    * whose EXACT form repeats across documents). Outputs per-doc segment
+    * counts and the cleaned text with survivors rejoined in order.
+    *
+    * Scale shape: the frequency count shuffles 8-byte keys only; the hot
+    * set (boilerplate is rare by volume) broadcasts back against the
+    * segment stream, so document text moves exactly once — into the
+    * per-doc reassembly shuffle, which is keyed by doc_id and therefore
+    * embarrassingly parallel. No self-join, no all-pairs anything. */
+  def dedupSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("t"))
+      .select($"doc_id", posexplode(
+        // Column./ is double division — floor+cast back for sequence()'s
+        // integral bound
+        transform(sequence(lit(0), floor((size($"t") - 1) / SegLen).cast("int")),
+          i => array_join(slice($"t", i * SegLen + 1, lit(SegLen)), " ")))
+        .as(Seq("idx", "seg")))
+      .withColumn("k", segKey($"seg"))
+    val hot = segs.groupBy($"k")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= HotDf)
+      .select($"k", lit(true).as("hot"))
+    segs.join(broadcast(hot), Seq("k"), "left")
+      .withColumn("drop", coalesce($"hot", lit(false)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"drop", 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(!$"drop", struct($"idx", $"seg")))),
+          x => x("seg")), " "), lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+  val dedupSegmentsSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), segs AS (
+         |  SELECT doc_id, s.idx, s.seg,
+         |    CAST(concat('0x', substring(md5(s.seg), 1, 15)) AS BIGINT) AS k
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, (len(t) - 1) // $SegLen + 1),
+         |        i -> struct_pack(idx := i,
+         |               seg := array_to_string(t[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')))) AS s
+         |    FROM toks)
+         |), hot AS (
+         |  SELECT k FROM segs GROUP BY k HAVING COUNT(DISTINCT doc_id) >= $HotDf
+         |)
+         |SELECT doc_id, COUNT(*) AS n_segments,
+         |  CAST(SUM(CASE WHEN hot.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  COALESCE(string_agg(CASE WHEN hot.k IS NULL THEN seg END, ' ' ORDER BY idx), '')
+         |    AS clean_text
+         |FROM segs LEFT JOIN hot ON segs.k = hot.k
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- SemDedup
+  /** Production threshold is ~0.95+; the synthetic fixture's vectors are
+    * near-orthogonal (max pairwise cosine ~0.51), so the gate runs at a
+    * fixture-aggressive 0.35 to exercise the drop path. */
+  private val SemTheta = 0.35
+
+  /** SemDedup (semantic dedup): cluster embeddings with the deterministic
+    * Lloyd loop from [[Clustering]], then compare pairs ONLY within a
+    * cluster and drop every vector that has a lower-id neighbor with
+    * cosine >= theta. The clustering bounds the pairwise work to
+    * sum_k(n_k²) instead of n² — the property that makes semantic dedup
+    * tractable at corpus scale (with K scaled so n/K stays bounded, e.g.
+    * K ~ n/10k; the loop shape is unchanged). Cosine is 6dp-rounded
+    * before the threshold so the verdict is engine-independent.
+    *
+    * Output: every vector with its cluster and keep verdict — the frame a
+    * pipeline would semi-join its corpus against. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOn(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  private[operators] def semDedupOn(s: SparkSession, embIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = embIn.persist()
+    try {
+      var centroids: Array[Array[Float]] = emb.orderBy($"vec_id").limit(Clustering.K)
+        .collect().map(_.getSeq[Float](1).toArray)
+      for (_ <- 0 until Clustering.Iters) {
+        centroids = Clustering.updated(Clustering.assign(emb, centroids), centroids)
+      }
+      val assigned = Clustering.assign(emb, centroids)
+        .withColumn("vn", VectorOps.normf($"embedding"))
+        .select($"vec_id", $"embedding", $"vn", $"cluster")
+        .persist()
+      try {
+        val dropped = assigned.as("a")
+          .join(assigned.as("b"),
+            $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+          .filter(round(VectorOps.dotf($"a.embedding", $"b.embedding")
+            / ($"a.vn" * $"b.vn"), 6) >= SemTheta)
+          .select($"b.vec_id".as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .select($"vec_id", $"cluster",
+            coalesce(!$"dup", lit(true)).as("is_kept"))
+          .orderBy($"vec_id")
+      } finally assigned.unpersist()
+    } finally emb.unpersist()
+  }
+  val semDedupSql: String = {
+    import Clustering.{dotSql, lloydSql}
+    def nrm(a: String) = s"sqrt(${dotSql(a, a)})"
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${lloydSql(Clustering.K, Clustering.Iters, 64, "")},
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM fin a JOIN fin b ON a.k = b.k AND a.vec_id < b.vec_id
+       |  WHERE round(${dotSql("a.embedding", "b.embedding")}
+       |          / (${nrm("a.embedding")} * ${nrm("b.embedding")}), 6) >= $SemTheta
+       |)
+       |SELECT f.vec_id, f.k AS cluster, dr.vec_id IS NULL AS is_kept
+       |FROM fin f LEFT JOIN dropped dr ON f.vec_id = dr.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_segments" -> dedupSegments _,
+    "semdedup" -> semDedup _,
+  )
+  val oracles: Map[String, String] = Map(
+    "dedup_segments" -> dedupSegmentsSql,
+    "semdedup" -> semDedupSql,
+  )
+}

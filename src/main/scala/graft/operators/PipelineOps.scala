@@ -262,6 +262,41 @@ object PipelineOps {
          |  COUNT(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ training order
+  private val OrderSeed = "epoch1"
+  private val NShards = 8
+
+  /** Deterministic training-order layout: every document hashes (with an
+    * epoch seed) to a 60-bit key; the key's low bits pick one of
+    * [[NShards]] shards and the key orders documents WITHIN each shard.
+    * That is exactly how shuffled training shards are laid out at scale —
+    * and deliberately NOT a global row_number, which would funnel the
+    * corpus through one window task. Per-shard windows run in parallel;
+    * changing the seed reshuffles everything reproducibly.
+    *
+    * Output: doc pointer, shard, position-in-shard — the manifest a data
+    * loader consumes. */
+  def trainOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = conv(substring(md5(concat(lit(OrderSeed + ":"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", key.as("k"))
+      .withColumn("shard", pmod($"k", lit(NShards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shard").orderBy($"k", $"doc_id")))
+      .select($"doc_id", $"source", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+  val trainOrderSql: String =
+    s"""SELECT doc_id, source, shard, CAST(pos AS INT) AS pos FROM (
+       |  SELECT doc_id, source, k % $NShards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k % $NShards ORDER BY k, doc_id) AS pos
+       |  FROM (SELECT doc_id, source,
+       |          CAST(concat('0x', substring(md5(concat('$OrderSeed:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+       |        FROM documents))
+       |ORDER BY shard, pos""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "split_train_val" -> splitTrainVal _,
@@ -271,6 +306,7 @@ object PipelineOps {
     "emb_quantize_int8" -> embQuantizeInt8 _,
     "mix_weighted_sample" -> mixWeightedSample _,
     "corpus_stats" -> corpusStats _,
+    "train_order" -> trainOrder _,
   )
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
@@ -280,5 +316,6 @@ object PipelineOps {
     "emb_quantize_int8" -> embQuantizeInt8Sql,
     "mix_weighted_sample" -> mixWeightedSampleSql,
     "corpus_stats" -> corpusStatsSql,
+    "train_order" -> trainOrderSql,
   )
 }
