@@ -17,11 +17,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Built-in `functions._` cannot express the per-bit vote accumulation,
   * so this is the (b)-tier custom-Expression path (SURVEY §7.2). The
-  * token hash is Spark's own XXH64 (same core as `xxhash64`), and
-  * `doGenCode` emits a static call so the expression stays inside
-  * whole-stage codegen spans.
+  * token hash is the first 64 bits of md5 — a hash BOTH engines can
+  * compute, which is what lets the whole simhash pipeline (votes,
+  * signature, chunk banding, hamming verify) be replayed in DuckDB and
+  * hash-gated instead of spec-only. `doGenCode` emits a static call so
+  * the expression stays inside whole-stage codegen spans.
   */
 object SimHash {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes, big-endian — the bit pattern DuckDB gets from
+    * `CAST(concat('0x', substring(md5(tok), 1, 16)) AS UBIGINT)`. */
+  def tokenHash64(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xffL); i += 1 }
+    out
+  }
+
   /** Static implementation shared by interpreted eval and codegen. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -29,9 +48,7 @@ object SimHash {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h = tokenHash64(arr.getUTF8String(i).getBytes)
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1

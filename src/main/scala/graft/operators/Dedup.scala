@@ -233,6 +233,37 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** DuckDB replay of the full simhash pipeline — possible because the
+    * per-token hash is an md5 prefix (SimHash.tokenHash64), not a
+    * JVM-only hash: UBIGINT carries the unsigned 64-bit signature, bit_or
+    * assembles the sign vector, and bit_count(xor) is the hamming
+    * verify. */
+  val dedupSimhashSql: String =
+    raw"""WITH th AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |        FROM documents)
+         |), sig AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << bit ELSE 0::UBIGINT END) AS h
+         |  FROM (
+         |    SELECT doc_id, b.bit,
+         |      SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |    FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+         |    GROUP BY doc_id, b.bit)
+         |  GROUP BY doc_id
+         |), chunks AS (
+         |  SELECT doc_id, h, c.ci, (h >> (16 * c.ci)) & 65535 AS cv
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) c
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs
+         |WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+
   // --------------------------------------------- connected components
   /** Cluster the exact-verified near-dup pairs into connected components
     * (a pair list alone under-merges: A~B and B~C must collapse into one
@@ -325,7 +356,7 @@ object Dedup {
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
-    // dedup_simhash: intentionally no oracle (not SQL-expressible)
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_cc" -> dedupClustersSql,
   )
 }
