@@ -142,16 +142,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- unigram perplexity
+  /** CCNet-style LM quality scoring, with the LM trained on the corpus
+    * itself: a unigram model P(tok) = cnt/total, and each document scored
+    * by its mean negative log-likelihood (avg nats/token — monotone in
+    * perplexity). Unusually HIGH scores are rare-token soup, unusually
+    * LOW scores are boilerplate of ultra-common tokens; CCNet buckets a
+    * corpus into head/middle/tail exactly this way.
+    *
+    * Scale shape: the LM is one hash aggregate (vocab-sized); scoring
+    * joins tokens to the vocab — broadcast here, a shuffle equi-join at
+    * web-scale vocabularies — then one per-doc aggregate. Document text
+    * never moves.
+    *
+    * Engine parity: each token's ln rounds to integer MICRO-NATS before
+    * the per-doc sum, so the sum is exact and order-free (a raw double
+    * sum would depend on partitioning), and a last-ulp difference between
+    * the two engines' `ln` is absorbed by the rounding. One division at
+    * the end. */
+  def textPerplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    toks.join(broadcast(vocab), "tok")
+      .withColumn("nll_micro",
+        -round(log($"cnt".cast("double") / lit(total.toDouble)) * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum($"nll_micro").cast("double") / (count(lit(1)) * 1e6)).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+  val textPerplexitySql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+         |), scored AS (
+         |  SELECT t.doc_id,
+         |    -CAST(round(ln(CAST(v.cnt AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)) * 1000000.0) AS BIGINT) AS nll_micro
+         |  FROM toks t JOIN vocab v ON t.tok = v.tok
+         |)
+         |SELECT doc_id, COUNT(*) AS n_toks,
+         |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint_groups" -> textFingerprintGroups _,
     "text_lang_id" -> textLangId _,
+    "text_perplexity" -> textPerplexity _,
   )
   val oracles: Map[String, String] = Map(
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint_groups" -> textFingerprintGroupsSql,
     "text_lang_id" -> textLangIdSql,
+    "text_perplexity" -> textPerplexitySql,
   )
 }

@@ -74,6 +74,30 @@ class Dedup2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(!_._2) == 1, "nothing else qualifies as a semantic dup")
   }
 
+  test("new ops keep their scale shapes: broadcast hot set, no cartesian, sharded windows") {
+    val seg = Dedup2.dedupSegments(spark, sf).queryExecution.executedPlan.toString
+    assert(seg.contains("BroadcastHashJoin") || seg.contains("BroadcastExchange"),
+      s"hot-segment set must broadcast, not shuffle the corpus:\n$seg")
+    val sem = Dedup2.semDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(!sem.contains("CartesianProduct") && !sem.contains("BroadcastNestedLoopJoin"),
+      s"semdedup must pair only within clusters via equi-join:\n$sem")
+    val ord = PipelineOps.trainOrder(spark, sf).queryExecution.executedPlan.toString
+    assert(!ord.contains("SinglePartition"),
+      s"training order must never funnel through one window partition:\n$ord")
+  }
+
+  test("text_perplexity: common-token docs score lower avg nll than rare-token docs") {
+    // 'c' dominates the corpus LM; doc 2 is made of singletons
+    val dir = plantDocs(Seq(
+      1L -> "c c c c c c c c c c c c",
+      2L -> "r1 r2 r3 r4",
+      3L -> "c c c c r5 r6"))
+    val got = TextAnalysis.textPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(3L) && got(3L) < got(2L),
+      s"nll must rank boilerplate < mixed < rare-token soup: $got")
+  }
+
   test("train_order: deterministic, partition-invariant, dense per-shard positions") {
     val a = PipelineOps.trainOrder(spark, sf).collect()
     val b = PipelineOps.trainOrder(spark, sf).collect()
