@@ -37,7 +37,7 @@ object Dedup {
     * (= one input split), and without this every downstream shingle/
     * signature computation runs on a single core. At real scale the scan
     * has thousands of splits and this is a cheap balanced re-bucket. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Two-step projection on purpose: `toks` must be a materialized
     // attribute before entering the shingle lambda. Passing
@@ -141,7 +141,7 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
   /** Shared oracle CTE: exploded (doc_id, set size, shingle) rows. */
-  private val ShingleCteSql: String =
+  private[operators] val ShingleCteSql: String =
     raw"""sh AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(toks)-1),
@@ -213,8 +213,8 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature per doc (custom Catalyst
     * expression), candidates from 4x16-bit chunk equality (pigeonhole:
     * hamming <= 3 implies >= 1 equal chunk), verified by exact hamming.
-    * Not SQL-expressible -> rows-only check; recall/precision asserted in
-    * SimHashSpec against planted near-dups. */
+    * Oracle-checked since the token hash became an md5 prefix (see
+    * [[dedupSimhashSql]]); locality also asserted on planted near-dups. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = Tables.documents(s, d)

@@ -9,8 +9,9 @@ import graft.queries.Tables
 
 /** Second-generation dedup operators: segment-level boilerplate removal
   * (the line-level dedup of RefinedWeb/CCNet, adapted to this corpus's
-  * newline-free text) and SemDedup-style semantic dedup bounded by k-means
-  * clusters. Both fully DuckDB-oracle-checked — including the embedded
+  * newline-free text), incremental-ingest dedup (new batch vs existing
+  * corpus), and SemDedup-style semantic dedup bounded by k-means
+  * clusters. All fully DuckDB-oracle-checked — including the embedded
   * Lloyd loop, replayed via [[Clustering.lloydSql]].
   */
 object Dedup2 {
@@ -85,6 +86,65 @@ object Dedup2 {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ incremental dedup
+  /** Incremental-ingest dedup — the shape a production pipeline actually
+    * runs: a NEW batch (here the deterministic doc_id % 5 == 0 slice)
+    * checked against the EXISTING corpus, never corpus-vs-corpus. Every
+    * delta document gets a verdict: admitted, or rejected with its
+    * best-matching base document and exact 3-gram Jaccard (>= 0.8).
+    *
+    * Scale shape: in production the base side is a shingle index
+    * materialized ONCE (exactly [[Dedup.docShingles]]'s output persisted
+    * to a table) and only the delta re-shingles per batch; the meet is an
+    * equi-join on the 64-bit shingle hash with the delta side broadcast —
+    * a batch is small by definition — so the base index never shuffles.
+    * Verification counts shared shingles per candidate pair, exact
+    * integer ratios all the way (engine-identical doubles). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Dedup.docShingles(s, d)
+    try {
+      val ex = docs.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("s0"))
+        .select($"doc_id", $"sz", xxhash64($"s0").as("s"))
+      val delta = ex.filter($"doc_id" % 5 === 0)
+        .select($"doc_id".as("d_id"), $"sz".as("sz_d"), $"s")
+      val base = ex.filter($"doc_id" % 5 =!= 0)
+      val best = broadcast(delta).join(base, "s")
+        .groupBy($"d_id", $"doc_id".as("b_id"), $"sz_d", $"sz".as("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", $"inter".cast("double") / ($"sz_d" + $"sz_b" - $"inter"))
+        .filter($"jaccard" >= 0.8)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"d_id")
+            .orderBy($"jaccard".desc, $"b_id")))
+        .filter($"rn" === 1)
+        .select($"d_id", $"b_id", $"jaccard")
+      Tables.documents(s, d).filter($"doc_id" % 5 === 0).select($"doc_id")
+        .join(best, $"doc_id" === $"d_id", "left")
+        .select($"doc_id", $"d_id".isNull.as("admitted"),
+          $"b_id".as("matched_base"), $"jaccard")
+        .orderBy($"doc_id")
+    } finally docs.unpersist()
+  }
+  val dedupIncrementalSql: String =
+    s"""WITH ${Dedup.ShingleCteSql},
+       |cand AS (
+       |  SELECT d.doc_id AS d_id, b.doc_id AS b_id,
+       |    COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+       |  FROM ex d JOIN ex b ON d.s = b.s
+       |  WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY d.doc_id, b.doc_id
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |), best AS (
+       |  SELECT d_id, b_id, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY jaccard DESC, b_id) AS rn
+       |  FROM cand)
+       |SELECT doc.doc_id, b.d_id IS NULL AS admitted, b.b_id AS matched_base, b.jaccard
+       |FROM documents doc
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON doc.doc_id = b.d_id
+       |WHERE doc.doc_id % 5 = 0
+       |ORDER BY doc.doc_id""".stripMargin
+
   // ----------------------------------------------------------- SemDedup
   /** Production threshold is ~0.95+; the synthetic fixture's vectors are
     * near-orthogonal (max pairwise cosine ~0.51), so the gate runs at a
@@ -151,10 +211,12 @@ object Dedup2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> dedupSegments _,
+    "dedup_incremental" -> dedupIncremental _,
     "semdedup" -> semDedup _,
   )
   val oracles: Map[String, String] = Map(
     "dedup_segments" -> dedupSegmentsSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "semdedup" -> semDedupSql,
   )
 }

@@ -86,6 +86,22 @@ class Dedup2Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"training order must never funnel through one window partition:\n$ord")
   }
 
+  test("dedup_incremental rejects a delta doc cloned from base, admits fresh ones") {
+    // doc_id % 5 == 0 is the delta slice; 10 clones base doc 11, 15 is fresh
+    val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val dir = plantDocs(Seq(
+      11L -> base,
+      10L -> base,
+      15L -> (100 to 140).map(i => s"z$i").mkString(" "),
+      12L -> "other base text that matters not here at all"))
+    val got = Dedup2.dedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got(10L) == ((false, 11L)), "clone must be rejected against its base original")
+    assert(got(15L) == ((true, -1L)), "fresh delta content must be admitted")
+    assert(got.keySet == Set(10L, 15L), "verdicts cover exactly the delta slice")
+  }
+
   test("text_perplexity: common-token docs score lower avg nll than rare-token docs") {
     // 'c' dominates the corpus LM; doc 2 is made of singletons
     val dir = plantDocs(Seq(
