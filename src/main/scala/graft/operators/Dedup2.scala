@@ -119,11 +119,14 @@ object Dedup2 {
             .orderBy($"jaccard".desc, $"b_id")))
         .filter($"rn" === 1)
         .select($"d_id", $"b_id", $"jaccard")
-      Tables.documents(s, d).filter($"doc_id" % 5 === 0).select($"doc_id")
+      val out = Tables.documents(s, d).filter($"doc_id" % 5 === 0).select($"doc_id")
         .join(best, $"doc_id" === $"d_id", "left")
         .select($"doc_id", $"d_id".isNull.as("admitted"),
           $"b_id".as("matched_base"), $"jaccard")
         .orderBy($"doc_id")
+        .persist()
+      out.count() // materialize (delta-sized) before the shingle cache drops
+      out
     } finally docs.unpersist()
   }
   val dedupIncrementalSql: String =
@@ -186,10 +189,13 @@ object Dedup2 {
             / ($"a.vn" * $"b.vn"), 6) >= SemTheta)
           .select($"b.vec_id".as("vec_id")).distinct()
           .withColumn("dup", lit(true))
-        assigned.join(dropped, Seq("vec_id"), "left")
+        val out = assigned.join(dropped, Seq("vec_id"), "left")
           .select($"vec_id", $"cluster",
             coalesce(!$"dup", lit(true)).as("is_kept"))
           .orderBy($"vec_id")
+          .persist()
+        out.count() // materialize the verdicts before the inputs uncache
+        out
       } finally assigned.unpersist()
     } finally emb.unpersist()
   }
