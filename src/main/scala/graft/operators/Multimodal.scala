@@ -132,16 +132,53 @@ object Multimodal {
       |          FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Content-addressed payload dedup report: media payloads hash to a
+    * sha-256 content key (the CAS id a media store keeps), and each
+    * format reports asset counts and bytes before/after dedup — the
+    * planning number that decides whether a CAS tier pays for itself.
+    * The shuffle carries (fmt, 32-byte key, length), never payload
+    * bytes; two hash aggregates, no joins. */
+  def mmDedupPayload(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(concat(lit("img_"), $"source").as("fmt"),
+        sha2(encode($"text", "UTF-8"), 256).as("h"),
+        length(encode($"text", "UTF-8")).cast("long").as("b"))
+      .groupBy($"fmt", $"h")
+      .agg(count(lit(1)).as("copies"), first($"b").as("b"))
+      .groupBy($"fmt")
+      .agg(sum($"copies").as("n_assets"),
+        count(lit(1)).as("n_unique"),
+        sum($"b" * $"copies").as("bytes_total"),
+        sum($"b").as("bytes_unique"))
+      .withColumn("saved_frac",
+        ($"bytes_total" - $"bytes_unique").cast("double") / $"bytes_total")
+      .orderBy($"fmt")
+  }
+  val mmDedupPayloadSql: String =
+    """SELECT fmt, CAST(SUM(copies) AS BIGINT) AS n_assets,
+      |  COUNT(*) AS n_unique,
+      |  CAST(SUM(b * copies) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(b) AS BIGINT) AS bytes_unique,
+      |  CAST(SUM(b * copies) - SUM(b) AS DOUBLE) / CAST(SUM(b * copies) AS BIGINT) AS saved_frac
+      |FROM (
+      |  SELECT 'img_' || source AS fmt, sha256(text) AS h,
+      |    COUNT(*) AS copies, ANY_VALUE(octet_length(encode(text))) AS b
+      |  FROM documents GROUP BY fmt, h)
+      |GROUP BY fmt ORDER BY fmt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest" -> mmManifest _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_features" -> mmDecodeFeatures _,
     "mm_resize" -> mmResize _,
+    "mm_dedup_payload" -> mmDedupPayload _,
   )
   val oracles: Map[String, String] = Map(
     "mm_manifest" -> mmManifestSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
+    "mm_dedup_payload" -> mmDedupPayloadSql,
     // mm_decode_features: stubbed decode, rows-only
   )
 }
