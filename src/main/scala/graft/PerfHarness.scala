@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.InMemoryQueueRegistry
+
+/** Relative-performance harness — the hermetic counterpart of the
+  * reference's pt.* tooling (reference DataGenerator.scala:27-95,
+  * DataConsumer.scala:25-99, FileSourceConsumer.scala:25-60,
+  * DataValidator.scala:40-49), collapsed into one main: generate csv
+  * files, drain them through the push-based graft-files source AND
+  * Spark's built-in file-listing source with IDENTICAL pipelines
+  * (schema, maxFilesPerTrigger, csv sink, checkpointing), validate both
+  * outputs row-for-row, and print one JSON line with both wall-clocks.
+  *
+  * The reference publishes no absolute numbers — its perf story IS this
+  * relative comparison (SURVEY §6), which is why the harness ships as a
+  * first-class main here. The built-in source re-LISTS the input
+  * directory every trigger (O(files) per trigger, the cost that grows
+  * with backlog); the push-based source discovers files from queue
+  * announcements (O(new files)), which is the reference's reason to
+  * exist.
+  */
+object PerfHarness {
+
+  val harnessSchema: StructType = StructType(Seq(
+    StructField("valString", StringType),
+    StructField("valBoolean", BooleanType),
+    StructField("valDouble", DoubleType),
+    StructField("valInt", IntegerType),
+    StructField("valPartition", StringType)))
+
+  final case class Result(
+      graftSec: Double, fileSourceSec: Double,
+      graftIncSec: Double, fileSourceIncSec: Double,
+      rows: Long, valid: Boolean)
+
+  /** Deterministic csv fixture: files `startFile until startFile+nFiles`
+    * of `rowsPerFile` rows, ids contiguous across calls. */
+  private def generate(dir: Path, startFile: Int, nFiles: Int, rowsPerFile: Int): Seq[String] = {
+    (startFile until startFile + nFiles).map { f =>
+      val p = dir.resolve(f"data$f%05d.csv")
+      val sb = new StringBuilder
+      var r = 0
+      while (r < rowsPerFile) {
+        val i = f * rowsPerFile + r
+        sb.append(s"s$i,${i % 2 == 0},${i * 0.5},$i,p${f % 4}\n")
+        r += 1
+      }
+      Files.write(p, sb.toString.getBytes("UTF-8"))
+      "file:" + p.toString
+    }
+  }
+
+  def run(spark: SparkSession, nFiles: Int, rowsPerFile: Int): Result = {
+    val root = Files.createTempDirectory("graft-pt")
+    val dataDir = Files.createDirectory(root.resolve("data"))
+    val paths = generate(dataDir, 0, nFiles, rowsPerFile)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(out: Path, cp: Path, build: => org.apache.spark.sql.DataFrame): Double = timed {
+      val q = build.writeStream.format("csv")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // untimed warmup of BOTH paths: the first streaming query in a JVM
+    // pays one-time costs (codegen, sink committers, state-store classes)
+    // that would otherwise bias whichever side runs first
+    val warmDir = Files.createDirectory(root.resolve("warm"))
+    val warmPath = generate(warmDir, 0, 1, 1).head
+    val warmQ = s"pt-warm-${System.nanoTime()}"
+    InMemoryQueueRegistry.queue(warmQ)
+      .send(s"""{"path":"$warmPath","timestampMs":${System.currentTimeMillis()}}""")
+    drain(root.resolve("warmOutG"), root.resolve("warmCpG"),
+      spark.readStream.format("graft-files").schema(harnessSchema)
+        .option("fileFormat", "csv").option("queueName", warmQ)
+        .option("queueFetchWaitTimeoutSeconds", "5").load())
+    drain(root.resolve("warmOutF"), root.resolve("warmCpF"),
+      spark.readStream.format("csv").schema(harnessSchema).load(warmDir.toString))
+
+    // push-based: the backlog is announced up front, AvailableNow drains it
+    val queueName = s"pt-${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(queueName)
+    paths.foreach(p => queue.send(s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
+    val graftSec = drain(root.resolve("outGraft"), root.resolve("cpGraft"),
+      spark.readStream.format("graft-files").schema(harnessSchema)
+        .option("fileFormat", "csv")
+        .option("queueName", queueName)
+        .option("maxFilesPerTrigger", "5000")
+        .option("queueFetchWaitTimeoutSeconds", "5")
+        .load())
+
+    // baseline: Spark's built-in csv stream source, identical pipeline
+    val fileSec = drain(root.resolve("outFile"), root.resolve("cpFile"),
+      spark.readStream.format("csv").schema(harnessSchema)
+        .option("maxFilesPerTrigger", "5000")
+        .load(dataDir.toString))
+
+    // incremental phase — where push-based discovery earns its keep: a few
+    // NEW files land in the now-large directory each round. The push source
+    // processes O(new) per drain; the listing source re-LISTS the whole
+    // directory (O(total files)) before finding them. Checkpoints carry
+    // over, so each drain is exactly the steady-state trigger cost.
+    val rounds = 5
+    val newPerRound = 8
+    var graftInc = 0.0
+    var fileInc = 0.0
+    (0 until rounds).foreach { r =>
+      val added = generate(dataDir, nFiles + r * newPerRound, newPerRound, rowsPerFile)
+      added.foreach(p => queue.send(s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
+      graftInc += drain(root.resolve("outGraft"), root.resolve("cpGraft"),
+        spark.readStream.format("graft-files").schema(harnessSchema)
+          .option("fileFormat", "csv")
+          .option("queueName", queueName)
+          .option("maxFilesPerTrigger", "5000")
+          .option("queueFetchWaitTimeoutSeconds", "5")
+          .load())
+      fileInc += drain(root.resolve("outFile"), root.resolve("cpFile"),
+        spark.readStream.format("csv").schema(harnessSchema)
+          .option("maxFilesPerTrigger", "5000")
+          .load(dataDir.toString))
+    }
+
+    // validator: both sinks hold exactly the generated rows
+    val expected = (nFiles + rounds * newPerRound).toLong * rowsPerFile
+    def sink(p: Path) = spark.read.schema(harnessSchema).csv(p.toString)
+    val (gCnt, fCnt) = (sink(root.resolve("outGraft")).count(), sink(root.resolve("outFile")).count())
+    val gSum = sink(root.resolve("outGraft")).agg(org.apache.spark.sql.functions.sum("valInt")).head.getLong(0)
+    val fSum = sink(root.resolve("outFile")).agg(org.apache.spark.sql.functions.sum("valInt")).head.getLong(0)
+    val checkSum = expected * (expected - 1) / 2
+    Result(graftSec, fileSec, graftInc, fileInc, expected,
+      valid = gCnt == expected && fCnt == expected && gSum == checkSum && fSum == checkSum)
+  }
+
+  /** args: [nFiles] [rowsPerFile], defaults 200 x 1000. */
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(200)
+    val rowsPerFile = args.lift(1).map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
+      .appName("graft-perf-harness")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, nFiles, rowsPerFile)
+      // one JSON line, same contract style as Bench
+      println(s"""{"metric":"perf_harness","graft_sec":${r.graftSec},""" +
+        s""""file_source_sec":${r.fileSourceSec},"graft_inc_sec":${r.graftIncSec},""" +
+        s""""file_source_inc_sec":${r.fileSourceIncSec},"rows":${r.rows},"valid":${r.valid}}""")
+      if (!r.valid) sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The relative-perf harness must VALIDATE, not just time: both consumers
+  * land exactly the generated rows (count + id checksum), bulk and
+  * incremental phases included. */
+class PerfHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("both consumers drain bulk + incremental phases to identical validated sinks") {
+    val r = PerfHarness.run(spark, nFiles = 12, rowsPerFile = 20)
+    assert(r.valid, s"row/checksum validation failed: $r")
+    assert(r.rows == (12 + 5 * 8) * 20L)
+    assert(r.graftSec > 0 && r.fileSourceSec > 0 && r.graftIncSec > 0 && r.fileSourceIncSec > 0)
+  }
+}
