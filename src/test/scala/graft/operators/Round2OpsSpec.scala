@@ -54,6 +54,19 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected one 3-doc cluster rooted at 10, got ${out.mkString(",")}")
   }
 
+  test("dedup_cc collapses a diameter-79 chain (pointer-doubling, not O(diameter) rounds)") {
+    // sliding 40-token windows over one token stream: consecutive docs
+    // share 39/40 tokens (3-gram jaccard ~0.95), ends share nothing
+    val stream = (1 to 120).map(i => f"w$i%03d")
+    val dir = plantDocs((0 until 80).map { i =>
+      (i + 1).toLong -> stream.slice(i, i + 40).mkString(" ")
+    })
+    val out = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 80 && out.forall { case (_, cid, sz) => cid == 1L && sz == 80L },
+      s"80-doc chain must collapse into one cluster rooted at 1: ${out.take(5).mkString(",")}...")
+  }
+
   test("pack_sequences conserves tokens and packs contiguous doc ranges") {
     val packs = PipelineOps.packSequences(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
