@@ -96,8 +96,11 @@ object Dedup2 {
     * Scale shape: in production the base side is a shingle index
     * materialized ONCE (exactly [[Dedup.docShingles]]'s output persisted
     * to a table) and only the delta re-shingles per batch; the meet is an
-    * equi-join on the 64-bit shingle hash with the delta side broadcast —
-    * a batch is small by definition — so the base index never shuffles.
+    * equi-join on the 64-bit shingle hash. The delta side carries NO
+    * broadcast hint on purpose: a typical ingest batch is broadcast-sized
+    * and AQE promotes the join at runtime, but a bulk backfill batch can
+    * be TBs — an explicit hint would bypass the size threshold and OOM,
+    * while the hint-free plan degrades to a shuffle join instead.
     * Verification counts shared shingles per candidate pair, exact
     * integer ratios all the way (engine-identical doubles). */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -109,7 +112,7 @@ object Dedup2 {
       val delta = ex.filter($"doc_id" % 5 === 0)
         .select($"doc_id".as("d_id"), $"sz".as("sz_d"), $"s")
       val base = ex.filter($"doc_id" % 5 =!= 0)
-      val best = broadcast(delta).join(base, "s")
+      val best = delta.join(base, "s")
         .groupBy($"d_id", $"doc_id".as("b_id"), $"sz_d", $"sz".as("sz_b"))
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", $"inter".cast("double") / ($"sz_d" + $"sz_b" - $"inter"))

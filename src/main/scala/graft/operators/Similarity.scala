@@ -118,12 +118,33 @@ object Similarity {
     * exact all-pairs DuckDB oracle stays the gate. The corpus is never
     * broadcast or cross-joined: the plan is explode(16) -> shuffle on
     * bucket key -> equi-join, the shape that survives 100 TB (spec
-    * asserts no CartesianProduct / BroadcastNestedLoopJoin). */
+    * asserts no CartesianProduct / BroadcastNestedLoopJoin).
+    *
+    * GATE STAGING: the synthetic fixture's max pairwise cosine is ~0.51,
+    * which would make a 0.95-threshold gate vacuously green (0 expected
+    * pairs proves nothing about recall). The corpus is therefore staged
+    * with planted qualifying pairs derived deterministically from itself:
+    * exact copies (vec_id + 1,000,000) of ids 0-9 and 0.5-scaled copies
+    * (vec_id + 2,000,000) of ids 10-19. A POSITIVE scalar multiple leaves
+    * every hyperplane dot's sign unchanged, so a planted pair shares all
+    * 16 bucket cells mathematically — recall on the planted pairs is
+    * deterministic, not probabilistic, and the exact all-pairs oracle now
+    * checks 20 expected rows end-to-end. Residual probabilistic exposure
+    * is only a >= 0.95 pair arising in the raw fixture itself (none at
+    * current seeds by a 0.44 margin). */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tables = 16
     val bits = 6
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val copies = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    // x * 0.5f is exact in binary floating point (exponent decrement), so
+    // the DuckDB replica stages bit-identical vectors
+    val halves = base.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select(($"vec_id" + 2000000L).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
+    val emb = base.unionByName(copies).unionByName(halves)
       .repartition($"vec_id")
       .withColumn("vn", norm($"embedding"))
     val bucketed = emb.select($"vec_id", $"embedding", $"vn",
@@ -143,8 +164,17 @@ object Similarity {
       .orderBy($"a_id", $"b_id")
   }
   val dedupEmbeddingCosineSql: String =
-    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    """WITH staged AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+      |  UNION ALL
+      |  SELECT vec_id + 2000000,
+      |    list_transform(embedding, x -> CAST(CAST(x AS FLOAT) * CAST(0.5 AS FLOAT) AS FLOAT))
+      |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM staged a JOIN staged b ON a.vec_id < b.vec_id
       |WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
       |        k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),

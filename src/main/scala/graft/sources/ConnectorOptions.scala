@@ -34,7 +34,18 @@ final case class ConnectorOptions(
     sortBatchByTimestamp: Boolean,
     metadataLogBackend: String,
     fetchErrorBudget: Int,
+    region: String,
+    staticCredentials: Option[QueueCredentials],
     formatOptions: Map[String, String]) {
+
+  /** Credentials for the SQS wire binding: explicit option-supplied keys
+    * win; otherwise the default chain (env -> sysprops -> profile -> IMDS),
+    * mirroring the reference's provider entry point
+    * (ConnectorAwsCredentialsProvider.scala:70-82). */
+  def credentialsProvider(): ConnectorCredentialsProvider = staticCredentials match {
+    case Some(c) => StaticCredentialsProvider(c)
+    case None => ConnectorCredentialsProvider.defaultChain()
+  }
 
   /** Upper bound on ONE fetch round during an AvailableNow drain, derived
     * from the polling options rather than a magic constant: a round's
@@ -78,6 +89,10 @@ object ConnectorOptions {
   val SORT_BATCH_BY_TIMESTAMP = "sortbatchbytimestamp"
   val METADATA_LOG = "metadatalog" // "file" (default) | "rocksdb"
   val FETCH_ERROR_BUDGET = "queue.fetcherrorbudget"
+  val REGION = "queue.region"
+  val ACCESS_KEY_ID = "queue.accesskeyid"
+  val SECRET_ACCESS_KEY = "queue.secretaccesskey"
+  val SESSION_TOKEN = "queue.sessiontoken"
 
   val METADATA_LOG_FILE = "file"
   val METADATA_LOG_ROCKSDB = "rocksdb"
@@ -92,6 +107,7 @@ object ConnectorOptions {
   val MAX_POOL_SIZE = 200
   val DEFAULT_VISIBILITY_TIMEOUT_SECONDS = 60
   val DEFAULT_FETCH_ERROR_BUDGET = 3
+  val DEFAULT_REGION = "us-east-1"
 
   /** Parse a duration like "15d", "2h", "30m", "45s", "500ms", bare = ms. */
   def durationMs(s: String): Long = {
@@ -165,7 +181,8 @@ object ConnectorOptions {
       QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, LONG_POLL_WAIT_SECONDS, MAX_CONCURRENCY,
       VISIBILITY_TIMEOUT_SECONDS, KEEP_MESSAGE_ON_CONSUMER_ERROR,
       REPROCESS_START_BATCH_ID, REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
-      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG, FETCH_ERROR_BUDGET)
+      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG, FETCH_ERROR_BUDGET,
+      REGION, ACCESS_KEY_ID, SECRET_ACCESS_KEY, SESSION_TOKEN)
     val formatOptions = params.filterNot { case (k, _) => ownKeys.contains(k) }
 
     ConnectorOptions(
@@ -198,6 +215,14 @@ object ConnectorOptions {
         val n = get(FETCH_ERROR_BUDGET).map(_.trim.toInt).getOrElse(DEFAULT_FETCH_ERROR_BUDGET)
         require(n > 0, s"$FETCH_ERROR_BUDGET must be positive, got $n")
         n
+      },
+      region = get(REGION).getOrElse(DEFAULT_REGION),
+      staticCredentials = (get(ACCESS_KEY_ID), get(SECRET_ACCESS_KEY)) match {
+        case (Some(id), Some(secret)) =>
+          Some(QueueCredentials(id, secret, get(SESSION_TOKEN)))
+        case (None, None) => None
+        case _ => throw new GraftSourceException(
+          s"$ACCESS_KEY_ID and $SECRET_ACCESS_KEY must be set together")
       },
       formatOptions = formatOptions)
   }

@@ -20,9 +20,9 @@ final case class QueueCredentials(
   * ConnectorAwsCredentialsProvider.scala:30-34), re-expressed without the
   * AWS SDK on the classpath (zero-egress build). The resolution *semantics*
   * of the default chain are public contract: environment variables, then
-  * JVM system properties, then the shared profile file. The instance-
-  * metadata hop is network-bound and deliberately out of scope here; an SQS
-  * client binding would append it to the chain.
+  * JVM system properties, then the shared profile file, then the EC2
+  * instance-metadata service ([[InstanceMetadataCredentialsProvider]],
+  * endpoint-injectable so it tests against an in-process stub).
   *
   * Providers are Serializable (resolved on executors) and Closeable,
   * mirroring the reference trait shape.
@@ -134,6 +134,76 @@ object ProfileCredentialsProvider {
   }
 }
 
+/** EC2 instance-metadata (IMDSv2) credentials: the network hop the
+  * reference's default chain ends with
+  * (ConnectorAwsCredentialsProvider.scala:35-67 via the SDK default chain).
+  * Protocol per the published IMDSv2 flow: PUT `/latest/api/token` with a
+  * TTL header to obtain a session token, GET
+  * `/latest/meta-data/iam/security-credentials/` for the role name, then
+  * GET the role document for `{AccessKeyId, SecretAccessKey, Token}`.
+  *
+  * The endpoint is overridable (constructor arg, then the SDK-standard
+  * `AWS_EC2_METADATA_SERVICE_ENDPOINT` env var) so tests resolve against an
+  * in-process HTTP stub; `AWS_EC2_METADATA_DISABLED=true` short-circuits
+  * like the SDK. Lookup injection keeps the spec hermetic.
+  */
+final case class InstanceMetadataCredentialsProvider(
+    endpoint: Option[String] = None,
+    timeoutMs: Int = 3000,
+    lookup: String => Option[String] = EnvironmentCredentialsProvider.fromEnv)
+    extends ConnectorCredentialsProvider {
+
+  private def http(): java.net.http.HttpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+    .build()
+
+  override def resolve(): QueueCredentials = {
+    if (lookup("AWS_EC2_METADATA_DISABLED").exists(_.equalsIgnoreCase("true"))) {
+      throw new GraftNoCredentialsException("instance metadata disabled by env")
+    }
+    val base = endpoint
+      .orElse(lookup("AWS_EC2_METADATA_SERVICE_ENDPOINT"))
+      .getOrElse("http://169.254.169.254")
+      .stripSuffix("/")
+    try {
+      val client = http()
+      def req(b: java.net.http.HttpRequest.Builder): String = {
+        val resp = client.send(
+          b.timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2) {
+          throw new GraftNoCredentialsException(s"IMDS HTTP ${resp.statusCode()}")
+        }
+        resp.body()
+      }
+      val token = req(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/latest/api/token"))
+        .header("X-aws-ec2-metadata-token-ttl-seconds", "21600")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.noBody()))
+      def get(path: String): String = req(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base$path"))
+        .header("X-aws-ec2-metadata-token", token)
+        .GET())
+      val role = get("/latest/meta-data/iam/security-credentials/").linesIterator
+        .find(_.nonEmpty).getOrElse(
+          throw new GraftNoCredentialsException("IMDS: no IAM role attached"))
+      val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(get(s"/latest/meta-data/iam/security-credentials/$role"))
+      (Option(doc.get("AccessKeyId")).map(_.asText()),
+        Option(doc.get("SecretAccessKey")).map(_.asText())) match {
+        case (Some(i), Some(s)) if i.nonEmpty && s.nonEmpty =>
+          QueueCredentials(i, s, Option(doc.get("Token")).map(_.asText()).filter(_.nonEmpty))
+        case _ => throw new GraftNoCredentialsException(
+          s"IMDS: role document for '$role' lacks AccessKeyId / SecretAccessKey")
+      }
+    } catch {
+      case e: GraftNoCredentialsException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new GraftNoCredentialsException(s"IMDS unreachable at $base: ${e.getMessage}")
+    }
+  }
+}
+
 /** First-wins chain. Like the SDK default chain, the first provider that
   * resolves successfully is remembered and reused for subsequent calls
   * (`reuseLastProvider` semantics) so steady-state resolution never re-probes
@@ -191,7 +261,8 @@ object ConnectorCredentialsProvider {
     new CredentialsProviderChain(Seq(
       EnvironmentCredentialsProvider(),
       SystemPropertiesCredentialsProvider(),
-      ProfileCredentialsProvider()))
+      ProfileCredentialsProvider(),
+      InstanceMetadataCredentialsProvider()))
 
   final class Builder private[ConnectorCredentialsProvider] () {
     private var static: Option[QueueCredentials] = None

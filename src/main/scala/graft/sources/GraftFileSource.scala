@@ -87,9 +87,15 @@ class GraftFileSource(
       new InMemoryQueueClient(options.queueName, consume, options.maxFilesPerTrigger,
         options.visibilityTimeoutSeconds, options.maxConcurrency,
         options.keepMessageOnConsumerError)
+    case ConnectorOptions.QUEUE_TYPE_SQS =>
+      // SDK-free SQS wire binding: queueName carries the full queue URL;
+      // same fetch discipline as the in-memory transport via QueueFetchClient
+      val raw = new SqsHttpQueue(options.queueName, options.region,
+        options.credentialsProvider(), options.longPollWaitSeconds)
+      new QueueFetchClient(raw, options.queueName, consume, options.maxFilesPerTrigger,
+        options.visibilityTimeoutSeconds, options.maxConcurrency,
+        options.keepMessageOnConsumerError)
     case other =>
-      // the SQS binding needs the AWS SDK, which this zero-egress build
-      // intentionally excludes; the AsyncQueueClient seam is where it plugs in
       throw new GraftUnsupportedQueueTypeException(other)
   }
 
@@ -141,6 +147,7 @@ class GraftFileSource(
     * the run to one chunk.) */
   override def prepareForTriggerAvailableNow(): Unit = {
     var done = false
+    var failedRounds = 0
     while (!done) {
       // round bound derives from the polling options (not a magic constant)
       val res = Await.result(
@@ -150,7 +157,13 @@ class GraftFileSource(
         // a failing queue must NOT read as a clean drain: retry within the
         // error budget, then fail the query loudly
         failIfReceiveBudgetExhausted("AvailableNow drain")
+        // bounded exponential backoff between failing rounds (200ms, 400ms,
+        // ... capped at 2s) so a flapping queue is retried gently instead
+        // of busy-spun; the error budget still bounds total attempts
+        failedRounds += 1
+        Thread.sleep(math.min(200L << math.min(failedRounds - 1, 4), 2000L))
       } else {
+        failedRounds = 0
         done = res.isEmpty || res.contains(ConsumeResult.ReceiveEmpty)
       }
     }

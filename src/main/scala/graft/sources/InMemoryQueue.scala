@@ -2,7 +2,6 @@ package graft.sources
 
 import java.util.UUID
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
-import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -15,7 +14,7 @@ import scala.util.control.NonFatal
   * no cloud dependency (goes one step beyond the reference's mock-only
   * unit tests, per SURVEY §5).
   */
-final class InMemoryQueue(val name: String) {
+final class InMemoryQueue(val name: String) extends RawQueue {
   private case class Stored(message: QueueMessage, var visibleAtMs: Long)
   private val byId = new java.util.LinkedHashMap[String, Stored]()
 
@@ -35,7 +34,7 @@ final class InMemoryQueue(val name: String) {
 
   /** Up to max currently-visible messages; each becomes invisible for
     * visibilityTimeoutSeconds (at-least-once: undeleted messages come back). */
-  def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage] = synchronized {
+  override def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage] = synchronized {
     if (failReceives) throw new RuntimeException(s"injected receive failure on queue '$name'")
     val now = System.currentTimeMillis()
     val out = mutable.ArrayBuffer[QueueMessage]()
@@ -50,16 +49,16 @@ final class InMemoryQueue(val name: String) {
     out.toSeq
   }
 
-  def delete(messageId: String): Boolean = synchronized { byId.remove(messageId) != null }
+  override def delete(messageId: String): Boolean = synchronized { byId.remove(messageId) != null }
 
   /** SQS DeleteMessageBatch shape: one call, per-entry outcomes (an
     * unknown id is a failed ENTRY, not a failed CALL). */
-  def deleteBatch(messageIds: Seq[String]): Map[String, Boolean] = synchronized {
+  override def deleteBatch(messageIds: Seq[String]): Map[String, Boolean] = synchronized {
     if (failBatchDeletes) throw new RuntimeException(s"injected batch-delete failure on '$name'")
     messageIds.map(id => id -> (byId.remove(id) != null)).toMap
   }
 
-  def changeVisibility(messageId: String, timeoutSeconds: Int): Boolean = synchronized {
+  override def changeVisibility(messageId: String, timeoutSeconds: Int): Boolean = synchronized {
     val s = byId.get(messageId)
     if (s == null) false
     else { s.visibleAtMs = System.currentTimeMillis() + timeoutSeconds * 1000L; true }
@@ -67,6 +66,7 @@ final class InMemoryQueue(val name: String) {
 
   def approximateSize: Int = synchronized(byId.size())
   def clear(): Unit = synchronized(byId.clear())
+  // registry-owned: close() (RawQueue default no-op) must not drop messages
 }
 
 /** Registry keyed by queue name, so a source resolves the same broker the
@@ -78,29 +78,31 @@ object InMemoryQueueRegistry {
   def remove(name: String): Unit = queues.remove(name)
 }
 
-/** Queue client over [[InMemoryQueue]] implementing the reference's fetch
-  * semantics (AsyncSqsClientImpl.scala:61-167): a fetch round receives,
-  * parses, and consumes concurrently; the loop stops when a round comes
-  * back empty or `maxFilesPerTrigger` messages were consumed; the caller
-  * blocks at most `waitTimeoutSeconds` and the round continues in the
-  * background (overlap of ingest with query execution).
+/** Queue client over any [[RawQueue]] transport, implementing the
+  * reference's fetch semantics (AsyncSqsClientImpl.scala:61-167): a fetch
+  * round receives, parses, and consumes concurrently; the loop stops when a
+  * round comes back empty or `maxFilesPerTrigger` messages were consumed;
+  * the caller blocks at most `waitTimeoutSeconds` and the round continues
+  * in the background (overlap of ingest with query execution). The delete
+  * path carries the reference's partial-failure discipline
+  * (AsyncSqsClientImpl.scala:238-289) regardless of transport.
   */
-final class InMemoryQueueClient(
-    queueName: String,
+class QueueFetchClient(
+    queue: RawQueue,
+    label: String,
     consumer: FileMetadata => Unit,
     maxFilesPerFetch: Option[Int],
     visibilityTimeoutSeconds: Int,
     maxConcurrency: Int,
     keepMessageOnConsumerError: Boolean) extends AsyncQueueClient {
 
-  private val queue = InMemoryQueueRegistry.queue(queueName)
   val metrics = new QueueClientMetrics
   private val receiveFailureStreak = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def consecutiveReceiveFailures: Int = receiveFailureStreak.get()
 
   private val pool = Executors.newFixedThreadPool(math.max(2, math.min(maxConcurrency, 16)), r => {
-    val t = new Thread(r, s"graft-queue-fetch-$queueName")
+    val t = new Thread(r, s"graft-queue-fetch-$label")
     t.setDaemon(true)
     t
   })
@@ -171,8 +173,12 @@ final class InMemoryQueueClient(
   }
 
   override def deleteMessage(messageId: String): Unit = {
-    if (queue.delete(messageId)) metrics.deleteMessageCounter.increment()
-    else metrics.deleteMessageFailedCounter.increment()
+    try {
+      if (queue.delete(messageId)) metrics.deleteMessageCounter.increment()
+      else metrics.deleteMessageFailedCounter.increment()
+    } catch {
+      case NonFatal(_) => metrics.deleteMessageFailedCounter.increment()
+    }
   }
 
   /** Batch delete in SQS-sized chunks of 10 with the reference's
@@ -193,12 +199,31 @@ final class InMemoryQueueClient(
     }
 
   override def setMessageVisibility(messageId: String, timeoutSeconds: Int): Unit = {
-    if (queue.changeVisibility(messageId, timeoutSeconds)) metrics.setVisibilityCounter.increment()
-    else metrics.setVisibilityFailedCounter.increment()
+    try {
+      if (queue.changeVisibility(messageId, timeoutSeconds)) metrics.setVisibilityCounter.increment()
+      else metrics.setVisibilityFailedCounter.increment()
+    } catch {
+      case NonFatal(_) => metrics.setVisibilityFailedCounter.increment()
+    }
   }
 
   override def handleProcessedMessageBatch(messageIds: Seq[String]): Unit =
     deleteMessageBatch(messageIds)
 
-  override def close(): Unit = pool.shutdown()
+  override def close(): Unit = {
+    pool.shutdown()
+    queue.close()
+  }
 }
+
+/** The in-memory binding: same fetch discipline, process-local transport. */
+final class InMemoryQueueClient(
+    queueName: String,
+    consumer: FileMetadata => Unit,
+    maxFilesPerFetch: Option[Int],
+    visibilityTimeoutSeconds: Int,
+    maxConcurrency: Int,
+    keepMessageOnConsumerError: Boolean)
+  extends QueueFetchClient(
+    InMemoryQueueRegistry.queue(queueName), queueName, consumer, maxFilesPerFetch,
+    visibilityTimeoutSeconds, maxConcurrency, keepMessageOnConsumerError)

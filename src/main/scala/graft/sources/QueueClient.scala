@@ -36,12 +36,31 @@ final class QueueClientMetrics {
   }
 }
 
+/** Low-level queue transport: the four point operations one fetch round is
+  * built from. Implementations: [[InMemoryQueue]] (process-local broker) and
+  * [[SqsHttpQueue]] (SDK-free SQS wire protocol over HTTP + SigV4). The
+  * shared fetch/consume/delete discipline lives in [[QueueFetchClient]], so
+  * both transports get identical semantics — the reference gets the same
+  * split from `SqsAsyncClient` (transport) vs `AsyncSqsClientImpl` (loop).
+  *
+  * Error contract: `receive` and `deleteBatch` throw on a failed CALL;
+  * `delete`/`changeVisibility` return false on a failed ENTRY (unknown or
+  * expired handle) and throw only on transport failure.
+  */
+trait RawQueue extends AutoCloseable {
+  def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage]
+  def delete(messageId: String): Boolean
+  /** One call, per-entry outcomes (an unknown id is a failed ENTRY, not a
+    * failed CALL — SQS DeleteMessageBatch shape). */
+  def deleteBatch(messageIds: Seq[String]): Map[String, Boolean]
+  def changeVisibility(messageId: String, timeoutSeconds: Int): Boolean
+  override def close(): Unit = {}
+}
+
 /** Pluggable async queue-ingest seam (reference: AsyncQueueClient.scala:26-52).
   *
-  * Implementations: [[InMemoryQueueClient]] (hermetic tests / local e2e);
-  * an SQS implementation would bind the same surface to the AWS SDK v2
-  * async client — deliberately kept out of this build (zero-egress, no
-  * SDK on the classpath), which is exactly why the seam exists.
+  * Implementations: [[InMemoryQueueClient]] (hermetic tests / local e2e) and
+  * [[QueueFetchClient]] over [[SqsHttpQueue]] (the SQS wire binding).
   */
 trait AsyncQueueClient extends AutoCloseable {
   /** Kick one fetch round-trip; the returned future completes when the

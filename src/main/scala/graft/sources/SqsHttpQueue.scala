@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Document, Element}
+
+/** SDK-free SQS transport: the AWS Query protocol (form-encoded POST to the
+  * queue URL, XML responses) signed with [[SigV4]]. Binds [[RawQueue]] to a
+  * real SQS endpoint — or to the in-process protocol stub in tests — giving
+  * the connector the reference's headline capability
+  * (AsyncSqsClientImpl.scala:169-182 ReceiveMessage, :211-218 DeleteMessage,
+  * :251-265 DeleteMessageBatch, :442-449 ChangeMessageVisibility) without
+  * the AWS SDK on the classpath.
+  *
+  * Wire mapping note: [[QueueMessage.messageId]] carries the SQS
+  * ReceiptHandle (the token every mutation call needs), matching the
+  * reference, which threads receiptHandle as the message id end-to-end
+  * (AsyncSqsClientImpl.scala:324,342-343).
+  *
+  * Error contract (see [[RawQueue]]): a failed CALL (transport error,
+  * non-entry-level service error) throws; an entry-level rejection
+  * (unknown/expired receipt handle) returns false.
+  */
+final class SqsHttpQueue(
+    queueUrl: String,
+    region: String,
+    credentials: ConnectorCredentialsProvider,
+    longPollWaitSeconds: Int,
+    requestTimeoutSeconds: Int = 30,
+    clock: () => Long = () => System.currentTimeMillis()) extends RawQueue {
+
+  private val uri = URI.create(queueUrl)
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(requestTimeoutSeconds.toLong))
+    .build()
+
+  // entry-level error codes that mean "this handle", not "this call"
+  private val EntryLevelCodes =
+    Set("ReceiptHandleIsInvalid", "InvalidParameterValue", "MessageNotInflight")
+
+  private def formEncode(params: Seq[(String, String)]): String =
+    params.map { case (k, v) => s"${SigV4.uriEncode(k)}=${SigV4.uriEncode(v)}" }.mkString("&")
+
+  /** POST one signed Query-protocol action; returns (status, body). */
+  private def call(action: String, params: Seq[(String, String)]): (Int, String) = {
+    val all = ("Action" -> action) +: ("Version" -> "2012-11-05") +: params
+    val payload = formEncode(all).getBytes(StandardCharsets.UTF_8)
+    val signed = SigV4.signRequest(
+      method = "POST",
+      uri = uri,
+      queryParams = Nil,
+      baseHeaders = Seq("content-type" -> "application/x-www-form-urlencoded"),
+      payload = payload,
+      epochMs = clock(),
+      region = region,
+      service = "sqs",
+      creds = credentials.resolve())
+    val builder = HttpRequest.newBuilder(uri)
+      .timeout(Duration.ofSeconds(
+        // long-poll receives may legitimately hold the connection open
+        (requestTimeoutSeconds + longPollWaitSeconds).toLong))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+    signed.headers.foreach { case (k, v) => builder.header(k, v) }
+    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def parseXml(body: String): Document = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    // hardening per OWASP XXE guidance: the responses are flat service XML
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    dbf.newDocumentBuilder().parse(new ByteArrayInputStream(body.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  private def elements(doc: Document, tag: String): Seq[Element] = {
+    val nodes = doc.getElementsByTagName(tag)
+    (0 until nodes.getLength).map(nodes.item(_).asInstanceOf[Element])
+  }
+
+  private def childText(e: Element, tag: String): Option[String] = {
+    val nodes = e.getElementsByTagName(tag)
+    if (nodes.getLength == 0) None else Option(nodes.item(0).getTextContent)
+  }
+
+  private def errorCode(body: String): Option[String] =
+    try {
+      val doc = parseXml(body)
+      elements(doc, "Error").headOption.flatMap(childText(_, "Code"))
+    } catch { case NonFatal(_) => None }
+
+  override def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage] = {
+    val (status, body) = call("ReceiveMessage", Seq(
+      "MaxNumberOfMessages" -> math.min(max, 10).toString,
+      "VisibilityTimeout" -> visibilityTimeoutSeconds.toString,
+      "WaitTimeSeconds" -> longPollWaitSeconds.toString))
+    if (status / 100 != 2) {
+      throw new GraftSourceException(
+        s"SQS ReceiveMessage failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
+    }
+    elements(parseXml(body), "Message").map { m =>
+      QueueMessage(
+        messageId = childText(m, "ReceiptHandle").getOrElse(
+          throw new GraftSourceException(s"SQS message without ReceiptHandle on $queueUrl")),
+        body = childText(m, "Body").getOrElse(""))
+    }
+  }
+
+  override def delete(messageId: String): Boolean = {
+    val (status, body) = call("DeleteMessage", Seq("ReceiptHandle" -> messageId))
+    if (status / 100 == 2) true
+    else if (errorCode(body).exists(EntryLevelCodes)) false
+    else throw new GraftSourceException(
+      s"SQS DeleteMessage failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
+  }
+
+  override def deleteBatch(messageIds: Seq[String]): Map[String, Boolean] = {
+    require(messageIds.size <= 10, s"SQS DeleteMessageBatch takes at most 10 entries")
+    val entries = messageIds.zipWithIndex.flatMap { case (receipt, i) =>
+      Seq(
+        s"DeleteMessageBatchRequestEntry.${i + 1}.Id" -> i.toString,
+        s"DeleteMessageBatchRequestEntry.${i + 1}.ReceiptHandle" -> receipt)
+    }
+    val (status, body) = call("DeleteMessageBatch", entries)
+    if (status / 100 != 2) {
+      throw new GraftSourceException(
+        s"SQS DeleteMessageBatch failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
+    }
+    val doc = parseXml(body)
+    val ok = elements(doc, "DeleteMessageBatchResultEntry")
+      .flatMap(childText(_, "Id")).map(_.toInt).toSet
+    messageIds.zipWithIndex.map { case (receipt, i) => receipt -> ok.contains(i) }.toMap
+  }
+
+  override def changeVisibility(messageId: String, timeoutSeconds: Int): Boolean = {
+    val (status, body) = call("ChangeMessageVisibility", Seq(
+      "ReceiptHandle" -> messageId,
+      "VisibilityTimeout" -> timeoutSeconds.toString))
+    if (status / 100 == 2) true
+    else if (errorCode(body).exists(EntryLevelCodes)) false
+    else throw new GraftSourceException(
+      s"SQS ChangeMessageVisibility failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
+  }
+
+  override def close(): Unit = credentials.close()
+}

