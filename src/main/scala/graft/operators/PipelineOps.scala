@@ -212,10 +212,14 @@ object PipelineOps {
     val bucket =
       pmod(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
     // digitless source names extract '' -> null cast; define them as weight
-    // (0 % 4 + 1) * 25 instead of silently never sampling
+    // (0 % 4 + 1) * 25 instead of silently never sampling. The digit run is
+    // capped at 18 chars BEFORE the cast (18 digits always fit in a signed
+    // 64-bit int): an overflowing run would go null under Spark's cast but
+    // 0 under DuckDB's TRY_CAST+COALESCE — capping makes both engines see
+    // the same in-range number, so the parity is by construction, not luck
     val thresh =
-      (pmod(coalesce(nullif(regexp_extract($"source", "(\\d+)", 1), lit("")), lit("0"))
-        .cast("long"), lit(4L)) + 1) * 25L
+      (pmod(substring(coalesce(nullif(regexp_extract($"source", "(\\d+)", 1), lit("")),
+        lit("0")), 1, 18).cast("long"), lit(4L)) + 1) * 25L
     Tables.documents(s, d)
       .withColumn("keep", bucket < thresh)
       .groupBy($"source")
@@ -230,7 +234,7 @@ object PipelineOps {
          |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
          |FROM (SELECT source, n_chars,
          |        CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
-         |          < (COALESCE(TRY_CAST(NULLIF(regexp_extract(source, '(\d+)', 1), '') AS BIGINT), 0) % 4 + 1) * 25 AS keep
+         |          < (TRY_CAST(substring(COALESCE(NULLIF(regexp_extract(source, '(\d+)', 1), ''), '0'), 1, 18) AS BIGINT) % 4 + 1) * 25 AS keep
          |      FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin
 

@@ -159,7 +159,12 @@ object TextAnalysis {
     * the per-doc sum, so the sum is exact and order-free (a raw double
     * sum would depend on partitioning), and a last-ulp difference between
     * the two engines' `ln` is absorbed by the rounding. One division at
-    * the end. */
+    * the end. Residual risk, acknowledged: if a token's ln(p)*1e6 lands
+    * within an ulp of a .5 rounding boundary the two engines can round to
+    * different integers — the parity is overwhelmingly-probable rather
+    * than guaranteed (unlike the fixed-point centroid sums, which are
+    * exact). If the gate ever flakes here, derive the nll from an
+    * exact-integer construction (rational cnt/total scoring) instead. */
   def textPerplexity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)

@@ -99,7 +99,10 @@ final class FileBackedMetadataLog(
     var filesRead = 0
     val compactId = listCompactIds().maxOption
     compactId.foreach { cid =>
-      readCompactFile(cid).groupBy(_.batchId).foreach { case (id, entries) =>
+      val (ids, all) = readCompactFile(cid)
+      val grouped = all.groupBy(_.batchId)
+      ids.foreach { id =>
+        val entries = grouped.getOrElse(id, Array.empty[FileEntry])
         batches.put(id, entries)
         entries.foreach(e => fileIndex.put(e.path, e))
       }
@@ -142,13 +145,20 @@ final class FileBackedMetadataLog(
   private def readBatchFile(batchId: Long): Array[FileEntry] =
     parseEntries(readFileString(batchFile(batchId)), batchId)
 
-  /** A compact file is the same JSON shape, but spans batches: each
-    * entry's own `batchId` field is authoritative. */
-  private def readCompactFile(compactId: Long): Array[FileEntry] = {
-    val arr = mapper.readTree(readFileString(compactFile(compactId))).asInstanceOf[ArrayNode]
-    arr.elements().asScala.map { n =>
+  /** A compact file records explicit batch boundaries alongside the
+    * entries (`{"batchIds":[...],"entries":[...]}`), so a zero-entry
+    * batch survives compaction: without the boundary list, an empty
+    * batch would vanish from the folded representation and `get` /
+    * `getLatestBatchId` would regress after restart. Each entry's own
+    * `batchId` field is authoritative for grouping. */
+  private def readCompactFile(compactId: Long): (Seq[Long], Array[FileEntry]) = {
+    val root = mapper.readTree(readFileString(compactFile(compactId)))
+    val ids = root.get("batchIds").asInstanceOf[ArrayNode]
+      .elements().asScala.map(_.asLong()).toSeq
+    val entries = root.get("entries").asInstanceOf[ArrayNode].elements().asScala.map { n =>
       FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), n.get("batchId").asLong())
     }.toArray
+    (ids, entries)
   }
 
   private def parseEntries(json: String, batchId: Long): Array[FileEntry] = {
@@ -196,9 +206,14 @@ final class FileBackedMetadataLog(
     * and restore prefers the newest compact). */
   private def compact(batchId: Long): Unit = {
     val all = batches.values().asScala.flatten.toArray
+    val root = mapper.createObjectNode()
+    val idsNode = root.putArray("batchIds")
+    batches.keySet().asScala.foreach(idsNode.add(_))
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "entries", mapper.readTree(toJson(all)))
     val out = fm.createAtomic(compactFile(batchId), false)
     try {
-      out.write(toJson(all).getBytes(StandardCharsets.UTF_8))
+      out.write(mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
       out.close()
     } catch { case t: Throwable => out.cancel(); throw t }
     listBatchIds().filter(_ <= batchId).foreach(id => fm.delete(batchFile(id)))

@@ -78,6 +78,23 @@ class FileMetadataLogSpec extends AnyFunSuite {
     log2.close()
   }
 
+  test("compaction preserves zero-entry batches: get and latest survive restart") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration())
+    log.add(0, entries(0, "p0" -> 100L))
+    // empty batch (a trigger that admitted no files still advances the
+    // offset); the compact file must record its boundary explicitly
+    log.add(1, Array.empty[FileEntry])
+    (2L until 5L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    // batch 4 triggered compaction ((4+1) % 5 == 0); restart from compact
+    val log2 = new FileBackedMetadataLog(dir, new Configuration())
+    assert(log2.lastRestoreFilesRead == 1, "restart must read only the compact file")
+    assert(log2.get(1).exists(_.isEmpty), "zero-entry batch vanished in compaction")
+    assert(log2.get(0, 4).length == 5, "range read must see all five batches")
+    assert(log2.getLatestBatchId.contains(4L))
+    log2.close(); log.close()
+  }
+
   test("compaction interleaves with purge: purged batches stay gone from the live log") {
     val dir = Files.createTempDirectory("graft-metalog").toString
     val log = new FileBackedMetadataLog(dir, new Configuration())
