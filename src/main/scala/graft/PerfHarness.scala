@@ -113,10 +113,28 @@ object PerfHarness {
     // over, so each drain is exactly the steady-state trigger cost.
     val rounds = 5
     val newPerRound = 8
+    // untimed settling round first: streaming recovery replays the LAST
+    // committed batch's getBatch on every query start, so without this the
+    // first timed round would be charged O(last bulk chunk) restart work —
+    // a cost that varies with backlog%maxFilesPerTrigger, not with the
+    // discovery mechanism under test. After settling, every timed round
+    // restarts from a constant 8-file batch on both sides.
+    locally {
+      val settle = generate(dataDir, nFiles, newPerRound, rowsPerFile)
+      settle.foreach(p => queue.send(s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
+      drain(root.resolve("outGraft"), root.resolve("cpGraft"),
+        spark.readStream.format("graft-files").schema(harnessSchema)
+          .option("fileFormat", "csv").option("queueName", queueName)
+          .option("maxFilesPerTrigger", "5000")
+          .option("queueFetchWaitTimeoutSeconds", "5").load())
+      drain(root.resolve("outFile"), root.resolve("cpFile"),
+        spark.readStream.format("csv").schema(harnessSchema)
+          .option("maxFilesPerTrigger", "5000").load(dataDir.toString))
+    }
     var graftInc = 0.0
     var fileInc = 0.0
     (0 until rounds).foreach { r =>
-      val added = generate(dataDir, nFiles + r * newPerRound, newPerRound, rowsPerFile)
+      val added = generate(dataDir, nFiles + (r + 1) * newPerRound, newPerRound, rowsPerFile)
       added.foreach(p => queue.send(s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
       graftInc += drain(root.resolve("outGraft"), root.resolve("cpGraft"),
         spark.readStream.format("graft-files").schema(harnessSchema)
@@ -131,8 +149,9 @@ object PerfHarness {
           .load(dataDir.toString))
     }
 
-    // validator: both sinks hold exactly the generated rows
-    val expected = (nFiles + rounds * newPerRound).toLong * rowsPerFile
+    // validator: both sinks hold exactly the generated rows (settling
+    // round included: its files flow through both pipelines too)
+    val expected = (nFiles + (rounds + 1) * newPerRound).toLong * rowsPerFile
     def sink(p: Path) = spark.read.schema(harnessSchema).csv(p.toString)
     val (gCnt, fCnt) = (sink(root.resolve("outGraft")).count(), sink(root.resolve("outFile")).count())
     val gSum = sink(root.resolve("outGraft")).agg(org.apache.spark.sql.functions.sum("valInt")).head.getLong(0)
@@ -142,10 +161,31 @@ object PerfHarness {
       valid = gCnt == expected && fCnt == expected && gSum == checkSum && fSum == checkSum)
   }
 
-  /** args: [nFiles] [rowsPerFile], defaults 200 x 1000. */
+  /** Backlog-size sweep: same pipeline at several directory sizes, so the
+    * O(all files)-per-trigger listing cost visibly diverges from the
+    * O(new files) push cost. Tiny rows keep data volume out of the
+    * picture — the independent variable is FILE COUNT, the quantity a
+    * listing source pays for on every trigger. Emits one JSON line with
+    * the full series; per-trigger incremental cost is inc_sec/5 rounds. */
+  def soak(spark: SparkSession, backlogs: Seq[Int], rowsPerFile: Int): String = {
+    val series = backlogs.map { n =>
+      val r = run(spark, n, rowsPerFile)
+      System.err.println(f"[soak] backlog=$n%6d graft_inc=${r.graftIncSec}%6.2fs " +
+        f"file_inc=${r.fileSourceIncSec}%6.2fs valid=${r.valid}")
+      s"""{"backlog_files":$n,"graft_bulk_sec":${r.graftSec},""" +
+        s""""file_source_bulk_sec":${r.fileSourceSec},"graft_inc_sec":${r.graftIncSec},""" +
+        s""""file_source_inc_sec":${r.fileSourceIncSec},"valid":${r.valid}}"""
+    }
+    s"""{"metric":"perf_soak","rows_per_file":$rowsPerFile,"inc_rounds":5,""" +
+      s""""new_files_per_round":8,"series":[${series.mkString(",")}]}"""
+  }
+
+  /** args: [nFiles] [rowsPerFile], defaults 200 x 1000;
+    * or: soak [n1,n2,...] [rowsPerFile] (defaults 1000,4000,12000 x 10). */
   def main(args: Array[String]): Unit = {
-    val nFiles = args.headOption.map(_.toInt).getOrElse(200)
-    val rowsPerFile = args.lift(1).map(_.toInt).getOrElse(1000)
+    val soakMode = args.headOption.contains("soak")
+    val nFiles = if (soakMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
+    val rowsPerFile = if (soakMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
       .appName("graft-perf-harness")
@@ -154,12 +194,19 @@ object PerfHarness {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, nFiles, rowsPerFile)
-      // one JSON line, same contract style as Bench
-      println(s"""{"metric":"perf_harness","graft_sec":${r.graftSec},""" +
-        s""""file_source_sec":${r.fileSourceSec},"graft_inc_sec":${r.graftIncSec},""" +
-        s""""file_source_inc_sec":${r.fileSourceIncSec},"rows":${r.rows},"valid":${r.valid}}""")
-      if (!r.valid) sys.exit(1)
+      if (soakMode) {
+        val backlogs = args.lift(1).getOrElse("1000,4000,12000")
+          .split(",").toSeq.map(_.trim.toInt)
+        val rows = args.lift(2).map(_.toInt).getOrElse(10)
+        println(soak(spark, backlogs, rows))
+      } else {
+        val r = run(spark, nFiles, rowsPerFile)
+        // one JSON line, same contract style as Bench
+        println(s"""{"metric":"perf_harness","graft_sec":${r.graftSec},""" +
+          s""""file_source_sec":${r.fileSourceSec},"graft_inc_sec":${r.graftIncSec},""" +
+          s""""file_source_inc_sec":${r.fileSourceIncSec},"rows":${r.rows},"valid":${r.valid}}""")
+        if (!r.valid) sys.exit(1)
+      }
     } finally spark.stop()
   }
 }
