@@ -154,6 +154,31 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx sketches are mergeable: cardinalities are partitioning-independent") {
+    // The law that makes HLL usable at 100 TB: the per-partition partial
+    // sketches merge associatively+commutatively, so the final estimate
+    // cannot depend on HOW the data was split across executors. Observable
+    // externally as: any repartitioning of the input — one partition, a
+    // skewed hash split, full fan-out — yields IDENTICAL estimates. A
+    // non-mergeable "sketch" (e.g. per-partition sampling) fails this.
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def sketch(in: org.apache.spark.sql.DataFrame): Seq[String] =
+      in.groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("u"),
+          approx_count_distinct($"event_id").as("e"))
+        .orderBy($"event_type").collect().map(_.toString).toSeq
+    val whole = sketch(events)
+    assert(sketch(events.repartition(1)) == whole, "single-partition run diverged")
+    assert(sketch(events.repartition(7, $"user_id")) == whole, "hash-split run diverged")
+    assert(sketch(events.repartition(31, $"event_id" % 3)) == whole, "skewed-split run diverged")
+    // union-merge form of the same law: sketch(A union B) == sketch over
+    // the halves' partials (Spark's partial agg IS the merge path)
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    assert(sketch(a.unionByName(b)) == whole, "union of disjoint halves diverged")
+  }
+
   test("kmeans: deterministic, covers all vectors, and descends from the init WCSS") {
     val a = Clustering.embKmeans(spark, sf).collect()
     val b = Clustering.embKmeans(spark, sf).collect()
