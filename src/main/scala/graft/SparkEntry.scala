@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Curation, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Curation, Curation2, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, TextAnalysis}
 import graft.queries.{Relational, Relational2, Streaming, Streaming2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       Streaming.queries ++ Streaming2.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
-      Curation.queries ++ Dedup2.queries
+      Curation.queries ++ Dedup2.queries ++ Curation2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       Streaming.oracles ++ Streaming2.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
-      Curation.oracles ++ Dedup2.oracles
+      Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles
 }

@@ -30,6 +30,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir
   }
 
+  test("dedup_substrings: merged spans, within-doc repeats, clean docs zero") {
+    // docs 1 and 2 share a 12-token run -> ONE merged span of 12 tokens
+    // each (5 overlapping 8-windows collapse); doc 3 repeats its own
+    // 8-token phrase twice -> both occurrences flagged; doc 4 is unique
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val dir = plantDocs(Seq(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"x1 x2 x3 $shared y1",
+      3L -> s"$phrase mid1 mid2 $phrase",
+      4L -> (1 to 30).map(i => s"u$i").mkString(" ")))
+    val got = Curation2.dedupSubstrings(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 12L)), s"doc1 expected one 12-token span: $got")
+    assert(got(2L) == ((1L, 12L)), s"doc2 expected one 12-token span: $got")
+    // doc3: duplicated starts 1 and 11 (gap 10 > W=8) -> two 8-token spans
+    assert(got(3L) == ((2L, 16L)), s"doc3 expected two 8-token spans: $got")
+    assert(got(4L) == ((0L, 0L)), s"unique doc flagged: $got")
+  }
+
+  test("dsir_resample: target-vocabulary docs outweigh off-domain docs") {
+    // target slice (doc_id % 10 == 7) speaks 'med*'; raw docs 1 (on-domain)
+    // and 2 (off-domain) must order by domain affinity, and only the
+    // on-domain doc should clear the selection threshold
+    val medical = (1 to 20).map(i => s"med${i % 5}").mkString(" ")
+    val dir = plantDocs(Seq(
+      7L -> medical, 17L -> medical, 27L -> medical,
+      1L -> (1 to 20).map(i => s"med${i % 5}").mkString(" "),
+      2L -> (1 to 20).map(i => s"legal${i % 5}").mkString(" ")))
+    val got = Curation2.dsirResample(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._1 > got(2L)._1, s"on-domain doc must outweigh off-domain: $got")
+    assert(got(1L)._2, s"on-domain doc not selected: $got")
+    assert(!got(2L)._2, s"off-domain doc selected: $got")
+  }
+
   test("decontaminate flags the planted benchmark leak and nothing else") {
     val leaked = (1 to 12).map(i => s"leak$i").mkString(" ")
     val dir = plantDocs(Seq(
