@@ -23,7 +23,7 @@ import graft.queries.Tables
   * shape used here.
   */
 object Dedup {
-  private val ShingleSize = 3
+  private[graft] val ShingleSize = 3
   // 32 bands x 4 rows (k=128): recall at J=0.8 is 1 - 4.8e-8, while the
   // candidate rate for background pairs (J ~ 0.1, common in a small-vocab
   // corpus) is ~32 * 1e-4 — r=2 banding melted down here: every doc pair
@@ -141,16 +141,22 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
   /** Shared oracle CTE: exploded (doc_id, set size, shingle) rows. */
-  private[operators] val ShingleCteSql: String =
+  /** The shingle CTEs, optionally over a row-bounded corpus slice (the
+    * streaming gate caps its staged corpus like every other stream query;
+    * `pred` is a bare SQL predicate on documents, e.g. "doc_id < 2000"). */
+  private[graft] def shingleCteSql(pred: String): String = {
+    val where = if (pred.isEmpty) "" else s" WHERE $pred"
     raw"""sh AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(toks)-1),
          |      i -> array_to_string(toks[i:i+2], ' '))) AS shset
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents$where)
          |  WHERE len(toks) >= 3
          |), ex AS (
          |  SELECT doc_id, len(shset) AS sz, unnest(shset) AS s FROM sh
          |)""".stripMargin
+  }
+  private[operators] val ShingleCteSql: String = shingleCteSql("")
   val dedupNgramJaccardSql: String =
     s"""WITH $ShingleCteSql
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

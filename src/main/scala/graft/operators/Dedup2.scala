@@ -112,25 +112,68 @@ object Dedup2 {
       val delta = ex.filter($"doc_id" % 5 === 0)
         .select($"doc_id".as("d_id"), $"sz".as("sz_d"), $"s")
       val base = ex.filter($"doc_id" % 5 =!= 0)
-      val best = delta.join(base, "s")
-        .groupBy($"d_id", $"doc_id".as("b_id"), $"sz_d", $"sz".as("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", $"inter".cast("double") / ($"sz_d" + $"sz_b" - $"inter"))
-        .filter($"jaccard" >= 0.8)
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"d_id")
-            .orderBy($"jaccard".desc, $"b_id")))
-        .filter($"rn" === 1)
-        .select($"d_id", $"b_id", $"jaccard")
-      val out = Tables.documents(s, d).filter($"doc_id" % 5 === 0).select($"doc_id")
-        .join(best, $"doc_id" === $"d_id", "left")
-        .select($"doc_id", $"d_id".isNull.as("admitted"),
-          $"b_id".as("matched_base"), $"jaccard")
+      val out = incrementalVerdicts(
+          Tables.documents(s, d).filter($"doc_id" % 5 === 0).select($"doc_id"),
+          delta, base)
         .orderBy($"doc_id")
         .persist()
       out.count() // materialize (delta-sized) before the shingle cache drops
       out
     } finally docs.unpersist()
+  }
+
+  /** `(doc_id, sh)` shingle sets of an arbitrary documents frame — the
+    * per-batch re-shingling step of an ingest pipeline (the standing
+    * corpus runs it once; a delta runs it per batch).
+    *
+    * The CALLER must persist the result before exploding it: the shingle
+    * lambda references the token array per element, and without a cache
+    * boundary between this frame and [[explodeSets]] Catalyst inlines the
+    * tokenizer into the lambda body, re-splitting the text once PER
+    * SHINGLE — the [[Dedup.docShingles]] trap (plan-verified: 4 `split(`
+    * occurrences fused under the explode vs 1 behind a cache). */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.repartition($"doc_id")
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", graft.functions.TextFunctions.shingles($"toks", Dedup.ShingleSize).as("sh"))
+  }
+
+  /** Exploded 64-bit-hashed shingles `(doc_id, sz, s)` of a (persisted)
+    * shingle-set frame. */
+  private[graft] def explodeSets(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    sets.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("s0"))
+      .select($"doc_id", $"sz", xxhash64($"s0").as("s"))
+  }
+
+  /** Per-delta-doc verdicts against a standing shingle index — the meet
+    * of [[dedupIncremental]], factored out so the STREAMING ingest path
+    * can run it per micro-batch (graft.queries.Streaming2's
+    * stream_incremental_dedup drives this from foreachBatch). A doc's
+    * verdict depends only on (doc, standing index), so batch slicing
+    * cannot change results — which is exactly what lets the streaming
+    * gate share the batch oracle. `deltaEx`: (d_id, sz_d, s);
+    * `baseEx`: (doc_id, sz, s); `deltaIds`: one row per delta doc. */
+  private[graft] def incrementalVerdicts(
+      deltaIds: DataFrame, deltaEx: DataFrame, baseEx: DataFrame): DataFrame = {
+    val s = deltaIds.sparkSession
+    import s.implicits._
+    val best = deltaEx.join(baseEx, "s")
+      .groupBy($"d_id", $"doc_id".as("b_id"), $"sz_d", $"sz".as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_d" + $"sz_b" - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"d_id")
+          .orderBy($"jaccard".desc, $"b_id")))
+      .filter($"rn" === 1)
+      .select($"d_id", $"b_id", $"jaccard")
+    deltaIds.join(best, $"doc_id" === $"d_id", "left")
+      .select($"doc_id", $"d_id".isNull.as("admitted"),
+        $"b_id".as("matched_base"), $"jaccard")
   }
   val dedupIncrementalSql: String =
     s"""WITH ${Dedup.ShingleCteSql},

@@ -20,7 +20,8 @@ class PerfHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("both consumers drain bulk + incremental phases to identical validated sinks") {
     val r = PerfHarness.run(spark, nFiles = 12, rowsPerFile = 20)
     assert(r.valid, s"row/checksum validation failed: $r")
-    assert(r.rows == (12 + 5 * 8) * 20L)
+    // 12 bulk + 1 untimed settling round + 5 timed rounds, 8 files each
+    assert(r.rows == (12 + 6 * 8) * 20L)
     assert(r.graftSec > 0 && r.fileSourceSec > 0 && r.graftIncSec > 0 && r.fileSourceIncSec > 0)
   }
 }

@@ -102,6 +102,24 @@ class Dedup2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set(10L, 15L), "verdicts cover exactly the delta slice")
   }
 
+  test("stream_incremental_dedup: streamed verdicts equal the batch operator's") {
+    // same planted fixture as the batch test; the stream must reject the
+    // clone, admit the fresh doc, and agree with the batch path verdict
+    // for verdict (multi-batch slicing must not change results)
+    val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val dir = plantDocs(Seq(
+      11L -> base,
+      10L -> base,
+      15L -> (100 to 140).map(i => s"z$i").mkString(" "),
+      12L -> "other base text that matters not here at all"))
+    val streamed = graft.queries.Streaming2.streamIncrementalDedup(spark, dir).collect()
+      .map(_.toString).toSeq
+    val batch = Dedup2.dedupIncremental(spark, dir).orderBy("doc_id").collect()
+      .map(_.toString).toSeq
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
+    assert(streamed.size == 2)
+  }
+
   test("dedup_incremental: a delta above the broadcast threshold degrades to a " +
     "shuffle join instead of a forced broadcast") {
     // with the threshold floored, a broadcast hint would still force the
