@@ -184,22 +184,62 @@ object Clustering {
     } finally emb.unpersist()
   }
 
+  /** All-subspace PQ assignment in ONE pass: adds `best`, an array of
+    * [[PqM]] tiny {s, k} structs — each subspace's argmin score and
+    * code. The subspaces are independent, so scoring them in a single
+    * projection does the work of M scans in one, and the per-subspace
+    * arithmetic is exactly [[assign]]'s, so results are bit-identical
+    * to the per-subspace loop. Only ~M·12 bytes ride along per row (a
+    * first cut carried the sliced sub-vectors in the array too — the
+    * allocation cost more than the scans it saved). */
+  private def assignAllPq(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val elems = (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * PqSub + 1, PqSub)
+      val scored = books(m).zipWithIndex.map { case (c, k) =>
+        struct((lit(norm2(c)) - lit(2.0) * VectorOps.dotf(sub, lit(c))).as("s"),
+          lit(k).as("k"))
+      }
+      array_min(array(scored: _*))
+    }
+    emb.withColumn("best", array(elems: _*))
+  }
+
   private def embPqOn(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
+    // init = the PqK lowest vec_ids, sliced per subspace driver-side
+    // (identical floats to slicing in a projection first)
+    val init = emb.orderBy($"vec_id").limit(PqK)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(PqM)(m => init.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+    for (_ <- 0 until PqIters) {
+      // ONE posexplode of the full vector updates ALL M codebooks:
+      // dimension p belongs to subspace p/PqSub; one (m, cluster, pos)
+      // fixed-point aggregate, M·K·PqSub floats to the driver, one job
+      val means = assignAllPq(emb, books)
+        .select($"best", posexplode($"embedding").as(Seq("p", "x")))
+        .select(($"p" / PqSub).cast("int").as("m"),
+          element_at($"best", ($"p" / PqSub).cast("int") + 1).getField("k").as("cluster"),
+          ($"p" % PqSub).as("pos"), $"x")
+        .groupBy($"m", $"cluster", $"pos")
+        .agg((sum(round($"x".cast("double") * Q).cast("long")).cast("double")
+          / (count(lit(1)) * Q)).cast("float").as("mn"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+      books = next
+    }
+    // final stats: one aggregate, no explode — per subspace, distinct
+    // codes used plus the exact micro-unit reconstruction-error sum
+    val aggCols = (0 until PqM).flatMap { m =>
+      val sub = slice($"embedding", m * PqSub + 1, PqSub)
+      val err = round((VectorOps.dotf(sub, sub) + $"best" (m).getField("s")) * Micro)
+        .cast("long")
+      Seq(countDistinct($"best" (m).getField("k")).as(s"cd$m"), sum(err).as(s"w$m"))
+    } :+ count(lit(1)).as("n")
+    val r = assignAllPq(emb, books).agg(aggCols.head, aggCols.tail: _*).head()
     val stats = (0 until PqM).map { m =>
-      val sdf = emb.select($"vec_id",
-        slice($"embedding", m * PqSub + 1, PqSub).as("embedding"))
-      var codebook: Array[Array[Float]] = sdf.orderBy($"vec_id").limit(PqK)
-        .collect().map(_.getSeq[Float](1).toArray)
-      for (_ <- 0 until PqIters) {
-        codebook = updated(assign(sdf, codebook), codebook)
-      }
-      val agg = assign(sdf, codebook)
-        .agg(countDistinct($"cluster").as("codes_used"),
-          wcssAgg.as("sq_err"),
-          count(lit(1)).as("n_vecs"))
-        .head()
-      (m, agg.getLong(0), agg.getDouble(1), agg.getLong(2))
+      (m, r.getLong(2 * m), r.getLong(2 * m + 1).toDouble / Micro, r.getLong(2 * PqM))
     }
     // 64 B of float32 per subspace vs one 4-bit code = 128x
     val compression = (PqSub * 4.0) / 0.5
