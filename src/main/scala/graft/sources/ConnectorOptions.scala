@@ -220,7 +220,14 @@ object ConnectorOptions {
       staticCredentials = (get(ACCESS_KEY_ID), get(SECRET_ACCESS_KEY)) match {
         case (Some(id), Some(secret)) =>
           Some(QueueCredentials(id, secret, get(SESSION_TOKEN)))
-        case (None, None) => None
+        case (None, None) =>
+          // a token alone can't be honored; silently falling through to the
+          // default chain would ignore explicit user configuration
+          if (get(SESSION_TOKEN).isDefined) {
+            throw new GraftSourceException(
+              s"$SESSION_TOKEN requires $ACCESS_KEY_ID and $SECRET_ACCESS_KEY to be set")
+          }
+          None
         case _ => throw new GraftSourceException(
           s"$ACCESS_KEY_ID and $SECRET_ACCESS_KEY must be set together")
       },

@@ -146,18 +146,45 @@ object ProfileCredentialsProvider {
   * `AWS_EC2_METADATA_SERVICE_ENDPOINT` env var) so tests resolve against an
   * in-process HTTP stub; `AWS_EC2_METADATA_DISABLED=true` short-circuits
   * like the SDK. Lookup injection keeps the spec hermetic.
+  *
+  * Resolved credentials are CACHED until near the role document's
+  * `Expiration` (SDK parity: instance credentials are reused, not
+  * re-fetched per request — IMDS is rate-limited and the queue client
+  * resolves once per SQS call). One `HttpClient` is reused across
+  * fetches. The clock is injectable so expiry-refresh is spec-testable.
   */
 final case class InstanceMetadataCredentialsProvider(
     endpoint: Option[String] = None,
     timeoutMs: Int = 3000,
-    lookup: String => Option[String] = EnvironmentCredentialsProvider.fromEnv)
+    lookup: String => Option[String] = EnvironmentCredentialsProvider.fromEnv,
+    clock: () => Long = InstanceMetadataCredentialsProvider.systemClock)
     extends ConnectorCredentialsProvider {
+  import InstanceMetadataCredentialsProvider.RefreshMarginMs
 
-  private def http(): java.net.http.HttpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
-    .build()
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .build()
+
+  /** (credentials, expirationEpochMs or None for non-expiring). */
+  @transient @volatile
+  private var cached: (QueueCredentials, Option[Long]) = _
 
   override def resolve(): QueueCredentials = {
+    val c = cached
+    if (c != null && c._2.forall(exp => clock() < exp - RefreshMarginMs)) return c._1
+    synchronized {
+      val c2 = cached
+      if (c2 != null && c2._2.forall(exp => clock() < exp - RefreshMarginMs)) c2._1
+      else {
+        val fresh = fetch()
+        cached = fresh
+        fresh._1
+      }
+    }
+  }
+
+  private def fetch(): (QueueCredentials, Option[Long]) = {
     if (lookup("AWS_EC2_METADATA_DISABLED").exists(_.equalsIgnoreCase("true"))) {
       throw new GraftNoCredentialsException("instance metadata disabled by env")
     }
@@ -166,7 +193,6 @@ final case class InstanceMetadataCredentialsProvider(
       .getOrElse("http://169.254.169.254")
       .stripSuffix("/")
     try {
-      val client = http()
       def req(b: java.net.http.HttpRequest.Builder): String = {
         val resp = client.send(
           b.timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).build(),
@@ -192,7 +218,13 @@ final case class InstanceMetadataCredentialsProvider(
       (Option(doc.get("AccessKeyId")).map(_.asText()),
         Option(doc.get("SecretAccessKey")).map(_.asText())) match {
         case (Some(i), Some(s)) if i.nonEmpty && s.nonEmpty =>
-          QueueCredentials(i, s, Option(doc.get("Token")).map(_.asText()).filter(_.nonEmpty))
+          val creds =
+            QueueCredentials(i, s, Option(doc.get("Token")).map(_.asText()).filter(_.nonEmpty))
+          // a malformed Expiration caches as non-expiring rather than failing
+          // an otherwise-valid credential fetch
+          val expiresAt = Option(doc.get("Expiration")).map(_.asText()).filter(_.nonEmpty)
+            .flatMap(ts => Try(java.time.Instant.parse(ts).toEpochMilli).toOption)
+          (creds, expiresAt)
         case _ => throw new GraftNoCredentialsException(
           s"IMDS: role document for '$role' lacks AccessKeyId / SecretAccessKey")
       }
@@ -202,6 +234,13 @@ final case class InstanceMetadataCredentialsProvider(
         throw new GraftNoCredentialsException(s"IMDS unreachable at $base: ${e.getMessage}")
     }
   }
+}
+object InstanceMetadataCredentialsProvider {
+  /** Re-fetch when within this margin of the role document's Expiration
+    * (the SDK refreshes instance credentials ahead of expiry, not at it). */
+  val RefreshMarginMs: Long = 5 * 60 * 1000L
+  // named function value, not a closure, to keep the case class serializable
+  val systemClock: () => Long = () => System.currentTimeMillis()
 }
 
 /** First-wins chain. Like the SDK default chain, the first provider that

@@ -48,6 +48,12 @@ object FileBackedMetadataLog {
   /** Every Nth batch folds the whole live log into one `<id>.compact`
     * file, so restart reads O(1) files instead of O(batches). */
   val DefaultCompactInterval = 5
+
+  /** On-disk compact-file format version (reference discipline: its
+    * metadata logs version their payloads, RocksDBS3SourceLog.scala:257-270).
+    * v1 = legacy bare JSON array of entries (no batch-boundary list);
+    * v2 = `{"version":2,"batchIds":[...],"entries":[...]}`. */
+  val CompactFormatVersion = 2
 }
 
 /** Metadata log over atomic one-file-per-batch JSON in the checkpoint dir
@@ -146,19 +152,45 @@ final class FileBackedMetadataLog(
     parseEntries(readFileString(batchFile(batchId)), batchId)
 
   /** A compact file records explicit batch boundaries alongside the
-    * entries (`{"batchIds":[...],"entries":[...]}`), so a zero-entry
-    * batch survives compaction: without the boundary list, an empty
-    * batch would vanish from the folded representation and `get` /
+    * entries (`{"version":2,"batchIds":[...],"entries":[...]}`), so a
+    * zero-entry batch survives compaction: without the boundary list, an
+    * empty batch would vanish from the folded representation and `get` /
     * `getLatestBatchId` would regress after restart. Each entry's own
-    * `batchId` field is authoritative for grouping. */
+    * `batchId` field is authoritative for grouping.
+    *
+    * Restore accepts two on-disk shapes: the current versioned object,
+    * and the legacy v1 bare array (a checkpoint written before the
+    * boundary list existed) — legacy compacts are migrated in place by
+    * deriving the batch-id list from each entry's own `batchId` (a
+    * zero-entry batch could not be represented in v1, so none is lost
+    * by this derivation). Anything else fails with a descriptive
+    * versioned error rather than an opaque NPE. */
   private def readCompactFile(compactId: Long): (Seq[Long], Array[FileEntry]) = {
     val root = mapper.readTree(readFileString(compactFile(compactId)))
-    val ids = root.get("batchIds").asInstanceOf[ArrayNode]
-      .elements().asScala.map(_.asLong()).toSeq
-    val entries = root.get("entries").asInstanceOf[ArrayNode].elements().asScala.map { n =>
-      FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), n.get("batchId").asLong())
-    }.toArray
-    (ids, entries)
+    def entriesOf(node: com.fasterxml.jackson.databind.JsonNode): Array[FileEntry] =
+      node.elements().asScala.map { n =>
+        FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), n.get("batchId").asLong())
+      }.toArray
+    if (root.isArray) {
+      // v1 legacy: bare array of entries, no version marker, no boundary list
+      val entries = entriesOf(root)
+      (entries.map(_.batchId).distinct.sorted.toSeq, entries)
+    } else if (root.isObject && root.hasNonNull("batchIds") && root.hasNonNull("entries")) {
+      val version = if (root.hasNonNull("version")) root.get("version").asInt() else CompactFormatVersion
+      if (version > CompactFormatVersion) {
+        throw new GraftSourceException(
+          s"metadata compact file ${compactFile(compactId)} has format version $version, " +
+            s"but this build reads at most version $CompactFormatVersion — " +
+            "the checkpoint was written by a newer release")
+      }
+      val ids = root.get("batchIds").asInstanceOf[ArrayNode]
+        .elements().asScala.map(_.asLong()).toSeq
+      (ids, entriesOf(root.get("entries")))
+    } else {
+      throw new GraftSourceException(
+        s"metadata compact file ${compactFile(compactId)} is neither a legacy v1 entry array " +
+          s"nor a versioned {version, batchIds, entries} object (known versions: 1..$CompactFormatVersion)")
+    }
   }
 
   private def parseEntries(json: String, batchId: Long): Array[FileEntry] = {
@@ -207,6 +239,7 @@ final class FileBackedMetadataLog(
   private def compact(batchId: Long): Unit = {
     val all = batches.values().asScala.flatten.toArray
     val root = mapper.createObjectNode()
+    root.put("version", CompactFormatVersion)
     val idsNode = root.putArray("batchIds")
     batches.keySet().asScala.foreach(idsNode.add(_))
     root.set[com.fasterxml.jackson.databind.JsonNode](

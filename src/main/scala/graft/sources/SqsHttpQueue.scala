@@ -42,9 +42,18 @@ final class SqsHttpQueue(
     .connectTimeout(Duration.ofSeconds(requestTimeoutSeconds.toLong))
     .build()
 
-  // entry-level error codes that mean "this handle", not "this call"
-  private val EntryLevelCodes =
-    Set("ReceiptHandleIsInvalid", "InvalidParameterValue", "MessageNotInflight")
+  // entry-level error codes that always mean "this handle", not "this call"
+  private val EntryLevelCodes = Set("ReceiptHandleIsInvalid", "MessageNotInflight")
+
+  /** Entry-level iff the error is about the receipt handle. SQS reports an
+    * expired/foreign handle as `InvalidParameterValue` with a Message naming
+    * the ReceiptHandle parameter — but the same code also covers call-level
+    * misconfiguration (e.g. VisibilityTimeout above the 43200 s max), which
+    * must surface loudly, not be swallowed as a per-entry false. */
+  private def isEntryLevel(code: String, message: Option[String]): Boolean =
+    EntryLevelCodes(code) ||
+      (code == "InvalidParameterValue" &&
+        message.exists(_.toLowerCase.replace(" ", "").contains("receipthandle")))
 
   private def formEncode(params: Seq[(String, String)]): String =
     params.map { case (k, v) => s"${SigV4.uriEncode(k)}=${SigV4.uriEncode(v)}" }.mkString("&")
@@ -91,11 +100,17 @@ final class SqsHttpQueue(
     if (nodes.getLength == 0) None else Option(nodes.item(0).getTextContent)
   }
 
-  private def errorCode(body: String): Option[String] =
+  private def errorInfo(body: String): Option[(String, Option[String])] =
     try {
       val doc = parseXml(body)
-      elements(doc, "Error").headOption.flatMap(childText(_, "Code"))
+      elements(doc, "Error").headOption.flatMap(e =>
+        childText(e, "Code").map(_ -> childText(e, "Message")))
     } catch { case NonFatal(_) => None }
+
+  private def errorCode(body: String): Option[String] = errorInfo(body).map(_._1)
+
+  private def entryLevelFailure(body: String): Boolean =
+    errorInfo(body).exists { case (code, msg) => isEntryLevel(code, msg) }
 
   override def receive(max: Int, visibilityTimeoutSeconds: Int): Seq[QueueMessage] = {
     val (status, body) = call("ReceiveMessage", Seq(
@@ -117,7 +132,7 @@ final class SqsHttpQueue(
   override def delete(messageId: String): Boolean = {
     val (status, body) = call("DeleteMessage", Seq("ReceiptHandle" -> messageId))
     if (status / 100 == 2) true
-    else if (errorCode(body).exists(EntryLevelCodes)) false
+    else if (entryLevelFailure(body)) false
     else throw new GraftSourceException(
       s"SQS DeleteMessage failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
   }
@@ -145,7 +160,7 @@ final class SqsHttpQueue(
       "ReceiptHandle" -> messageId,
       "VisibilityTimeout" -> timeoutSeconds.toString))
     if (status / 100 == 2) true
-    else if (errorCode(body).exists(EntryLevelCodes)) false
+    else if (entryLevelFailure(body)) false
     else throw new GraftSourceException(
       s"SQS ChangeMessageVisibility failed: HTTP $status ${errorCode(body).getOrElse("")} on $queueUrl")
   }

@@ -64,6 +64,24 @@ class ConnectorOptionsSpec extends AnyFunSuite {
     intercept[GraftReprocessException](ConnectorOptions(base + ("reprocessStartBatchId" -> "1")))
   }
 
+  test("static credentials: together, mismatched, and token-without-keys") {
+    val full = ConnectorOptions(base ++ Map(
+      "queue.accessKeyId" -> "AK", "queue.secretAccessKey" -> "SK",
+      "queue.sessionToken" -> "TOK"))
+    assert(full.staticCredentials.contains(QueueCredentials("AK", "SK", Some("TOK"))))
+    assert(ConnectorOptions(base).staticCredentials.isEmpty)
+    // key without secret (and vice versa) is a configuration error
+    intercept[GraftSourceException](
+      ConnectorOptions(base + ("queue.accessKeyId" -> "AK")))
+    intercept[GraftSourceException](
+      ConnectorOptions(base + ("queue.secretAccessKey" -> "SK")))
+    // a session token alone must be rejected, not silently dropped into
+    // the default chain
+    val e = intercept[GraftSourceException](
+      ConnectorOptions(base + ("queue.sessionToken" -> "TOK")))
+    assert(e.getMessage.contains("sessiontoken"), s"unexpected: ${e.getMessage}")
+  }
+
   test("unknown options pass through to the file format") {
     val o = ConnectorOptions(base ++ Map("header" -> "true", "sep" -> "|"))
     assert(o.formatOptions == Map("header" -> "true", "sep" -> "|"))

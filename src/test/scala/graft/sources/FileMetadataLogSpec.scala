@@ -110,6 +110,53 @@ class FileMetadataLogSpec extends AnyFunSuite {
     log2.close(); log.close()
   }
 
+  test("restore migrates a legacy v1 bare-array compact file (pre-versioned checkpoint)") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    // hand-write the pre-round-4 compact shape: a bare JSON array of
+    // entries, no version marker, no batchIds boundary list
+    val logDir = java.nio.file.Paths.get(dir, "graft-batches")
+    Files.createDirectories(logDir)
+    val legacy =
+      """[{"path":"old-a","timestampMs":10,"batchId":0},
+        |{"path":"old-b","timestampMs":20,"batchId":0},
+        |{"path":"old-c","timestampMs":30,"batchId":2}]""".stripMargin
+    // legacy compacts are named after the batch that triggered them, so
+    // the id is always <= the restored latest batch id
+    Files.write(logDir.resolve("2.compact"), legacy.getBytes("UTF-8"))
+    val log = new FileBackedMetadataLog(dir, new Configuration())
+    assert(log.getLatestBatchId.contains(2L))
+    assert(log.get(0).get.map(_.path).sorted.toSeq == Seq("old-a", "old-b"))
+    assert(log.get(2).get.head.path == "old-c")
+    assert(!log.isNewFile("old-a", 0L), "file index must be rebuilt from the legacy compact")
+    // the upgraded log keeps working: new adds and a v2 re-compaction
+    (3L until 10L).foreach(i => log.add(i, entries(i, s"new$i" -> (100L + i))))
+    log.close()
+    val log2 = new FileBackedMetadataLog(dir, new Configuration())
+    assert(log2.getLatestBatchId.contains(9L))
+    assert(log2.get(2).get.head.path == "old-c", "legacy state lost across re-compaction")
+    assert(log2.get(7).get.head.path == "new7")
+    log2.close()
+  }
+
+  test("restore fails descriptively on a future compact format version") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    val logDir = java.nio.file.Paths.get(dir, "graft-batches")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("4.compact"),
+      """{"version":99,"batchIds":[0],"entries":[]}""".getBytes("UTF-8"))
+    val e = intercept[GraftSourceException](new FileBackedMetadataLog(dir, new Configuration()))
+    assert(e.getMessage.contains("version 99"), s"error must name the version: ${e.getMessage}")
+  }
+
+  test("restore fails descriptively on an unrecognized compact shape, not an NPE") {
+    val dir = Files.createTempDirectory("graft-metalog").toString
+    val logDir = java.nio.file.Paths.get(dir, "graft-batches")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve("4.compact"), """{"what":"is-this"}""".getBytes("UTF-8"))
+    val e = intercept[GraftSourceException](new FileBackedMetadataLog(dir, new Configuration()))
+    assert(e.getMessage.contains("compact"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("isNewFile: expiry resurrection semantics (SURVEY §2.2)") {
     withLog { (log, _) =>
       log.add(0, entries(0, "old" -> 100L))

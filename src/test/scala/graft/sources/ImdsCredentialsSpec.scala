@@ -82,6 +82,31 @@ class ImdsCredentialsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[GraftNoCredentialsException](p.resolve())
   }
 
+  test("caching: repeated resolve() (one per SQS call) pays one IMDS fetch") {
+    val before = tokenRequests
+    val p = InstanceMetadataCredentialsProvider(endpoint = Some(endpoint))
+    // SqsHttpQueue.call() resolves per request; the provider must absorb that
+    val creds = (1 to 25).map(_ => p.resolve())
+    assert(creds.distinct.size == 1)
+    assert(tokenRequests == before + 1,
+      s"expected exactly one IMDS fetch for 25 resolves, got ${tokenRequests - before}")
+  }
+
+  test("caching: re-fetches when the clock nears the role document's Expiration") {
+    // stub role document expires 2030-01-01T00:00:00Z
+    val expiry = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    @volatile var now = expiry - 60 * 60 * 1000L // one hour out: cache holds
+    val before = tokenRequests
+    val p = InstanceMetadataCredentialsProvider(endpoint = Some(endpoint), clock = () => now)
+    p.resolve(); p.resolve()
+    assert(tokenRequests == before + 1)
+    now = expiry - 2 * 60 * 1000L // inside the 5-minute refresh margin
+    p.resolve()
+    assert(tokenRequests == before + 2, "provider must refresh near expiry")
+    p.resolve() // still near expiry: every call re-fetches until a fresher doc arrives
+    assert(tokenRequests == before + 3)
+  }
+
   test("chain falls through to IMDS when env/props/profile are absent") {
     val chain = new CredentialsProviderChain(Seq(
       EnvironmentCredentialsProvider(lookup = _ => None),

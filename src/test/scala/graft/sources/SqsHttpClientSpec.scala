@@ -52,8 +52,23 @@ class SqsHttpClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.receive(10, 60).size == 1) // re-armed: redelivered
     assert(q.delete(id))
     assert(!q.delete(id)) // ReceiptHandleIsInvalid -> entry-level false
+    // expired handle on this action is InvalidParameterValue with a
+    // ReceiptHandle-naming Message -> still entry-level false
     assert(!q.changeVisibility(id, 0))
     assert(stub.rejectedSignatures == 0)
+    q.close()
+  }
+
+  test("call-level InvalidParameterValue (VisibilityTimeout > 43200) throws, not false") {
+    stub.queue.clear()
+    val id = stub.queue.send("""{"path":"loud","timestampMs":1}""")
+    val q = rawQueue()
+    assert(q.receive(10, 60).map(_.messageId) == Seq(id))
+    val e = intercept[GraftSourceException](q.changeVisibility(id, 43201))
+    assert(e.getMessage.contains("InvalidParameterValue"),
+      s"misconfiguration must surface the service error code: ${e.getMessage}")
+    // the same handle is still valid: the failure was the call, not the entry
+    assert(q.changeVisibility(id, 0))
     q.close()
   }
 

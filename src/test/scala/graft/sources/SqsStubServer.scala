@@ -163,10 +163,20 @@ final class SqsStubServer(secretsByAccessKey: Map[String, String], region: Strin
   private def changeVisibility(ex: HttpExchange, params: Map[String, String]): Unit = {
     val receipt = params.getOrElse("ReceiptHandle", "")
     val timeout = params.get("VisibilityTimeout").map(_.toInt).getOrElse(0)
-    if (queue.changeVisibility(receipt, timeout)) {
+    if (timeout < 0 || timeout > 43200) {
+      // real SQS: call-level InvalidParameterValue naming the
+      // VisibilityTimeout parameter, not the receipt handle
+      error(ex, 400, "InvalidParameterValue",
+        s"Value $timeout for parameter VisibilityTimeout is invalid. " +
+          "Reason: Must be between 0 and 43200, if provided.")
+    } else if (queue.changeVisibility(receipt, timeout)) {
       respond(ex, 200, """<ChangeMessageVisibilityResponse><ResponseMetadata><RequestId>stub</RequestId></ResponseMetadata></ChangeMessageVisibilityResponse>""")
     } else {
-      error(ex, 404, "ReceiptHandleIsInvalid", s"no such receipt $receipt")
+      // real SQS reports an expired/unknown handle on this action as
+      // InvalidParameterValue with a Message naming ReceiptHandle
+      error(ex, 400, "InvalidParameterValue",
+        s"Value $receipt for parameter ReceiptHandle is invalid. " +
+          "Reason: Message does not exist or is not available for visibility timeout change.")
     }
   }
 }
