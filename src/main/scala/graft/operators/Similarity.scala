@@ -120,22 +120,29 @@ object Similarity {
     * bucket key -> equi-join, the shape that survives 100 TB (spec
     * asserts no CartesianProduct / BroadcastNestedLoopJoin).
     *
-    * GATE STAGING: the synthetic fixture's max pairwise cosine is ~0.51,
-    * which would make a 0.95-threshold gate vacuously green (0 expected
-    * pairs proves nothing about recall). The corpus is therefore staged
-    * with planted qualifying pairs derived deterministically from itself:
+    * This is the PRODUCTION operator: it reports pairs from the given
+    * corpus and nothing else. The non-vacuous correctness gate lives in
+    * [[dedupEmbeddingCosineGate]], which stages planted qualifying pairs
+    * into a copy of the corpus before calling the same pipeline. */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame =
+    cosineNearDupPairs(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** GATE STAGING (correctness fixture, not a library operator): the
+    * synthetic fixture's max pairwise cosine is ~0.51, which would make a
+    * 0.95-threshold gate on the raw corpus vacuously green (0 expected
+    * pairs proves nothing about recall). This wrapper stages the corpus
+    * with planted qualifying pairs derived deterministically from itself —
     * exact copies (vec_id + 1,000,000) of ids 0-9 and 0.5-scaled copies
-    * (vec_id + 2,000,000) of ids 10-19. A POSITIVE scalar multiple leaves
-    * every hyperplane dot's sign unchanged, so a planted pair shares all
-    * 16 bucket cells mathematically — recall on the planted pairs is
-    * deterministic, not probabilistic, and the exact all-pairs oracle now
-    * checks 20 expected rows end-to-end. Residual probabilistic exposure
-    * is only a >= 0.95 pair arising in the raw fixture itself (none at
-    * current seeds by a 0.44 margin). */
-  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    * (vec_id + 2,000,000) of ids 10-19 — then runs the SAME production
+    * pipeline on the staged frame. A POSITIVE scalar multiple leaves every
+    * hyperplane dot's sign unchanged, so a planted pair shares all 16
+    * bucket cells mathematically: recall on the planted pairs is
+    * deterministic, not probabilistic, and the exact all-pairs oracle
+    * checks 20 expected rows end-to-end. The production operator's own
+    * gate row stays corpus-faithful (and empty at current seeds, by a
+    * 0.44 cosine margin). */
+  def dedupEmbeddingCosineGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tables = 16
-    val bits = 6
     val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val copies = base.filter($"vec_id" < 10)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
@@ -144,37 +151,38 @@ object Similarity {
     val halves = base.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select(($"vec_id" + 2000000L).as("vec_id"),
         transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
-    val emb = base.unionByName(copies).unionByName(halves)
-      .repartition($"vec_id")
-      .withColumn("vn", norm($"embedding"))
-    val bucketed = emb.select($"vec_id", $"embedding", $"vn",
-      posexplode(array((0 until tables).map(t => lshBucket($"embedding", bits, 64, t)): _*))
+    cosineNearDupPairs(base.unionByName(copies).unionByName(halves))
+  }
+
+  /** The shared pipeline: sign-LSH candidate generation + exact cosine
+    * verification at threshold 0.95 over whatever corpus it is handed. */
+  private def cosineNearDupPairs(raw: DataFrame): DataFrame = {
+    val tables = 16
+    val bits = 6
+    val emb = raw
+      .repartition(col("vec_id")) // single-file fixture: unlock parallelism
+      .withColumn("vn", norm(col("embedding")))
+    val bucketed = emb.select(col("vec_id"), col("embedding"), col("vn"),
+      posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), bits, 64, t)): _*))
         .as(Seq("tbl", "bucket")))
-    val left = bucketed.select($"tbl", $"bucket",
-      $"vec_id".as("a_id"), $"embedding".as("av"), $"vn".as("an"))
-    val right = bucketed.select($"tbl", $"bucket",
-      $"vec_id".as("b_id"), $"embedding".as("bv"), $"vn".as("bn"))
+    val left = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("av"), col("vn").as("an"))
+    val right = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("bv"), col("vn").as("bn"))
     val cand = left.join(right, Seq("tbl", "bucket"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"av", $"an", $"b_id", $"bv", $"bn")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("av"), col("an"), col("b_id"), col("bv"), col("bn"))
       .distinct() // one exact verify per pair, however many tables collide
     cand
-      .filter(dot($"av", $"bv") / ($"an" * $"bn") >= 0.95)
-      .select($"a_id", $"b_id")
-      .orderBy($"a_id", $"b_id")
+      .filter(dot(col("av"), col("bv")) / (col("an") * col("bn")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
   }
-  val dedupEmbeddingCosineSql: String =
-    """WITH staged AS (
-      |  SELECT vec_id, embedding FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
-      |  UNION ALL
-      |  SELECT vec_id + 2000000,
-      |    list_transform(embedding, x -> CAST(CAST(x AS FLOAT) * CAST(0.5 AS FLOAT) AS FLOAT))
-      |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
-      |)
+
+  private def allPairsCosineSql(corpusCte: String): String =
+    s"""$corpusCte
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      |FROM staged a JOIN staged b ON a.vec_id < b.vec_id
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       |WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
       |        k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
@@ -182,6 +190,23 @@ object Similarity {
       |    * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
       |        k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE))))) >= 0.95
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Exact all-pairs oracle over the raw corpus — the production row. */
+  val dedupEmbeddingCosineSql: String =
+    allPairsCosineSql("WITH corpus AS (SELECT vec_id, embedding FROM embeddings)")
+
+  /** Exact all-pairs oracle over the STAGED corpus — the gate row. */
+  val dedupEmbeddingCosineGateSql: String =
+    allPairsCosineSql(
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 2000000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS FLOAT) * CAST(0.5 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+        |)""".stripMargin)
 
   // ------------------------------------------------------------ LSH ANN
   /** Approximate top-k via sign-LSH: 16 tables x 6-bit buckets; for each
@@ -359,13 +384,18 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> annTopKBrute _,
+    // production operator, corpus-faithful (empty on the raw fixture —
+    // still hash-gated: an LSH false positive would fail the row)
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    // staged-fixture gate: 20 planted pairs keep the 0.95 check non-vacuous
+    "dedup_embedding_cosine_gate" -> dedupEmbeddingCosineGate _,
     "ann_topk_lsh" -> annTopKLsh _,
     "ann_topk_ivf" -> annTopKIvf _,
   )
   val oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_embedding_cosine_gate" -> dedupEmbeddingCosineGateSql,
     "ann_topk_ivf" -> annTopKIvfSql,
     "ann_topk_lsh" -> annTopKLshSql,
   )

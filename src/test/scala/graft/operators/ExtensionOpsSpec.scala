@@ -122,13 +122,28 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"embedding dedup degenerated into an all-pairs join:\n$plan")
+    // the PRODUCTION operator is corpus-faithful: exactly the fixture's own
+    // near-dup pair, no fabricated rows (random gaussian 64-dim vectors
+    // essentially never reach cosine 0.95)
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)), s"planted near-dup pair missed: $pairs")
-    // the operator's own gate staging adds exact copies of ids < 10 and
-    // 0.5-scaled copies of ids 10-19; with fixture ids 1 and 2 mutually
-    // near-dup, the expected qualifying set is their staged closure plus
-    // each id's own staged twin — and nothing else (random gaussian
-    // 64-dim vectors essentially never reach cosine 0.95)
+    assert(pairs == Set((1L, 2L)), s"production operator must report corpus pairs only: $pairs")
+  }
+
+  test("dedup_embedding_cosine_gate stages planted pairs without touching the operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-gate").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.map(x => x + 0.01f) // cosine ~ 1
+    val rows = Seq(1L -> base, 2L -> nearDup) ++ (3L to 40L).map(_ -> vec())
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // gate staging adds exact copies of ids < 10 and 0.5-scaled copies of
+    // ids 10-19; with fixture ids 1 and 2 mutually near-dup, the expected
+    // qualifying set is their staged closure plus each id's staged twin
+    val pairs = Similarity.dedupEmbeddingCosineGate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val dupClass = Seq(1L, 2L, 1000001L, 1000002L)
     val expected =
       (for { a <- dupClass; b <- dupClass if a < b } yield (a, b)).toSet ++
