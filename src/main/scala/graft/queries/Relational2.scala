@@ -320,6 +320,36 @@ object Relational2 {
       .orderBy($"event_type")
   }
 
+  /** Deterministic-bound companion to [[q42ApproxSketches]]: the sketch
+    * row itself can't be oracled (HLL implementations differ engine to
+    * engine), but the ACCURACY CLAIM can. Per event type this emits the
+    * exact distinct counts plus booleans asserting the HLL estimate
+    * (rsd=0.02 — measured max error 2.6% across sf0.001-0.1 vs 8% at the
+    * default rsd) lands within 5% of exact. The oracle recomputes the
+    * exact counts and pins the booleans to TRUE, so a sketch drifting out
+    * of bound hash-fails the row instead of passing rows-only. */
+  def q42SketchBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        countDistinct($"event_id").as("exact_events"),
+        approx_count_distinct($"user_id", 0.02).as("au"),
+        approx_count_distinct($"event_id", 0.02).as("ae"))
+      .select($"event_type", $"exact_users", $"exact_events",
+        (abs($"au" - $"exact_users") <= $"exact_users" * 0.05).as("users_in_bound"),
+        (abs($"ae" - $"exact_events") <= $"exact_events" * 0.05).as("events_in_bound"))
+      .orderBy($"event_type")
+  }
+  val q42BoundSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+      |  TRUE AS users_in_bound,
+      |  TRUE AS events_in_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q43
   /** Null-handling + numeric guard suite: nullif/coalesce, greatest/
     * least, modulo, and division that returns NULL instead of a runtime
@@ -414,6 +444,7 @@ object Relational2 {
     "q40_datetime_suite" -> q40DatetimeSuite _,
     "q41_string_bitwise" -> q41StringBitwise _,
     "q42_approx_sketches" -> q42ApproxSketches _,
+    "q42_sketch_bound" -> q42SketchBound _,
     "q43_null_numeric" -> q43NullNumeric _,
     "q44_nested_agg" -> q44NestedAgg _,
     "q45_set_all" -> q45SetAll _,
@@ -430,7 +461,9 @@ object Relational2 {
     "q40_datetime_suite" -> q40Sql,
     "q41_string_bitwise" -> q41Sql,
     // q42_approx_sketches: intentionally no oracle (sketch output;
-    // error-bounded against exact counts in Round2OpsSpec)
+    // HLL impls differ engine-to-engine) — its accuracy claim is gated
+    // by q42_sketch_bound below and error-bounded in Round2OpsSpec
+    "q42_sketch_bound" -> q42BoundSql,
     "q43_null_numeric" -> q43Sql,
     "q44_nested_agg" -> q44Sql,
     "q45_set_all" -> q45Sql,
