@@ -68,8 +68,10 @@ object Multimodal {
 
   /** Decode + feature extraction over binary payloads via mapPartitions:
     * decoder opened once per partition, rows processed as a batch stream.
-    * Rows-only gate (the stub features are not worth oracling); the
-    * partition-lifecycle behavior is asserted in MultimodalSpec. */
+    * The partition-lifecycle behavior is asserted in ExtensionOpsSpec;
+    * the stub features themselves are byte arithmetic, so the row is
+    * fully hash-gated — the oracle replays the byte walk by slicing
+    * `hex(encode(text))` two digits at a time ([[mmDecodeFeaturesSql]]). */
   def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d)
@@ -84,6 +86,20 @@ object Multimodal {
     }.toDF("doc_id", "n_bytes", "mean_byte", "head_byte")
       .orderBy($"doc_id")
   }
+
+  /** DuckDB replica of the stub codec: the UTF-8 payload's bytes are
+    * recovered by slicing its hex dump in 2-digit pairs; the mean is the
+    * same exact-integer sum in one IEEE double division on both engines. */
+  val mmDecodeFeaturesSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(range(0, octet_length(encode(text))),
+      |              i -> CAST(concat('0x', substring(hex(encode(text)), i*2+1, 2)) AS INT)))
+      |            AS DOUBLE) / octet_length(encode(text)) END AS mean_byte,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+      |       ELSE CAST(concat('0x', substring(hex(encode(text)), 1, 2)) AS INT) END AS head_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Resize planning + content-addressed verification: target dims
     * shrink the manifest dims so the long side is 256 (aspect preserved,
@@ -179,6 +195,6 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,
     "mm_dedup_payload" -> mmDedupPayloadSql,
-    // mm_decode_features: stubbed decode, rows-only
+    "mm_decode_features" -> mmDecodeFeaturesSql,
   )
 }
