@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan law: no registered batch query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+  * documented construction bounds the broadcast side to a constant —
+  * anything else is an all-pairs join waiting to detonate at 100 TB.
+  *
+  * Per-operator specs already assert this for the operators that earned
+  * the scrutiny (embedding dedup, LSH joins); this suite sweeps the WHOLE
+  * `SparkEntry.queries` inventory so a future query — or a Catalyst
+  * re-plan of an existing one after a refactor — can't reintroduce an
+  * unbounded nested-loop shape without failing a test by name.
+  *
+  * Streaming gate queries are excluded: they execute micro-batch
+  * harnesses on call and return materialized results, so there is no
+  * standing batch plan to inspect (their stream/batch parity is gated by
+  * the oracle instead).
+  */
+class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.codegen.maxFields", "256")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is sound BY CONSTRUCTION: the
+    * broadcast side is a constant-size frame whatever the corpus size.
+    * Each entry documents the bound; a query not listed here that plans
+    * a BNLJ fails the sweep. */
+  private val justifiedBnlj: Map[String, String] = Map(
+    "ann_topk_brute" -> "broadcast probe set is NProbes=64 rows by construction",
+    "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
+    "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
+    "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
+  )
+
+  private lazy val batchQueries: Seq[(String, String)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_"))
+      .map { case (name, fn) =>
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
+      }
+
+  test("no registered batch query plans a CartesianProduct") {
+    val offenders = batchQueries.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product planned by: ${offenders.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin appears only with a documented constant-size bound") {
+    val offenders = batchQueries.collect {
+      case (name, plan)
+        if plan.contains("BroadcastNestedLoopJoin") && !justifiedBnlj.contains(name) => name
+    }
+    assert(offenders.isEmpty,
+      s"unjustified nested-loop join planned by: ${offenders.mkString(", ")} — " +
+        "either bound the broadcast side by construction and whitelist it " +
+        "with the reason, or re-shape the join to an equi-join")
+  }
+
+  test("the BNLJ whitelist stays tight: every entry still plans one") {
+    val plans = batchQueries.toMap
+    val stale = justifiedBnlj.keys.filter { name =>
+      !plans.get(name).exists(_.contains("BroadcastNestedLoopJoin"))
+    }
+    assert(stale.isEmpty,
+      s"whitelist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+}
