@@ -228,6 +228,7 @@ final class RocksDBMetadataLog(
       }
       // mutable files + metadata -> one atomic zip per version
       val meta = mapper.createObjectNode()
+      meta.put("formatVersion", RocksDBMetadataLog.CheckpointFormatVersion)
       meta.put("version", version)
       meta.put("latestBatch", latestBatch.getOrElse(-1L))
       val sstMap = meta.putObject("ssts")
@@ -284,7 +285,22 @@ final class RocksDBMetadataLog(
           entry = in.getNextEntry
         }
       } finally in.close()
+      if (metaBytes == null) {
+        throw new GraftSourceException(
+          s"checkpoint zip ${versionZip(latest)} has no metadata.json — not a graft metalog checkpoint")
+      }
       val meta = mapper.readTree(metaBytes)
+      // format discipline (reference parity: its metadata logs version
+      // their payloads): checkpoints written before the marker existed
+      // read as format 1; a future format fails descriptively
+      val fmtVersion =
+        if (meta.hasNonNull("formatVersion")) meta.get("formatVersion").asInt() else 1
+      if (fmtVersion > RocksDBMetadataLog.CheckpointFormatVersion) {
+        throw new GraftSourceException(
+          s"checkpoint ${versionZip(latest)} has format version $fmtVersion, but this " +
+            s"build reads at most ${RocksDBMetadataLog.CheckpointFormatVersion} — " +
+            "the checkpoint was written by a newer release")
+      }
       version = meta.get("version").asLong()
       latestBatch = Some(meta.get("latestBatch").asLong()).filter(_ >= 0)
       meta.get("ssts").properties().asScala.foreach { e =>
@@ -332,4 +348,9 @@ final class RocksDBMetadataLog(
   }
 }
 
-object RocksDBMetadataLog
+object RocksDBMetadataLog {
+  /** On-disk checkpoint-zip format version, stamped into metadata.json.
+    * Checkpoints that predate the marker read as version 1 (same layout);
+    * a zip claiming a higher version fails restore descriptively. */
+  val CheckpointFormatVersion = 1
+}

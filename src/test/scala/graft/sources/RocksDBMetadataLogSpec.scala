@@ -62,6 +62,55 @@ class RocksDBMetadataLogSpec extends AnyFunSuite {
     } finally log2.close()
   }
 
+  /** Rewrite the newest checkpoint zip's metadata.json in place. */
+  private def editLatestZipMeta(dir: String)(
+      edit: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Paths.get(dir, "rocksdb")
+    val latest = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.matches("""\d+\.zip"""))
+      .maxBy(_.getFileName.toString.stripSuffix(".zip").toLong)
+    val contents = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    val zin = new java.util.zip.ZipInputStream(java.nio.file.Files.newInputStream(latest))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) { contents(e.getName) = zin.readAllBytes(); e = zin.getNextEntry }
+    } finally zin.close()
+    val meta = mapper.readTree(contents("metadata.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    edit(meta)
+    contents("metadata.json") = mapper.writeValueAsBytes(meta)
+    val zout = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(latest))
+    try contents.foreach { case (name, bytes) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(name)); zout.write(bytes); zout.closeEntry()
+    } finally zout.close()
+  }
+
+  test("restore accepts a pre-marker checkpoint (no formatVersion field)") {
+    val dir = Files.createTempDirectory("graft-rdb").toString
+    val log1 = new RocksDBMetadataLog(dir, new Configuration())
+    log1.add(0, entries(0, "legacy" -> 100L))
+    log1.close()
+    // strip the marker: the zip now looks like a pre-round-6 checkpoint
+    editLatestZipMeta(dir)(_.remove("formatVersion"))
+    val log2 = new RocksDBMetadataLog(dir, new Configuration())
+    try {
+      assert(log2.getLatestBatchId.contains(0L))
+      assert(log2.get(0).get.head.path == "legacy")
+    } finally log2.close()
+  }
+
+  test("restore fails descriptively on a future checkpoint format version") {
+    val dir = Files.createTempDirectory("graft-rdb").toString
+    val log1 = new RocksDBMetadataLog(dir, new Configuration())
+    log1.add(0, entries(0, "p" -> 100L))
+    log1.close()
+    editLatestZipMeta(dir)(_.put("formatVersion", 99))
+    val e = intercept[GraftSourceException](new RocksDBMetadataLog(dir, new Configuration()))
+    assert(e.getMessage.contains("format version 99"), s"unexpected: ${e.getMessage}")
+  }
+
   test("purgeBefore removes fully-expired batches, never the latest") {
     withLog() { (log, _) =>
       log.add(0, entries(0, "a" -> 10L, "b" -> 500L))
