@@ -46,12 +46,15 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
   )
 
-  private lazy val batchQueries: Seq[(String, String)] =
+  private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
       .map { case (name, fn) =>
-        name -> fn(spark, sf).queryExecution.executedPlan.toString
+        name -> fn(spark, sf).queryExecution.executedPlan
       }
+
+  private lazy val batchQueries: Seq[(String, String)] =
+    batchPlans.map { case (name, plan) => name -> plan.toString }
 
   test("no registered batch query plans a CartesianProduct") {
     val offenders = batchQueries.collect {
@@ -79,5 +82,27 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(stale.isEmpty,
       s"whitelist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+
+  test("every scan of a wide table prunes columns (no full-schema reads)") {
+    // full widths of the tables wide enough for pruning to matter; a scan
+    // that reads every column for a narrower projection wastes IO that
+    // multiplies by 10^3 at 100 TB
+    val fullWidth = Map(
+      "lineitem" -> spark.read.parquet(s"$sf/lineitem.parquet").columns.length,
+      "documents" -> spark.read.parquet(s"$sf/documents.parquet").columns.length,
+      "orders" -> spark.read.parquet(s"$sf/orders.parquet").columns.length,
+      "events" -> spark.read.parquet(s"$sf/events.parquet").columns.length)
+    val offenders = batchPlans.flatMap { case (name, plan) =>
+      plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .flatMap { scan =>
+          val table = scan.relation.location.rootPaths.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          fullWidth.get(table).collect {
+            case w if scan.requiredSchema.size >= w => s"$name reads all $w cols of $table"
+          }
+        }
+    }
+    assert(offenders.isEmpty, s"unpruned wide-table scans:\n${offenders.mkString("\n")}")
   }
 }
