@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Clustering, Curation, Curation2, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, TextAnalysis}
-import graft.queries.{Relational, Relational2, Streaming, Streaming2}
+import graft.queries.{Layout, Relational, Relational2, Streaming, Streaming2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
       Streaming.queries ++ Streaming2.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
-      Curation.queries ++ Dedup2.queries ++ Curation2.queries
+      Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       Streaming.oracles ++ Streaming2.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
-      Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles
+      Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++
+      Layout.oracles
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Layout
+
+/** Plan-shape laws for the storage-layout queries: the whole point of
+  * q46/q47 is WHICH work the plan avoids, so the avoidance itself is
+  * what these tests pin down (the values are gated by the DuckDB oracle
+  * against the un-rewritten tables).
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.codegen.maxFields", "256")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AdaptiveSparkPlanExec and the per-stage QueryStageExec wrappers are
+    * LEAF nodes — plan.collect never descends into them, so scans must
+    * be reached by expanding each wrapper's inner plan explicitly. */
+  private def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+    val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+    val inner: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ inner.flatMap(deepScans)
+  }
+
+  test("q46: bucketed join shuffles only the aggregate, never the join keys") {
+    val plan = Layout.q46BucketedJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast would hide the co-location being demonstrated")
+    val joinKeyShuffles = Seq("hashpartitioning(o_custkey", "hashpartitioning(c_custkey")
+      .filter(plan.contains)
+    assert(joinKeyShuffles.isEmpty,
+      s"join-key shuffle planned despite co-bucketed sides ($joinKeyShuffles):\n$plan")
+    val aggShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(aggShuffles == 1, s"expected exactly the aggregate's shuffle, got $aggShuffles:\n$plan")
+  }
+
+  test("q46 baseline: the same join over raw parquet pays both join-side shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$sf/orders.parquet").hint("merge")
+      .join(spark.read.parquet(s"$sf/customer.parquet"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    val plan = raw.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 3, s"expected 2 join-side + 1 aggregate shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q47: event_type predicate becomes a partition filter and prunes input files") {
+    val df = Layout.q47PartitionPrune(spark, sf)
+    val scans = deepScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan found in the plan")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "event_type"))),
+      s"no partition filter on event_type: ${scans.map(_.partitionFilters)}")
+
+    // pruning proof by execution metric (df.inputFiles would NOT prove it:
+    // it lists the whole relation, ignoring partition pruning)
+    df.collect()
+    val executedScans = deepScans(df.queryExecution.executedPlan)
+    assert(executedScans.nonEmpty, "no file scan reachable in the executed plan")
+    val read = executedScans.map(_.metrics("numFiles").value).sum
+    def filesUnder(glob: String): Long = {
+      val root = java.nio.file.Paths.get(Layout.partitionedEvents(spark, sf))
+      java.nio.file.Files.list(root).filter(_.getFileName.toString.startsWith(glob))
+        .flatMap(d => java.nio.file.Files.list(d))
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    }
+    val selected = filesUnder("event_type=purchase") + filesUnder("event_type=view")
+    val total = filesUnder("event_type=")
+    assert(total > selected, "fixture degenerate: no non-selected partitions to prune")
+    assert(read == selected,
+      s"scan read $read files; expected only the $selected files of the 2 selected partitions (of $total total)")
+  }
+
+  test("layout rewrites are lossless: q46/q47 match the same query over raw tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+
+    val rawJoin = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+    assert(Layout.q46BucketedJoin(spark, sf).collect().toSeq ==
+      rawJoin.collect().toSeq)
+
+    val rawEvents = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("id_sum"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"event_type")
+    assert(Layout.q47PartitionPrune(spark, sf).collect().toSeq ==
+      rawEvents.collect().toSeq)
+  }
+}

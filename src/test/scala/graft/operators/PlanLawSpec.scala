@@ -93,8 +93,19 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       "documents" -> spark.read.parquet(s"$sf/documents.parquet").columns.length,
       "orders" -> spark.read.parquet(s"$sf/orders.parquet").columns.length,
       "events" -> spark.read.parquet(s"$sf/events.parquet").columns.length)
+    // AdaptiveSparkPlanExec is a LEAF node: plan.collect never descends
+    // into it, so a query whose plan went adaptive (any query with a
+    // shuffle) would silently contribute zero scans and pass vacuously —
+    // unwrap to the adaptive plan's current physical plan first.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val cur = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      cur.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    }
     val offenders = batchPlans.flatMap { case (name, plan) =>
-      plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      scansOf(plan)
         .flatMap { scan =>
           val table = scan.relation.location.rootPaths.headOption
             .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
