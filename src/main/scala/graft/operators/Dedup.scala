@@ -348,8 +348,10 @@ object Dedup {
       labels.unpersist() // the result is its own (clustered-docs-sized) cache
     }
   }
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $ShingleCteSql,
+  /** Shared CC oracle CTEs: near-dup pairs -> symmetric edges ->
+    * transitive closure -> component-min labels (clustered docs only). */
+  private val CcCteSql: String =
+    s"""$ShingleCteSql,
        |p AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -363,10 +365,57 @@ object Dedup {
        |  SELECT walk.s, e2.t FROM walk JOIN e e2 ON walk.t = e2.s
        |), lab AS (
        |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM walk GROUP BY s
-       |)
+       |)""".stripMargin
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $CcCteSql
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- canonical selection
+  /** The step after clustering that real dedup pipelines run: decide
+    * WHICH copy survives. Every document gets a verdict row — clustered
+    * docs keep exactly one representative per component (longest text
+    * wins, ties to the smallest doc_id; "keep the longest version" is
+    * the standard near-dup survivor heuristic), unclustered docs are
+    * their own singleton cluster and trivially survive. The cluster map
+    * is recomputed here for gate independence; a production pipeline
+    * persists [[dedupClusters]]'s output and joins it.
+    *
+    * Scale shape: one left join of the corpus against the (much smaller)
+    * cluster map on an 8-byte key, one per-cluster window ranking —
+    * both shuffle on keys bounded by the corpus, no fan-out. */
+  def dedupKeepCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters(s, d)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val verdicts = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+        $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    verdicts
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"keep")
+      .orderBy($"doc_id")
+  }
+  val dedupKeepCanonicalSql: String =
+    s"""WITH RECURSIVE $CcCteSql,
+       |cc AS (
+       |  SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM lab
+       |), alldocs AS (
+       |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       |    CAST(COALESCE(cc.cluster_size, 1) AS BIGINT) AS cluster_size, d.n_chars
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS keep
+       |FROM alldocs ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
@@ -375,6 +424,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_cc" -> dedupClusters _,
+    "dedup_keep_canonical" -> dedupKeepCanonical _,
   )
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -383,5 +433,6 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cc" -> dedupClustersSql,
+    "dedup_keep_canonical" -> dedupKeepCanonicalSql,
   )
 }

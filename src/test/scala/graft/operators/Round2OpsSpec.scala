@@ -67,6 +67,23 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"80-doc chain must collapse into one cluster rooted at 1: ${out.take(5).mkString(",")}...")
   }
 
+  test("dedup_keep_canonical keeps the longest copy per cluster, singletons survive") {
+    val base = (1 to 40).map(i => f"tok$i%02d").mkString(" ")
+    val longer = base + " extrapad" // same cluster, more chars => canonical
+    val variantC = base.replace("tok01", "tokY")
+    val dir = plantDocs(Seq(
+      10L -> base, 20L -> longer, 30L -> variantC,
+      99L -> "completely unrelated words about catalyst physical planning"))
+    val out = Dedup.dedupKeepCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out == Set(
+      (10L, 10L, 3L, false), // clustered, shorter than 20
+      (20L, 10L, 3L, true),  // longest in the cluster wins
+      (30L, 10L, 3L, false),
+      (99L, 99L, 1L, true)), // singleton: own cluster, survives
+      s"got ${out.mkString(",")}")
+  }
+
   test("pack_sequences conserves tokens and packs contiguous doc ranges") {
     val packs = PipelineOps.packSequences(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
