@@ -16,7 +16,9 @@ graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val smj = plan.contains("SortMergeJoin")
       val cart = plan.contains("CartesianProduct")
       val bnl = plan.contains("BroadcastNestedLoopJoin")
-      val wsc = plan.contains("WholeStageCodegen")
+      // tree toString marks whole-stage codegen with "*(n)" node prefixes;
+      // the literal word only appears in explain("formatted")
+      val wsc = plan.contains("*(")
       val took = plan.contains("TakeOrderedAndProject")
       println(f"AUDIT $name%-26s pushed=$pushed%-5s bhj=$bhj%-5s smj=$smj%-5s cart=$cart%-5s bnl=$bnl%-5s codegen=$wsc%-5s topk=$took")
     } catch { case e: Exception => println(s"AUDIT $name ERROR ${e.getMessage.take(60)}") }
