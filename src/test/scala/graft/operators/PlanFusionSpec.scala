@@ -50,7 +50,8 @@ class PlanFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
   // streaming variants reuse the same builders via foreachBatch).
   private val tokenizingQueries = Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cc", "dedup_segments", "dedup_incremental",
+    "dedup_simhash", "dedup_cc", "dedup_keep_canonical",
+    "dedup_segments", "dedup_incremental",
     "dedup_substrings", "decontaminate", "dsir_resample", "text_cooccur",
     "text_repetition", "text_quality", "text_lang_id", "text_token_count",
     "text_fingerprint_groups", "text_perplexity", "tfidf_top_terms",
