@@ -1,0 +1,46 @@
+package graft.queries
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Capture point for the last micro-batch physical plan of each streaming
+  * gate query, so `PlanLawSpec` can sweep the `stream_*` inventory with
+  * the same cartesian/BNLJ laws it enforces on the batch plans.
+  *
+  * Streaming queries have no standing batch plan to inspect — the
+  * executed plan lives on the `StreamExecution` as an
+  * `IncrementalExecution` and becomes unreachable once the harness stops
+  * the query — so each harness records it here right after
+  * `processAllAvailable()` returns. The capture is a single `toString` of
+  * an already-materialized plan (no extra planning, no job), so it stays
+  * on for gate/bench runs too; a missing entry makes the law spec fail by
+  * name rather than pass vacuously.
+  */
+object StreamPlans {
+  private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Record `q`'s most recent micro-batch executed plan under `name`. */
+  private[queries] def capture(name: String, q: StreamingQuery): Unit = try {
+    val exec: StreamExecution = q match {
+      case w: StreamingQueryWrapper => w.streamingQuery
+      case e: StreamExecution => e
+      case other => sys.error(s"unexpected StreamingQuery impl ${other.getClass}")
+    }
+    Option(exec.lastExecution).foreach(e => plans.put(name, e.executedPlan.toString))
+  } catch { case NonFatal(_) => () } // missing plan => law spec fails by name
+
+  /** Record an explicitly-planned frame. For `foreachBatch` harnesses the
+    * interesting plan (the per-batch transform) runs inside the lambda
+    * where `lastExecution` only sees the source scan, so the lambda
+    * registers the frame it is about to write. */
+  private[queries] def capturePlan(name: String, df: DataFrame): Unit =
+    try plans.put(name, df.queryExecution.executedPlan.toString)
+    catch { case NonFatal(_) => () }
+
+  def get(name: String): Option[String] = Option(plans.get(name))
+  def all: Map[String, String] = plans.asScala.toMap
+}

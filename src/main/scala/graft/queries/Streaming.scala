@@ -46,8 +46,9 @@ object Streaming {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Write the events subset as N parquet files, announce them on a fresh
-    * queue, and run the source to completion; returns the sink table name. */
-  private def runStream(s: SparkSession, dir: String, nFiles: Int,
+    * queue, and run the source to completion; returns the sink table name.
+    * `gateName` keys the micro-batch plan captured for [[StreamPlans]]. */
+  private def runStream(s: SparkSession, dir: String, gateName: String, nFiles: Int,
       transform: DataFrame => DataFrame, extraOptions: Map[String, String] = Map.empty): String = {
     val runId = s"stream${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -73,7 +74,10 @@ object Streaming {
     val sinkName = s"sink_$runId"
     val query = transform(reader.load()).writeStream
       .format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture(gateName, query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     sinkName
   }
@@ -82,7 +86,7 @@ object Streaming {
     * 4 files with maxFilesPerTrigger=2 so the result spans >=2 micro-batch
     * offsets (exercising offset arithmetic, not just one getBatch). */
   def streamSourceRead(s: SparkSession, dir: String): DataFrame = {
-    val sink = runStream(s, dir, nFiles = 4, transform = identity,
+    val sink = runStream(s, dir, "stream_source_read", nFiles = 4, transform = identity,
       extraOptions = Map("maxFilesPerTrigger" -> "2"))
     s.table(sink)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -115,7 +119,10 @@ object Streaming {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_exactly_once", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName).orderBy(col("event_type"))
   }
@@ -163,7 +170,10 @@ object Streaming {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
     val query = streamed.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_window_agg", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName)
       .filter(year(col("window.start")) < 2099) // drop the sentinel's window
@@ -203,7 +213,10 @@ object Streaming {
       .load()
       .dropDuplicates("event_id")
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_drop_duplicates", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -235,7 +248,10 @@ object Streaming {
       .join(customers, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_static_join", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName).orderBy(col("event_id"))
   }

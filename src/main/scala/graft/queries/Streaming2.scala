@@ -79,7 +79,10 @@ object Streaming2 {
       .groupBy($"user_id", session_window($"event_ts", s"$GapHours hours"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_session_window", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName)
       .filter(year($"session_window.start") < 2099) // drop the sentinel's
@@ -134,7 +137,10 @@ object Streaming2 {
         expr(s"p_user = c_user AND c_ts >= p_ts - INTERVAL $GapHours HOURS AND c_ts <= p_ts"))
       .select($"p_id", $"c_id", $"p_user".as("user_id"))
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_stream_join", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runA); InMemoryQueueRegistry.remove(runB)
     s.table(sinkName).orderBy($"p_id", $"c_id")
   }
@@ -184,7 +190,10 @@ object Streaming2 {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(sessionize)
       .toDF("user_id", "session_id", "n_events", "duration_us")
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_mgws_session", query)
+    } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName).orderBy($"user_id", $"session_id")
   }
@@ -273,8 +282,12 @@ object Streaming2 {
         try {
           val ex = graft.operators.Dedup2.explodeSets(deltaSets)
             .select(col("doc_id").as("d_id"), col("sz").as("sz_d"), col("s"))
-          graft.operators.Dedup2.incrementalVerdicts(batch.select("doc_id"), ex, baseEx)
-            .write.mode("append").parquet(outDir)
+          val verdicts =
+            graft.operators.Dedup2.incrementalVerdicts(batch.select("doc_id"), ex, baseEx)
+          // the per-batch transform is the interesting plan here, and it is
+          // invisible to lastExecution (which sees only the source scan)
+          StreamPlans.capturePlan("stream_incremental_dedup", verdicts)
+          verdicts.write.mode("append").parquet(outDir)
         } finally deltaSets.unpersist()
       }
       .option("checkpointLocation",

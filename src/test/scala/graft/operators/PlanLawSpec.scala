@@ -15,10 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-plan of an existing one after a refactor — can't reintroduce an
   * unbounded nested-loop shape without failing a test by name.
   *
-  * Streaming gate queries are excluded: they execute micro-batch
-  * harnesses on call and return materialized results, so there is no
-  * standing batch plan to inspect (their stream/batch parity is gated by
-  * the oracle instead).
+  * Streaming gate queries have no standing batch plan (they execute
+  * micro-batch harnesses on call and return materialized results), so
+  * each harness records its last micro-batch executed plan in
+  * [[graft.queries.StreamPlans]] and the sweep runs the same laws over
+  * those — plus the streaming-specific law that the one stream-stream
+  * join keeps the watermark-bounded symmetric-hash shape.
   */
 class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -115,5 +117,52 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
     }
     assert(offenders.isEmpty, s"unpruned wide-table scans:\n${offenders.mkString("\n")}")
+  }
+
+  // ------------------------------------------------- streaming micro-batch plans
+
+  /** Run every stream_* gate end-to-end (cheap at sf0.001) and collect the
+    * micro-batch plan each harness captured. A query that captured nothing
+    * fails the first test by name — the capture hook itself is under test. */
+  private lazy val streamPlans: Seq[(String, Option[String])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("stream_"))
+      .map { case (name, fn) =>
+        fn(spark, sf).count()
+        name -> graft.queries.StreamPlans.get(name)
+      }
+
+  test("every streaming gate query captures its last micro-batch plan") {
+    val missing = streamPlans.collect { case (name, None) => name }
+    assert(missing.isEmpty,
+      s"no micro-batch plan captured for: ${missing.mkString(", ")} — " +
+        "did a harness lose its StreamPlans.capture hook?")
+  }
+
+  test("no streaming query plans a CartesianProduct in any micro-batch") {
+    val offenders = streamPlans.collect {
+      case (name, Some(plan)) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in micro-batch plan of: ${offenders.mkString(", ")}")
+  }
+
+  test("no streaming query plans a BroadcastNestedLoopJoin (no whitelist for streams)") {
+    // the only streaming joins are equi-keyed (stream-static broadcast hash,
+    // stream-stream symmetric hash); per-batch state makes an unbounded
+    // nested loop strictly worse here than in batch
+    val offenders = streamPlans.collect {
+      case (name, Some(plan)) if plan.contains("BroadcastNestedLoopJoin") => name
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop join in micro-batch plan of: ${offenders.mkString(", ")}")
+  }
+
+  test("stream_stream_join keeps the watermark-bounded symmetric hash join shape") {
+    val plan = streamPlans.toMap.apply("stream_stream_join")
+      .getOrElse(fail("stream_stream_join captured no plan"))
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      "stream-stream join no longer plans StreamingSymmetricHashJoin — " +
+        "state would not expire past the watermark; plan:\n" + plan)
   }
 }
