@@ -32,8 +32,49 @@ object Layout {
     * the cache, so only the first call pays the write. */
   private val prepared = new ConcurrentHashMap[String, String]()
 
+  /** Layout temp dirs created this JVM, deleted on [[cleanup]] or JVM
+    * shutdown — a long-lived driver must not accrete one rewrite per
+    * (session, dir) forever. */
+  private val tempRoots = ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook(deleteTempRoots())
+
+  private def newTempRoot(prefix: String): String = {
+    val root = Files.createTempDirectory(prefix).toString
+    tempRoots.add(root)
+    root
+  }
+
+  private def deleteTempRoots(): Unit = {
+    val it = tempRoots.iterator()
+    while (it.hasNext) {
+      val root = java.nio.file.Paths.get(it.next()); it.remove()
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** Drop every layout table this session registered and delete all
+    * layout temp dirs. Idempotent; the next query call re-prepares. */
+  private[graft] def cleanup(s: SparkSession): Unit = {
+    s.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bucketed_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+    prepared.clear()
+    deleteTempRoots()
+  }
+
+  /** Collision-safe per-dir name component: 16 hex chars of SHA-256 of
+    * the full dir string. `String.hashCode` (32 bits, trivially
+    * collidable — "Aa"/"BB") would let two distinct data dirs silently
+    * share one catalog table, reading the wrong dir's data; a 64-bit
+    * cryptographic prefix makes that probability negligible. */
   private def suffix(d: String): String =
-    java.lang.Integer.toHexString(d.hashCode)
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** Orders + customer co-bucketed on custkey (8 buckets, sorted within)
     * as external tables — bucket metadata must live in the catalog for
@@ -43,7 +84,7 @@ object Layout {
     val ct = s"graft_bucketed_customer_${suffix(d)}"
     val k = s"${System.identityHashCode(s)}|$d|bucketed"
     prepared.computeIfAbsent(k, _ => {
-      val root = Files.createTempDirectory("graft-layout-bucketed").toString
+      val root = newTempRoot("graft-layout-bucketed")
       s.read.parquet(s"$d/orders.parquet")
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -62,7 +103,7 @@ object Layout {
   private[graft] def partitionedEvents(s: SparkSession, d: String): String = {
     val k = s"${System.identityHashCode(s)}|$d|events_by_type"
     prepared.computeIfAbsent(k, _ => {
-      val root = Files.createTempDirectory("graft-layout-parts").toString
+      val root = newTempRoot("graft-layout-parts")
       s.read.parquet(s"$d/events.parquet")
         .write.mode("overwrite").partitionBy("event_type")
         .parquet(s"$root/events_by_type")

@@ -117,4 +117,46 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layout.q47PartitionPrune(spark, sf).collect().toSeq ==
       rawEvents.collect().toSeq)
   }
+
+  test("two dirs whose paths collide under String.hashCode get independent layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hash("Aa") == hash("BB"), so <base>/Aa and <base>/BB collide under
+    // the 32-bit String.hashCode that used to name the catalog tables —
+    // the second dir would silently read the first dir's bucketed data
+    val base = java.nio.file.Files.createTempDirectory("graft-collide")
+    val (dirA, dirB) = (s"$base/Aa", s"$base/BB")
+    assert(dirA.hashCode == dirB.hashCode, "fixture must collide under String.hashCode")
+
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    // different data per dir: A keeps even order keys, B keeps odd ones
+    for ((dir, keep) <- Seq(dirA -> 0, dirB -> 1)) {
+      orders.filter($"o_orderkey" % 2 === keep).write.parquet(s"$dir/orders.parquet")
+      customer.write.parquet(s"$dir/customer.parquet")
+    }
+    val nA = Layout.q46BucketedJoin(spark, dirA).agg(sum($"n_orders")).as[Long].head()
+    val nB = Layout.q46BucketedJoin(spark, dirB).agg(sum($"n_orders")).as[Long].head()
+    val expectA = orders.filter($"o_orderkey" % 2 === 0)
+      .join(customer, $"o_custkey" === $"c_custkey").count()
+    val expectB = orders.filter($"o_orderkey" % 2 === 1)
+      .join(customer, $"o_custkey" === $"c_custkey").count()
+    assert(nA == expectA, s"dir A read wrong data: $nA != $expectA")
+    assert(nB == expectB, s"dir B read wrong data: $nB != $expectB")
+  }
+
+  test("cleanup drops every layout table and deletes the layout temp dirs") {
+    Layout.q46BucketedJoin(spark, sf).collect()
+    val rewritten = Layout.partitionedEvents(spark, sf)
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bucketed_")), "fixture: no layout tables to clean")
+    Layout.cleanup(spark)
+    val leaked = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bucketed_")).map(_.name)
+    assert(leaked.isEmpty, s"leaked layout tables: ${leaked.mkString(", ")}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(rewritten)),
+      s"layout temp dir survived cleanup: $rewritten")
+    // and the next query call re-prepares from scratch
+    assert(Layout.q46BucketedJoin(spark, sf).count() > 0)
+  }
 }
