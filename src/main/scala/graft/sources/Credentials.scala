@@ -177,9 +177,20 @@ final case class InstanceMetadataCredentialsProvider(
       val c2 = cached
       if (c2 != null && c2._2.forall(exp => clock() < exp - RefreshMarginMs)) c2._1
       else {
-        val fresh = fetch()
-        cached = fresh
-        fresh._1
+        try {
+          val fresh = fetch()
+          cached = fresh
+          fresh._1
+        } catch {
+          // Inside the refresh margin the cached credentials are still
+          // VALID — a failed early refresh must not take down a working
+          // pipeline (SDK parity: the default chain keeps serving cached
+          // instance credentials until actual expiry and retries the
+          // fetch on the next resolve). Past expiry, fail loudly.
+          case e: GraftNoCredentialsException
+              if c2 != null && c2._2.exists(exp => clock() < exp) =>
+            c2._1
+        }
       }
     }
   }

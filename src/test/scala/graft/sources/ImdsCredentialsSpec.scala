@@ -17,8 +17,6 @@ class ImdsCredentialsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val Token = "stub-imds-token"
   @volatile private var tokenRequests = 0
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(status, b.length.toLong)
@@ -30,24 +28,31 @@ class ImdsCredentialsSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (ex.getRequestHeaders.getFirst("X-aws-ec2-metadata-token") == Token) ok
     else respond(ex, 401, "token required")
 
-  server.createContext("/latest/api/token", (ex: HttpExchange) =>
-    if (ex.getRequestMethod == "PUT" &&
-      ex.getRequestHeaders.containsKey("X-aws-ec2-metadata-token-ttl-seconds")) {
-      tokenRequests += 1
-      respond(ex, 200, Token)
-    } else respond(ex, 400, "PUT with TTL header required"))
-  server.createContext("/latest/meta-data/iam/security-credentials/", (ex: HttpExchange) =>
-    requireToken(ex) {
-      if (ex.getRequestURI.getPath.endsWith("/security-credentials/")) {
-        respond(ex, 200, "graft-instance-role\n")
-      } else if (ex.getRequestURI.getPath.endsWith("graft-instance-role")) {
-        respond(ex, 200,
-          """{"Code":"Success","Type":"AWS-HMAC","AccessKeyId":"AKIDIMDS",""" +
-            """"SecretAccessKey":"imds-secret","Token":"imds-session-token",""" +
-            """"Expiration":"2030-01-01T00:00:00Z"}""")
-      } else respond(ex, 404, "unknown role")
-    })
-  server.setExecutor(null)
+  /** A fresh stub instance; the grace test stops its own mid-test. */
+  private def newImdsStub(): HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/latest/api/token", (ex: HttpExchange) =>
+      if (ex.getRequestMethod == "PUT" &&
+        ex.getRequestHeaders.containsKey("X-aws-ec2-metadata-token-ttl-seconds")) {
+        tokenRequests += 1
+        respond(ex, 200, Token)
+      } else respond(ex, 400, "PUT with TTL header required"))
+    srv.createContext("/latest/meta-data/iam/security-credentials/", (ex: HttpExchange) =>
+      requireToken(ex) {
+        if (ex.getRequestURI.getPath.endsWith("/security-credentials/")) {
+          respond(ex, 200, "graft-instance-role\n")
+        } else if (ex.getRequestURI.getPath.endsWith("graft-instance-role")) {
+          respond(ex, 200,
+            """{"Code":"Success","Type":"AWS-HMAC","AccessKeyId":"AKIDIMDS",""" +
+              """"SecretAccessKey":"imds-secret","Token":"imds-session-token",""" +
+              """"Expiration":"2030-01-01T00:00:00Z"}""")
+        } else respond(ex, 404, "unknown role")
+      })
+    srv.setExecutor(null)
+    srv
+  }
+
+  private val server = newImdsStub()
   server.start()
 
   private def endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -105,6 +110,23 @@ class ImdsCredentialsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tokenRequests == before + 2, "provider must refresh near expiry")
     p.resolve() // still near expiry: every call re-fetches until a fresher doc arrives
     assert(tokenRequests == before + 3)
+  }
+
+  test("stale-credential grace: failed refresh inside the margin serves cached creds until expiry") {
+    val expiry = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    @volatile var now = expiry - 60 * 60 * 1000L // one hour out
+    val srv = newImdsStub(); srv.start()
+    val p = InstanceMetadataCredentialsProvider(
+      endpoint = Some(s"http://127.0.0.1:${srv.getAddress.getPort}"),
+      timeoutMs = 500, clock = () => now)
+    assert(p.resolve().accessKeyId == "AKIDIMDS") // first fetch succeeds
+    srv.stop(0) // IMDS goes dark
+    now = expiry - 2 * 60 * 1000L // inside the 5-min margin: refresh fails...
+    assert(p.resolve().accessKeyId == "AKIDIMDS",
+      "cached credentials are still valid — a failed early refresh must not surface")
+    assert(p.resolve().accessKeyId == "AKIDIMDS") // keeps serving, keeps retrying
+    now = expiry + 1 // past actual expiry: the grace window is over
+    intercept[GraftNoCredentialsException](p.resolve())
   }
 
   test("chain falls through to IMDS when env/props/profile are absent") {
