@@ -82,7 +82,7 @@ final class FileBackedMetadataLog(
     metadataPath: String,
     hadoopConf: Configuration,
     compactInterval: Int = FileBackedMetadataLog.DefaultCompactInterval)
-  extends FileMetadataLog {
+  extends FileMetadataLog with org.apache.spark.internal.Logging {
   import FileBackedMetadataLog._
 
   private val mapper = new ObjectMapper()
@@ -100,23 +100,54 @@ final class FileBackedMetadataLog(
   @volatile var lastRestoreFilesRead: Int = 0
   private var compactions = 0L
 
-  // ---- init: newest compact (if any) + the per-batch tail -------------
+  // ---- init: newest readable compact (if any) + the per-batch tail ----
+  // Torn-write discipline: createAtomic (rename-based) makes a torn final
+  // file unreachable on rename-atomic filesystems, but an object store
+  // without atomic rename can tear a compact mid-crash. In that crash the
+  // post-compact deletes never ran, so every per-batch file the torn
+  // compact would have folded still exists — falling back to the previous
+  // readable compact plus the full tail reconstructs the exact pre-crash
+  // state. If a compact exists but NONE is readable, the folded files may
+  // be gone and continuing from the tail alone would silently forget
+  // admitted files (duplicate ingestion at the source) — refuse instead.
   locally {
     var filesRead = 0
-    val compactId = listCompactIds().maxOption
-    compactId.foreach { cid =>
-      val (ids, all) = readCompactFile(cid)
-      val grouped = all.groupBy(_.batchId)
-      ids.foreach { id =>
-        val entries = grouped.getOrElse(id, Array.empty[FileEntry])
-        batches.put(id, entries)
-        entries.foreach(e => fileIndex.put(e.path, e))
+    val compactIds = listCompactIds().sorted(Ordering[Long].reverse)
+    val corrupt = mutable.ArrayBuffer[String]()
+    val compactId: Option[Long] = compactIds.find { cid =>
+      try {
+        val (ids, all) = readCompactFile(cid)
+        val grouped = all.groupBy(_.batchId)
+        ids.foreach { id =>
+          val entries = grouped.getOrElse(id, Array.empty[FileEntry])
+          batches.put(id, entries)
+          entries.foreach(e => fileIndex.put(e.path, e))
+        }
+        filesRead += 1
+        true
+      } catch {
+        case e: GraftCheckpointCorruptException =>
+          corrupt += e.getMessage
+          logWarning(s"${e.getMessage}; falling back to the previous compact")
+          false
       }
-      filesRead += 1
+    }
+    if (compactId.isEmpty && compactIds.nonEmpty) {
+      throw new GraftSourceException(
+        s"metadata log restore failed: no readable compact among " +
+          s"${compactIds.map(compactFile).mkString(", ")} (${corrupt.mkString("; ")}) — " +
+          "restore the checkpoint dir from backup; deleting the torn compacts would " +
+          "silently re-admit already-ingested files")
     }
     val tailIds = listBatchIds().filter(id => compactId.forall(id > _))
     tailIds.sorted.foreach { id =>
-      val entries = readBatchFile(id)
+      val entries = try readBatchFile(id) catch {
+        case e: GraftCheckpointCorruptException =>
+          throw new GraftSourceException(
+            s"metadata log restore failed: ${e.getMessage} — if $id is the final batch " +
+              "of an incomplete commit, delete that batch file to resume from the " +
+              "previous offset; mid-log corruption needs a checkpoint restore", e)
+      }
       batches.put(id, entries)
       entries.foreach(e => fileIndex.put(e.path, e))
       filesRead += 1
@@ -149,7 +180,12 @@ final class FileBackedMetadataLog(
   }
 
   private def readBatchFile(batchId: Long): Array[FileEntry] =
-    parseEntries(readFileString(batchFile(batchId)), batchId)
+    try parseEntries(readFileString(batchFile(batchId)), batchId) catch {
+      case e: GraftSourceException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new GraftCheckpointCorruptException(
+          s"metadata batch file ${batchFile(batchId)} is torn or corrupt (${e.getMessage})", e)
+    }
 
   /** A compact file records explicit batch boundaries alongside the
     * entries (`{"version":2,"batchIds":[...],"entries":[...]}`), so a
@@ -166,7 +202,11 @@ final class FileBackedMetadataLog(
     * by this derivation). Anything else fails with a descriptive
     * versioned error rather than an opaque NPE. */
   private def readCompactFile(compactId: Long): (Seq[Long], Array[FileEntry]) = {
-    val root = mapper.readTree(readFileString(compactFile(compactId)))
+    val root = try mapper.readTree(readFileString(compactFile(compactId))) catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new GraftCheckpointCorruptException(
+          s"metadata compact file ${compactFile(compactId)} is torn or corrupt (${e.getMessage})", e)
+    }
     def entriesOf(node: com.fasterxml.jackson.databind.JsonNode): Array[FileEntry] =
       node.elements().asScala.map { n =>
         FileEntry(n.get("path").asText(), n.get("timestampMs").asLong(), n.get("batchId").asLong())
@@ -187,7 +227,9 @@ final class FileBackedMetadataLog(
         .elements().asScala.map(_.asLong()).toSeq
       (ids, entriesOf(root.get("entries")))
     } else {
-      throw new GraftSourceException(
+      // a shape that is valid JSON but neither known layout: rot, not a
+      // future format (those carry a version marker and fail above)
+      throw new GraftCheckpointCorruptException(
         s"metadata compact file ${compactFile(compactId)} is neither a legacy v1 entry array " +
           s"nor a versioned {version, batchIds, entries} object (known versions: 1..$CompactFormatVersion)")
     }

@@ -265,13 +265,48 @@ final class RocksDBMetadataLog(
         case _ => None
       })
 
+  /** Restore the newest READABLE checkpoint version. A torn newest zip
+    * means that version's commit never completed (createAtomic makes this
+    * unreachable on rename-atomic filesystems, but an object store can
+    * tear) — the previous retained version is then the durable state,
+    * like a WAL truncated to its last complete record; the next commit
+    * re-writes the torn version's zip atomically. Only corruption falls
+    * through to an older version; a future-format checkpoint still fails
+    * immediately (it is intact — this build just must not touch it). */
   private def restore(): RocksDB = {
     dbDir.mkdirs()
-    val versions = listVersions()
-    if (versions.nonEmpty) {
-      val latest = versions.max
-      val in = new ZipInputStream(fm.open(versionZip(latest)))
-      var metaBytes: Array[Byte] = null
+    val versions = listVersions().sorted(Ordering[Long].reverse)
+    val corrupt = mutable.ArrayBuffer[String]()
+    val restored = versions.find { v =>
+      try { loadVersion(v); true }
+      catch {
+        case e: GraftCheckpointCorruptException =>
+          corrupt += e.getMessage
+          logWarning(s"${e.getMessage}; falling back to the previous retained version")
+          // drop any partially-extracted files before trying the older zip
+          Option(dbDir.listFiles()).foreach(_.foreach(f =>
+            org.apache.commons.io.FileUtils.deleteQuietly(f)))
+          uploadedSsts.clear()
+          false
+      }
+    }
+    if (restored.isEmpty && versions.nonEmpty) {
+      throw new GraftSourceException(
+        s"metadata log restore failed: no readable checkpoint among versions " +
+          s"${versions.mkString(", ")} under $dfsRoot (${corrupt.mkString("; ")})")
+    }
+    RocksDB.open(dbOptions, dbDir.getAbsolutePath)
+  }
+
+  /** Extract one checkpoint version into dbDir and adopt its metadata.
+    * Throws [[GraftCheckpointCorruptException]] for anything torn and
+    * [[GraftSourceException]] for an intact-but-newer format. */
+  private def loadVersion(v: Long): Unit = {
+    def corruptFail(detail: String, cause: Throwable = null): Nothing =
+      throw new GraftCheckpointCorruptException(s"checkpoint zip ${versionZip(v)} $detail", cause)
+    var metaBytes: Array[Byte] = null
+    try {
+      val in = new ZipInputStream(fm.open(versionZip(v)))
       try {
         var entry = in.getNextEntry
         while (entry != null) {
@@ -285,24 +320,30 @@ final class RocksDBMetadataLog(
           entry = in.getNextEntry
         }
       } finally in.close()
-      if (metaBytes == null) {
-        throw new GraftSourceException(
-          s"checkpoint zip ${versionZip(latest)} has no metadata.json — not a graft metalog checkpoint")
-      }
-      val meta = mapper.readTree(metaBytes)
-      // format discipline (reference parity: its metadata logs version
-      // their payloads): checkpoints written before the marker existed
-      // read as format 1; a future format fails descriptively
-      val fmtVersion =
-        if (meta.hasNonNull("formatVersion")) meta.get("formatVersion").asInt() else 1
-      if (fmtVersion > RocksDBMetadataLog.CheckpointFormatVersion) {
-        throw new GraftSourceException(
-          s"checkpoint ${versionZip(latest)} has format version $fmtVersion, but this " +
-            s"build reads at most ${RocksDBMetadataLog.CheckpointFormatVersion} — " +
-            "the checkpoint was written by a newer release")
-      }
-      version = meta.get("version").asLong()
-      latestBatch = Some(meta.get("latestBatch").asLong()).filter(_ >= 0)
+    } catch {
+      case scala.util.control.NonFatal(e) => corruptFail(s"is unreadable (${e.getMessage})", e)
+    }
+    if (metaBytes == null) {
+      corruptFail("has no metadata.json — torn write, or not a graft metalog checkpoint")
+    }
+    val meta = try mapper.readTree(metaBytes) catch {
+      case scala.util.control.NonFatal(e) => corruptFail(s"has torn metadata.json (${e.getMessage})", e)
+    }
+    // format discipline (reference parity: its metadata logs version
+    // their payloads): checkpoints written before the marker existed
+    // read as format 1; a future format fails descriptively
+    val fmtVersion =
+      if (meta.hasNonNull("formatVersion")) meta.get("formatVersion").asInt() else 1
+    if (fmtVersion > RocksDBMetadataLog.CheckpointFormatVersion) {
+      throw new GraftSourceException(
+        s"checkpoint ${versionZip(v)} has format version $fmtVersion, but this " +
+          s"build reads at most ${RocksDBMetadataLog.CheckpointFormatVersion} — " +
+          "the checkpoint was written by a newer release")
+    }
+    if (!meta.hasNonNull("version") || !meta.hasNonNull("latestBatch") || !meta.hasNonNull("ssts")) {
+      corruptFail("has metadata.json missing version/latestBatch/ssts")
+    }
+    try {
       meta.get("ssts").properties().asScala.foreach { e =>
         val localName = e.getKey
         val dfsName = e.getValue.asText()
@@ -311,10 +352,13 @@ final class RocksDBMetadataLog(
         finally is.close()
         uploadedSsts(localName) = dfsName
       }
-      logInfo(s"restored rocksdb metadata log at version $version, " +
-        s"latestBatch=$latestBatch, ${uploadedSsts.size} SSTs")
+    } catch {
+      case scala.util.control.NonFatal(e) => corruptFail(s"references an unreadable SST (${e.getMessage})", e)
     }
-    RocksDB.open(dbOptions, dbDir.getAbsolutePath)
+    version = meta.get("version").asLong()
+    latestBatch = Some(meta.get("latestBatch").asLong()).filter(_ >= 0)
+    logInfo(s"restored rocksdb metadata log at version $version, " +
+      s"latestBatch=$latestBatch, ${uploadedSsts.size} SSTs")
   }
 
   /** Drop version zips beyond the retention window and SSTs that no

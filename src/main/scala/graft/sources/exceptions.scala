@@ -25,3 +25,10 @@ class GraftReprocessLockExistsException(lockPath: String)
 
 class GraftNoCredentialsException(reason: String)
   extends GraftSourceException(s"unable to resolve queue credentials - $reason")
+
+/** A checkpoint artifact (compact file, batch file, version zip) is
+  * unreadable — torn write on a non-atomic filesystem, or rot. Restore
+  * paths catch THIS type to fall back to an older intact version; other
+  * [[GraftSourceException]]s (e.g. future-format refusal) propagate. */
+class GraftCheckpointCorruptException(msg: String, cause: Throwable = null)
+  extends GraftSourceException(msg, cause)

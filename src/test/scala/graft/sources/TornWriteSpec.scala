@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Torn-write fault injection on both metadata logs (reference
+  * discipline: RocksDBFileManager's atomic-rename + recover-previous-
+  * version handling, RocksDBFileManager.scala:244-312,435-466).
+  *
+  * `createAtomic` makes a torn FINAL file unreachable on rename-atomic
+  * filesystems — a mid-write kill leaves only an invisible temp file —
+  * but object stores without atomic rename can tear the renamed artifact
+  * itself. These specs inject exactly that: truncate a compact file /
+  * checkpoint zip in place and demand restore either reconstructs the
+  * pre-crash state from older intact artifacts or fails descriptively,
+  * never continues from silently-partial state (which would re-admit
+  * already-ingested files at the source).
+  */
+class TornWriteSpec extends AnyFunSuite {
+
+  private def entries(batchId: Long, paths: (String, Long)*): Array[FileEntry] =
+    paths.map { case (p, ts) => FileEntry(p, ts, batchId) }.toArray
+
+  private def truncate(p: Path, keep: Int): Unit = {
+    val bytes = Files.readAllBytes(p)
+    assert(bytes.length > keep, s"fixture too small to tear: $p (${bytes.length} bytes)")
+    Files.write(p, bytes.take(keep), StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  // ------------------------------------------------ FileBackedMetadataLog
+
+  test("file log: torn newest compact falls back to the previous compact + full tail") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    (0L to 4L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.close() // on disk now: 2.compact (intact) + batch files 3, 4
+    val logDir = Paths.get(dir, "graft-batches")
+
+    // crash model for the torn compaction at batch 5: the batch file was
+    // written (adds are file-first), the compact's rename tore, and the
+    // post-compact deletes never ran — so batches 3..5 all still exist
+    Files.write(logDir.resolve("5"),
+      """[{"path":"f5","timestampMs":1005,"batchId":5}]""".getBytes("UTF-8"))
+    Files.write(logDir.resolve("5.compact"),
+      """{"version":2,"batchIds":[0,1,2,3,4,5],"entr""".getBytes("UTF-8")) // torn mid-key
+
+    val restored = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    try {
+      assert(restored.getLatestBatchId.contains(5L))
+      (0L to 5L).foreach(i =>
+        assert(restored.get(i).exists(_.exists(_.path == s"f$i")),
+          s"batch $i lost by the torn-compact fallback"))
+      assert(!restored.isNewFile("f1", 0L), "file index missing pre-compact state")
+      assert(!restored.isNewFile("f5", 0L), "file index missing the tail batch")
+    } finally restored.close()
+  }
+
+  test("file log: all compacts torn fails descriptively, never silently partial") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    (0L to 3L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.close() // 2.compact + batch 3; batches 0-2 live only in the compact
+    truncate(Paths.get(dir, "graft-batches", "2.compact"), 20)
+    val e = intercept[GraftSourceException](
+      new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3))
+    assert(e.getMessage.contains("no readable compact"), s"not descriptive: ${e.getMessage}")
+    assert(e.getMessage.contains("2.compact"), s"must name the torn file: ${e.getMessage}")
+  }
+
+  test("file log: torn per-batch tail file fails descriptively and names the batch") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 100)
+    (0L to 2L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.close()
+    truncate(Paths.get(dir, "graft-batches", "2"), 10)
+    val e = intercept[GraftSourceException](
+      new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 100))
+    assert(e.getMessage.contains("torn or corrupt"), s"not descriptive: ${e.getMessage}")
+    assert(e.getMessage.contains("2"), s"must name the batch file: ${e.getMessage}")
+  }
+
+  test("file log: a leftover createAtomic temp file is invisible to restore") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    (0L to 3L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.close()
+    // the rename-atomic crash shape: a half-written temp that never renamed
+    Files.write(Paths.get(dir, "graft-batches", ".5.compact.deadbeef.tmp"),
+      """{"version":2,"batchIds":[0""".getBytes("UTF-8"))
+    val restored = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    try assert(restored.getLatestBatchId.contains(3L))
+    finally restored.close()
+  }
+
+  // -------------------------------------------------- RocksDBMetadataLog
+
+  test("rocksdb log: torn newest zip restores the previous retained version and keeps writing") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    (0L to 2L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close() // one checkpoint version per add: 1.zip, 2.zip, 3.zip
+    truncate(Paths.get(dir, "rocksdb", "3.zip"), 8) // torn mid-write
+
+    val restored = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    try {
+      // version 3's commit never completed; version 2 is the durable state
+      assert(restored.getLatestBatchId.contains(1L),
+        s"expected the previous version's latest batch, got ${restored.getLatestBatchId}")
+      assert(restored.get(0).exists(_.head.path == "p0"))
+      assert(restored.get(1).exists(_.head.path == "p1"))
+      // the replayed batch re-adds cleanly and the new commit overwrites
+      // the torn zip atomically
+      restored.add(2L, entries(2L, "p2" -> 102L))
+      assert(restored.getLatestBatchId.contains(2L))
+    } finally restored.close()
+
+    val again = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    try assert(again.getLatestBatchId.contains(2L), "re-written version 3 must restore")
+    finally again.close()
+  }
+
+  test("rocksdb log: every zip torn fails descriptively with the version list") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    (0L to 1L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close()
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir, "rocksdb")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".zip"))
+      .foreach(z => truncate(z, 8))
+    val e = intercept[GraftSourceException](
+      new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5))
+    assert(e.getMessage.contains("no readable checkpoint"), s"not descriptive: ${e.getMessage}")
+  }
+}
