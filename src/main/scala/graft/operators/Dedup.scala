@@ -288,6 +288,10 @@ object Dedup {
     * the component-min labeling the recursive-CTE oracle computes.
     * Output: every clustered doc with its component id (= min doc_id in
     * the component) and the component size. */
+  /** Fixpoint rounds of the last [[dedupClusters]] run (observability for
+    * the one-action-per-round job-count law in DedupJobsSpec). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = dedupNgramJaccard(s, d).select($"a_id", $"b_id")
@@ -312,15 +316,18 @@ object Dedup {
         val l2 = labels.select($"doc_id".as("l_id"), $"lab".as("l_lab"))
         val viaShortcut = labels.join(l2, labels("lab") === l2("l_id"))
           .select(labels("doc_id"), l2("l_lab").as("lab"))
-        // eager localCheckpoint, not persist: the shortcut references the
+        // localCheckpoint, not persist: the shortcut references the
         // label frame three times, so round k's LOGICAL PLAN would grow
         // 3^k without lineage truncation (plan rendering alone OOMs by
         // round ~10). Checkpointing makes each round's plan constant-size;
         // at cluster scale the reliable checkpoint() variant adds fault
-        // tolerance at the same cost shape.
+        // tolerance at the same cost shape. LAZY (eager=false) so the
+        // convergence-witness aggregate below is the round's ONE action:
+        // it materializes the checkpoint and returns the label sum in the
+        // same job, instead of paying a separate materialization pass.
         val prop = viaEdges.union(viaShortcut).union(labels)
           .groupBy($"doc_id").agg(min($"lab").as("lab"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val newSum = prop.agg(sum($"lab")).first().getLong(0)
         labels.unpersist()
         labels = prop
@@ -328,6 +335,7 @@ object Dedup {
         prevSum = newSum
         iter += 1
       }
+      lastCcRounds = iter
       // under-merged labels would silently diverge from the transitive
       // closure the caller (and the oracle) expects — refuse to return them
       if (!converged) {
@@ -378,16 +386,23 @@ object Dedup {
     * docs keep exactly one representative per component (longest text
     * wins, ties to the smallest doc_id; "keep the longest version" is
     * the standard near-dup survivor heuristic), unclustered docs are
-    * their own singleton cluster and trivially survive. The cluster map
-    * is recomputed here for gate independence; a production pipeline
-    * persists [[dedupClusters]]'s output and joins it.
+    * their own singleton cluster and trivially survive. The gate entry
+    * recomputes the cluster map for gate independence; a production
+    * pipeline persists [[dedupClusters]]'s output once and passes it to
+    * the overload below — survivor selection then never pays the CC
+    * fixpoint a second time.
     *
     * Scale shape: one left join of the corpus against the (much smaller)
     * cluster map on an 8-byte key, one per-cluster window ranking —
     * both shuffle on keys bounded by the corpus, no fan-out. */
-  def dedupKeepCanonical(s: SparkSession, d: String): DataFrame = {
+  def dedupKeepCanonical(s: SparkSession, d: String): DataFrame =
+    dedupKeepCanonical(s, d, dedupClusters(s, d))
+
+  /** Survivor selection over a PRECOMPUTED cluster map (`doc_id,
+    * cluster_id, cluster_size` — [[dedupClusters]]'s schema). */
+  def dedupKeepCanonical(s: SparkSession, d: String, clusterMap: DataFrame): DataFrame = {
     import s.implicits._
-    val clusters = dedupClusters(s, d)
+    val clusters = clusterMap
       .select($"doc_id", $"cluster_id", $"cluster_size")
     val verdicts = Tables.documents(s, d).select($"doc_id", $"n_chars")
       .join(clusters, Seq("doc_id"), "left")
