@@ -6,10 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * A warmup pass (table counts) absorbs JVM/codegen/session startup so
   * the first measured query isn't charged for it.
+  *
+  * Focused re-measure mode (the BENCH_NOTES steady-state methodology):
+  * `args(0)` = comma-separated query-name filter, `args(1)` = in-JVM
+  * rounds (default 1). Each round's per-query seconds go to stderr; the
+  * JSON line reports the per-query min across rounds. No args = the
+  * driver's full single-round contract, unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val filter: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(1)
     // default to the real core count (capped at 32): every query is
     // decimal-exact by construction, so parallelism never changes results
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -44,18 +52,30 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec1, n) = timeOnce(name, fn)
-      // A slow first reading may just have paid for a cold page cache,
-      // first-run codegen, or concurrent machine load (BENCH_r01 recorded
-      // 26s for a query that steadily runs in 3.7s; BENCH_r05's q22/q23
-      // "regressions" were 1.5s first-run codegen readings sitting under
-      // the old 2s threshold). Re-run once and report the min: both runs
-      // do identical distributed work, so min = least-noise estimate.
-      val sec = if (sec1 > 1.0) math.min(sec1, timeOnce(name, fn)._1) else sec1
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n")
-      name -> sec
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.contains(name)) }
+    val perRound = (1 to rounds).map { r =>
+      selected.map { case (name, fn) =>
+        val (sec1, n) = timeOnce(name, fn)
+        // A slow first reading may just have paid for a cold page cache,
+        // first-run codegen, or concurrent machine load (BENCH_r01 recorded
+        // 26s for a query that steadily runs in 3.7s; BENCH_r05's q22/q23
+        // "regressions" were 1.5s first-run codegen readings sitting under
+        // the old 2s threshold). Re-run once and report the min: both runs
+        // do identical distributed work, so min = least-noise estimate.
+        // (Focused multi-round mode reports each round raw: the rounds
+        // themselves are the repetition.)
+        val sec = if (rounds == 1 && sec1 > 1.0) math.min(sec1, timeOnce(name, fn)._1) else sec1
+        val tag = if (rounds == 1) "" else s" round=$r"
+        System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n$tag")
+        name -> sec
+      }
     }
+    val results = perRound.transpose.map(rs => rs.head._1 -> rs.map(_._2).min)
+    // layout queries register catalog tables + temp dirs; a long bench
+    // session must not accrete them (cleanup is idempotent; the next
+    // call re-prepares)
+    graft.queries.Layout.cleanup(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

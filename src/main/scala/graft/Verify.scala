@@ -45,6 +45,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drop the layout queries' catalog tables + temp dirs before exit
+    graft.queries.Layout.cleanup(spark)
     spark.stop()
   }
 }

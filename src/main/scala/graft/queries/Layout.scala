@@ -50,8 +50,11 @@ object Layout {
       val root = java.nio.file.Paths.get(it.next()); it.remove()
       if (Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
+        // Files.walk holds a directory handle until closed; leaking one
+        // per cleanup can make the deletes themselves fail on some FSes
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
   }
