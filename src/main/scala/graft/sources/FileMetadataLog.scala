@@ -139,6 +139,29 @@ final class FileBackedMetadataLog(
           "restore the checkpoint dir from backup; deleting the torn compacts would " +
           "silently re-admit already-ingested files")
     }
+    // Fallback-gap audit: the fallback above assumed the torn compact's
+    // post-write cleanup never ran (crash model: tear happens between the
+    // atomic rename and the delete loops), which guarantees every batch it
+    // folded still exists as a per-batch file. VERIFY that instead of
+    // trusting it — if cleanup ran (crash inside the delete loops, or the
+    // newest compact rotted long after a successful compaction), some of
+    // those files are gone and continuing would silently regress
+    // latestBatchId and re-admit already-ingested files, exactly what the
+    // no-readable-compact branch refuses. (A batch in the gap that was
+    // purged before the torn compact was written also trips this — a rare
+    // conservative refuse, never a silent wrong answer.)
+    for (chosen <- compactId; newest = compactIds.head; if chosen < newest) {
+      val present = listBatchIds().toSet
+      val missing = ((chosen + 1) to newest).filterNot(present)
+      if (missing.nonEmpty) {
+        throw new GraftSourceException(
+          s"metadata log restore failed: compact ${compactFile(newest)} is unreadable and " +
+            s"per-batch file(s) ${missing.mkString(", ")} it folded are already deleted — " +
+            s"its cleanup ran, so falling back to ${compactFile(chosen)} would silently " +
+            "rebuild stale state and re-admit already-ingested files; restore the " +
+            "checkpoint dir from backup")
+      }
+    }
     val tailIds = listBatchIds().filter(id => compactId.forall(id > _))
     tailIds.sorted.foreach { id =>
       val entries = try readBatchFile(id) catch {

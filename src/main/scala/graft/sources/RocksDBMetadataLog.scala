@@ -233,6 +233,11 @@ final class RocksDBMetadataLog(
       meta.put("latestBatch", latestBatch.getOrElse(-1L))
       val sstMap = meta.putObject("ssts")
       ssts.foreach(s => sstMap.put(s.getName, uploadedSsts(s.getName)))
+      // expected byte sizes, so restore can tell a torn/truncated SST
+      // sidecar from a healthy one BEFORE handing the files to RocksDB
+      // (whose open error would not name the damaged file)
+      val sizeMap = meta.putObject("sstSizes")
+      ssts.foreach(s => sizeMap.put(s.getName, s.length()))
       val out = fm.createAtomic(versionZip(version), overwriteIfPossible = true)
       try {
         val zos = new ZipOutputStream(out)
@@ -295,7 +300,15 @@ final class RocksDBMetadataLog(
         s"metadata log restore failed: no readable checkpoint among versions " +
           s"${versions.mkString(", ")} under $dfsRoot (${corrupt.mkString("; ")})")
     }
-    RocksDB.open(dbOptions, dbDir.getAbsolutePath)
+    try RocksDB.open(dbOptions, dbDir.getAbsolutePath) catch {
+      case scala.util.control.NonFatal(e) =>
+        // e.g. an SST whose content rotted at its recorded size — name the
+        // restored version instead of surfacing a bare RocksDBException
+        throw new GraftSourceException(
+          s"metadata log restore failed: checkpoint version ${restored.orNull} under " +
+            s"$dfsRoot extracted cleanly but RocksDB refused to open it (${e.getMessage}) — " +
+            "restore the checkpoint dir from backup", e)
+    }
   }
 
   /** Extract one checkpoint version into dbDir and adopt its metadata.
@@ -350,9 +363,21 @@ final class RocksDBMetadataLog(
         val is = fm.open(new Path(sstDir, dfsName))
         try Files.copy(is, new File(dbDir, localName).toPath)
         finally is.close()
+        // torn-sidecar check: a truncated SST copies without error and
+        // only explodes later, opaquely, inside RocksDB — compare against
+        // the size recorded at upload time (absent in pre-size checkpoints)
+        if (meta.hasNonNull("sstSizes") && meta.get("sstSizes").hasNonNull(localName)) {
+          val expected = meta.get("sstSizes").get(localName).asLong()
+          val actual = new File(dbDir, localName).length()
+          if (actual != expected) {
+            corruptFail(s"references SST $dfsName which is torn " +
+              s"($actual bytes on DFS, $expected recorded at upload)")
+          }
+        }
         uploadedSsts(localName) = dfsName
       }
     } catch {
+      case e: GraftCheckpointCorruptException => throw e
       case scala.util.control.NonFatal(e) => corruptFail(s"references an unreadable SST (${e.getMessage})", e)
     }
     version = meta.get("version").asLong()
@@ -369,15 +394,26 @@ final class RocksDBMetadataLog(
     val (old, keep) = versions.splitAt(versions.size - minVersionsToRetain)
     val referenced = mutable.HashSet[String]()
     keep.foreach { v =>
-      val in = new ZipInputStream(fm.open(versionZip(v)))
+      // A retained zip can be torn: restore() deliberately leaves a torn
+      // newest zip on disk (the next checkpoint overwrites it), so a
+      // commit that runs before that re-write must not die on it here.
+      // Skipping is safe — a torn zip can never be restored from, so it
+      // contributes no SST references worth protecting.
       try {
-        var entry = in.getNextEntry
-        while (entry != null && entry.getName != "metadata.json") entry = in.getNextEntry
-        if (entry != null) {
-          mapper.readTree(in.readAllBytes()).get("ssts").properties().asScala
-            .foreach(e => referenced += e.getValue.asText())
-        }
-      } finally in.close()
+        val in = new ZipInputStream(fm.open(versionZip(v)))
+        try {
+          var entry = in.getNextEntry
+          while (entry != null && entry.getName != "metadata.json") entry = in.getNextEntry
+          if (entry != null) {
+            mapper.readTree(in.readAllBytes()).get("ssts").properties().asScala
+              .foreach(e => referenced += e.getValue.asText())
+          }
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"metadata log GC: retained zip ${versionZip(v)} is unreadable " +
+            s"(${e.getMessage}); skipping its SST references")
+      }
     }
     old.foreach(v => fm.delete(versionZip(v)))
     fm.list(sstDir).foreach { st =>

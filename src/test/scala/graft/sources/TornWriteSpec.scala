@@ -81,6 +81,31 @@ class TornWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2"), s"must name the batch file: ${e.getMessage}")
   }
 
+  test("file log: torn compact whose cleanup already ran refuses, never rebuilds stale state") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
+    (0L to 4L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    log.close() // on disk: 2.compact (intact) + batch files 3, 4
+    val logDir = Paths.get(dir, "graft-batches")
+
+    // rot model (vs the crash model above): the compaction at batch 5
+    // COMPLETED — its cleanup deleted the folded batch files but crashed
+    // before removing the superseded 2.compact — and 5.compact rotted
+    // later. Falling back to 2.compact + surviving tail would silently
+    // regress latestBatchId to 2 and re-admit f3..f5 at the source.
+    Files.write(logDir.resolve("5.compact"),
+      """{"version":2,"batchIds":[0,1,2,3,4,5],"entr""".getBytes("UTF-8"))
+    Files.delete(logDir.resolve("3"))
+    Files.delete(logDir.resolve("4"))
+
+    val e = intercept[GraftSourceException](
+      new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3))
+    assert(e.getMessage.contains("already deleted"), s"not descriptive: ${e.getMessage}")
+    assert(e.getMessage.contains("5.compact"), s"must name the torn compact: ${e.getMessage}")
+    assert(e.getMessage.contains("3") && e.getMessage.contains("4"),
+      s"must name the missing batches: ${e.getMessage}")
+  }
+
   test("file log: a leftover createAtomic temp file is invisible to restore") {
     val dir = Files.createTempDirectory("graft-torn").toString
     val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
@@ -119,6 +144,51 @@ class TornWriteSpec extends AnyFunSuite {
     val again = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
     try assert(again.getLatestBatchId.contains(2L), "re-written version 3 must restore")
     finally again.close()
+  }
+
+  test("rocksdb log: GC right after a torn-newest fallback skips the torn zip instead of dying") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 2)
+    (0L to 3L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close() // versions 1..4
+    truncate(Paths.get(dir, "rocksdb", "4.zip"), 8)
+
+    val restored = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 2)
+    try {
+      assert(restored.getLatestBatchId.contains(2L))
+      // restore deliberately left torn 4.zip on disk; GC's retained window
+      // [3.zip, 4.zip] includes it — the old behavior threw an uncaught
+      // ZipException out of commit() here
+      restored.commit()
+      restored.add(3L, entries(3L, "p3" -> 103L)) // re-writes 4.zip atomically
+      assert(restored.getLatestBatchId.contains(3L))
+    } finally restored.close()
+
+    val again = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 2)
+    try {
+      assert(again.getLatestBatchId.contains(3L), "re-written version 4 must restore")
+      (0L to 3L).foreach(i => assert(again.get(i).exists(_.head.path == s"p$i")))
+    } finally again.close()
+  }
+
+  test("rocksdb log: a torn reused SST referenced by intact zips fails descriptively naming it") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 10)
+    (0L to 5L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close()
+    import scala.jdk.CollectionConverters._
+    val ssts = Files.list(Paths.get(dir, "rocksdb", "SSTs")).iterator().asScala.toSeq
+    assert(ssts.nonEmpty, "fixture must have produced at least one SST sidecar")
+    // every version that references a torn SST must be rejected by the
+    // size audit; with all sidecars torn no version is restorable
+    ssts.foreach(truncate(_, 4))
+    val e = intercept[GraftSourceException](
+      new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 10))
+    assert(e.getMessage.contains("no readable checkpoint"), s"not descriptive: ${e.getMessage}")
+    assert(e.getMessage.contains("SST") && e.getMessage.contains("torn"),
+      s"must blame a torn SST: ${e.getMessage}")
+    assert(ssts.exists(s => e.getMessage.contains(s.getFileName.toString)),
+      s"must name the damaged sidecar file: ${e.getMessage}")
   }
 
   test("rocksdb log: every zip torn fails descriptively with the version list") {
