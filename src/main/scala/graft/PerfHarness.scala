@@ -37,7 +37,16 @@ object PerfHarness {
   final case class Result(
       graftSec: Double, fileSourceSec: Double,
       graftIncSec: Double, fileSourceIncSec: Double,
+      graftIncRounds: Seq[Double], fileSourceIncRounds: Seq[Double],
       rows: Long, valid: Boolean)
+
+  /** Nearest-rank percentile over the per-round samples (tail-latency
+    * observability, mirroring the reference's RocksDB histograms —
+    * RocksDB.scala:334-381 publishes p50/p95 per commit phase). */
+  def percentile(samples: Seq[Double], q: Double): Double = {
+    val sorted = samples.sorted
+    sorted(math.min(sorted.size - 1, math.max(0, math.ceil(q * sorted.size).toInt - 1)))
+  }
 
   /** Deterministic csv fixture: files `startFile until startFile+nFiles`
     * of `rowsPerFile` rows, ids contiguous across calls. */
@@ -111,7 +120,9 @@ object PerfHarness {
     // processes O(new) per drain; the listing source re-LISTS the whole
     // directory (O(total files)) before finding them. Checkpoints carry
     // over, so each drain is exactly the steady-state trigger cost.
-    val rounds = 5
+    // 10 rounds: enough per-trigger samples for a meaningful p95 (the
+    // tail claim) while keeping the listing side's O(backlog) cost sane
+    val rounds = 10
     val newPerRound = 8
     // untimed settling round first: streaming recovery replays the LAST
     // committed batch's getBatch on every query start, so without this the
@@ -131,23 +142,25 @@ object PerfHarness {
         spark.readStream.format("csv").schema(harnessSchema)
           .option("maxFilesPerTrigger", "5000").load(dataDir.toString))
     }
-    var graftInc = 0.0
-    var fileInc = 0.0
+    val graftRounds = Vector.newBuilder[Double]
+    val fileRounds = Vector.newBuilder[Double]
     (0 until rounds).foreach { r =>
       val added = generate(dataDir, nFiles + (r + 1) * newPerRound, newPerRound, rowsPerFile)
       added.foreach(p => queue.send(s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
-      graftInc += drain(root.resolve("outGraft"), root.resolve("cpGraft"),
+      graftRounds += drain(root.resolve("outGraft"), root.resolve("cpGraft"),
         spark.readStream.format("graft-files").schema(harnessSchema)
           .option("fileFormat", "csv")
           .option("queueName", queueName)
           .option("maxFilesPerTrigger", "5000")
           .option("queueFetchWaitTimeoutSeconds", "5")
           .load())
-      fileInc += drain(root.resolve("outFile"), root.resolve("cpFile"),
+      fileRounds += drain(root.resolve("outFile"), root.resolve("cpFile"),
         spark.readStream.format("csv").schema(harnessSchema)
           .option("maxFilesPerTrigger", "5000")
           .load(dataDir.toString))
     }
+    val graftIncRounds = graftRounds.result()
+    val fileIncRounds = fileRounds.result()
 
     // validator: both sinks hold exactly the generated rows (settling
     // round included: its files flow through both pipelines too)
@@ -157,7 +170,8 @@ object PerfHarness {
     val gSum = sink(root.resolve("outGraft")).agg(org.apache.spark.sql.functions.sum("valInt")).head.getLong(0)
     val fSum = sink(root.resolve("outFile")).agg(org.apache.spark.sql.functions.sum("valInt")).head.getLong(0)
     val checkSum = expected * (expected - 1) / 2
-    Result(graftSec, fileSec, graftInc, fileInc, expected,
+    Result(graftSec, fileSec, graftIncRounds.sum, fileIncRounds.sum,
+      graftIncRounds, fileIncRounds, expected,
       valid = gCnt == expected && fCnt == expected && gSum == checkSum && fSum == checkSum)
   }
 
@@ -170,13 +184,24 @@ object PerfHarness {
   def soak(spark: SparkSession, backlogs: Seq[Int], rowsPerFile: Int): String = {
     val series = backlogs.map { n =>
       val r = run(spark, n, rowsPerFile)
+      def p(xs: Seq[Double], q: Double) = f"${percentile(xs, q)}%.3f"
       System.err.println(f"[soak] backlog=$n%6d graft_inc=${r.graftIncSec}%6.2fs " +
-        f"file_inc=${r.fileSourceIncSec}%6.2fs valid=${r.valid}")
+        f"(p50=${p(r.graftIncRounds, 0.5)} p95=${p(r.graftIncRounds, 0.95)}) " +
+        f"file_inc=${r.fileSourceIncSec}%6.2fs " +
+        f"(p50=${p(r.fileSourceIncRounds, 0.5)} p95=${p(r.fileSourceIncRounds, 0.95)}) " +
+        f"valid=${r.valid}")
       s"""{"backlog_files":$n,"graft_bulk_sec":${r.graftSec},""" +
         s""""file_source_bulk_sec":${r.fileSourceSec},"graft_inc_sec":${r.graftIncSec},""" +
-        s""""file_source_inc_sec":${r.fileSourceIncSec},"valid":${r.valid}}"""
+        s""""file_source_inc_sec":${r.fileSourceIncSec},""" +
+        s""""graft_inc_p50_sec":${p(r.graftIncRounds, 0.5)},""" +
+        s""""graft_inc_p95_sec":${p(r.graftIncRounds, 0.95)},""" +
+        s""""file_source_inc_p50_sec":${p(r.fileSourceIncRounds, 0.5)},""" +
+        s""""file_source_inc_p95_sec":${p(r.fileSourceIncRounds, 0.95)},""" +
+        s""""graft_inc_rounds_sec":[${r.graftIncRounds.map(x => f"$x%.3f").mkString(",")}],""" +
+        s""""file_source_inc_rounds_sec":[${r.fileSourceIncRounds.map(x => f"$x%.3f").mkString(",")}],""" +
+        s""""valid":${r.valid}}"""
     }
-    s"""{"metric":"perf_soak","rows_per_file":$rowsPerFile,"inc_rounds":5,""" +
+    s"""{"metric":"perf_soak","rows_per_file":$rowsPerFile,"inc_rounds":10,""" +
       s""""new_files_per_round":8,"series":[${series.mkString(",")}]}"""
   }
 

@@ -165,14 +165,62 @@ object Layout {
       |FROM events WHERE event_type IN ('purchase', 'view')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Skewed-key join: ~92% of lineitem rows are funneled onto one hot
+    * join key (0), the classic shape that stalls a 1000-executor shuffle
+    * join on a single straggler task. The cure at scale is AQE's
+    * skew-join split (`spark.sql.adaptive.skewJoin`): the hot partition
+    * is split into advisory-sized sub-partitions and the matching dim
+    * rows are duplicated per split — same results, straggler gone.
+    * `SkewJoinSpec` runs this query in a session with the skew thresholds
+    * scaled down to the test data and asserts the executed plan actually
+    * split (`skew=true` on the sort-merge join); the gate here proves the
+    * values are right under whatever AQE decides. The merge hint keeps
+    * the toy-scale dim from broadcasting (a broadcast join has no skew
+    * problem — at 100 TB the build side often can't broadcast, which is
+    * when skew bites). */
+  def q48SkewJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // AQE splits a skewed reduce partition at MAP-output granularity. A
+    // 100 TB scan always has thousands of mappers; the toy fixture is one
+    // parquet row group = one mapper with data, which would leave the hot
+    // partition a single unsplittable block. The round-robin repartition
+    // restores the many-mapper shape the technique operates on.
+    val skewed = s.read.parquet(s"$d/lineitem.parquet")
+      .repartition(16)
+      .select(
+        when($"l_orderkey" % 25 < 23, lit(0L))
+          .otherwise(($"l_orderkey" % 25).cast("long")).as("skew_key"),
+        $"l_quantity", $"l_extendedprice")
+    val dim = s.read.parquet(s"$d/nation.parquet")
+      .select($"n_nationkey".cast("long").as("skew_key"), $"n_name")
+    skewed.hint("merge").join(dim, "skew_key")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy($"n_name")
+  }
+  val q48Sql: String =
+    """SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT CASE WHEN l_orderkey % 25 < 23 THEN 0
+      |             ELSE l_orderkey % 25 END AS skew_key,
+      |        l_quantity, l_extendedprice FROM lineitem) l
+      |JOIN nation ON l.skew_key = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q46_bucketed_join" -> q46BucketedJoin _,
     "q47_partition_prune" -> q47PartitionPrune _,
+    "q48_skew_join" -> q48SkewJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "q46_bucketed_join" -> q46Sql,
     "q47_partition_prune" -> q47Sql,
+    "q48_skew_join" -> q48Sql,
   )
 }

@@ -20,8 +20,19 @@ class PerfHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("both consumers drain bulk + incremental phases to identical validated sinks") {
     val r = PerfHarness.run(spark, nFiles = 12, rowsPerFile = 20)
     assert(r.valid, s"row/checksum validation failed: $r")
-    // 12 bulk + 1 untimed settling round + 5 timed rounds, 8 files each
-    assert(r.rows == (12 + 6 * 8) * 20L)
+    // 12 bulk + 1 untimed settling round + 10 timed rounds, 8 files each
+    assert(r.rows == (12 + 11 * 8) * 20L)
     assert(r.graftSec > 0 && r.fileSourceSec > 0 && r.graftIncSec > 0 && r.fileSourceIncSec > 0)
+    // per-trigger samples feed the soak's tail percentiles
+    assert(r.graftIncRounds.size == 10 && r.fileSourceIncRounds.size == 10)
+    assert(PerfHarness.percentile(r.graftIncRounds, 0.5) <=
+      PerfHarness.percentile(r.graftIncRounds, 0.95))
+  }
+
+  test("nearest-rank percentile picks the documented ranks") {
+    val xs = Seq(5.0, 1.0, 3.0, 2.0, 4.0)
+    assert(PerfHarness.percentile(xs, 0.5) == 3.0)
+    assert(PerfHarness.percentile(xs, 0.95) == 5.0)
+    assert(PerfHarness.percentile(Seq(7.0), 0.95) == 7.0)
   }
 }

@@ -119,6 +119,61 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"unpruned wide-table scans:\n${offenders.mkString("\n")}")
   }
 
+  test("embedding/ANN kernels: every codegen-able row stage is inside a codegen span") {
+    // These queries' cost is a tight numeric kernel over Array[Float]
+    // columns evaluated millions of times. The kernels themselves use
+    // higher-order functions (aggregate/zip_with), which are
+    // CodegenFallback by design — those projections CANNOT be fused and
+    // are exempt. The law protects everything else: a Project/Filter
+    // with no HOF that sits outside a WholeStageCodegen span means some
+    // expression silently lost codegen support in a refactor — a multi-x
+    // interpreted-eval slowdown invisible to the oracle gate.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // execute rather than reuse batchPlans: AQE only inserts the
+    // WholeStageCodegen wrappers as each stage materializes, so an
+    // unexecuted adaptive plan would fail this law vacuously
+    val kernelQueries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        name.startsWith("ann_") || name.startsWith("emb_") ||
+          name.contains("embedding") || name == "semdedup"
+      }
+      .map { case (name, fn) =>
+        val df = fn(spark, sf)
+        // collect(), not count(): count() builds a DERIVED query with its
+        // own execution — this df's adaptive plan would stay
+        // isFinalPlan=false with no codegen wrappers anywhere
+        df.collect()
+        name -> df.queryExecution.executedPlan
+      }
+    assert(kernelQueries.size >= 8, s"kernel-query sweep shrank: ${kernelQueries.map(_._1)}")
+    def hasHof(p: SparkPlan): Boolean =
+      p.expressions.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
+    def uncodegened(p: SparkPlan, inside: Boolean): Seq[String] = {
+      val here = p match {
+        case (_: ProjectExec | _: FilterExec) if !inside && !hasHof(p) => Seq(p.nodeName)
+        case _ => Nil
+      }
+      // WholeStageCodegen opens a fused span; InputAdapter closes it for
+      // the subtree it feeds in; AQE wrappers are leaves that must be
+      // expanded by hand (same trap as the scan-pruning law above)
+      p match {
+        case a: AdaptiveSparkPlanExec => here ++ uncodegened(a.executedPlan, inside = false)
+        case q: QueryStageExec => here ++ uncodegened(q.plan, inside = false)
+        case w: WholeStageCodegenExec => here ++ w.children.flatMap(uncodegened(_, inside = true))
+        case i: InputAdapter => here ++ i.children.flatMap(uncodegened(_, inside = false))
+        case other => here ++ other.children.flatMap(uncodegened(_, inside))
+      }
+    }
+    val offenders = kernelQueries.flatMap { case (name, plan) =>
+      val nodes = uncodegened(plan, inside = false)
+      if (nodes.nonEmpty) Some(s"$name: ${nodes.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"row-processing nodes outside whole-stage codegen:\n${offenders.mkString("\n")}")
+  }
+
   // ------------------------------------------------- streaming micro-batch plans
 
   /** Run every stream_* gate end-to-end (cheap at sf0.001) and collect the
