@@ -165,6 +165,38 @@ object Layout {
       |FROM events WHERE event_type IN ('purchase', 'view')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Small-file fixture + compaction, once per (session, sf dir): events
+    * shattered into many tiny parquet files (what a streaming ingest
+    * leaves behind), then compacted into byte-targeted files. Returns
+    * (smallDir, compactDir). Compaction is coalesce-based — merging
+    * partitions needs NO shuffle, so compacting N small files moves each
+    * byte exactly once with no network cost; the output file count is
+    * computed from the actual input bytes, not guessed. */
+  private[graft] val CompactTargetBytes: Long = 4L * 1024 * 1024
+  private[graft] def compactedEvents(s: SparkSession, d: String): (String, String) = {
+    val k = s"${System.identityHashCode(s)}|$d|events_compacted"
+    val root = prepared.computeIfAbsent(k, _ => {
+      val r = newTempRoot("graft-layout-compact")
+      s.read.parquet(s"$d/events.parquet")
+        .repartition(256)
+        .write.mode("overwrite").parquet(s"$r/events_small")
+      val inputBytes = {
+        val walk = Files.walk(java.nio.file.Paths.get(s"$r/events_small"))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+        } finally walk.close()
+      }
+      val nOut = math.max(1L, (inputBytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(s"$r/events_small")
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$r/events_compact")
+      r
+    })
+    (s"$root/events_small", s"$root/events_compact")
+  }
+
   // ---------------------------------------------------------------- q48
   /** Skewed-key join: ~92% of lineitem rows are funneled onto one hot
     * join key (0), the classic shape that stalls a 1000-executor shuffle
@@ -211,16 +243,45 @@ object Layout {
       |JOIN nation ON l.skew_key = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Per-type stats over the COMPACTED small-file layout. The oracle runs
+    * against the original events table, so the gate proves the
+    * shatter-then-compact round trip is lossless; `LayoutSpec` asserts
+    * the layout claims (file count collapses to the byte-computed
+    * target, compaction plans no shuffle). This is the ingest-side
+    * technique the other layout queries assume away: a streaming source
+    * lands O(triggers) small files, and at 100 TB an uncompacted table
+    * pays per-file open/list/schedule costs that dwarf the data scan. */
+  def q49CompactSmallFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, compactDir) = compactedEvents(s, d)
+    s.read.parquet(compactDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("id_sum"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+  val q49Sql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q46_bucketed_join" -> q46BucketedJoin _,
     "q47_partition_prune" -> q47PartitionPrune _,
     "q48_skew_join" -> q48SkewJoin _,
+    "q49_compact_small_files" -> q49CompactSmallFiles _,
   )
 
   val oracles: Map[String, String] = Map(
     "q46_bucketed_join" -> q46Sql,
     "q47_partition_prune" -> q47Sql,
     "q48_skew_join" -> q48Sql,
+    "q49_compact_small_files" -> q49Sql,
   )
 }

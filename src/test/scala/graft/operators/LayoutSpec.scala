@@ -145,6 +145,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nB == expectB, s"dir B read wrong data: $nB != $expectB")
   }
 
+  test("q49: compaction collapses the small-file fixture to the byte-computed target, shuffle-free") {
+    import scala.jdk.CollectionConverters._
+    val (smallDir, compactDir) = Layout.compactedEvents(spark, sf)
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    }
+    val small = parquetFiles(smallDir)
+    val compact = parquetFiles(compactDir)
+    assert(small.size == 256, s"small-file fixture should be 256 files, got ${small.size}")
+    val bytes = small.map(java.nio.file.Files.size).sum
+    val target = math.max(1L, (bytes + Layout.CompactTargetBytes - 1) / Layout.CompactTargetBytes).toInt
+    assert(compact.size == target,
+      s"compaction must hit the byte-computed file count: ${compact.size} != $target (input $bytes B)")
+    assert(compact.size < small.size / 8,
+      s"compaction barely compacted: ${small.size} -> ${compact.size}")
+    // losslessness at row granularity (values are oracle-gated)
+    assert(spark.read.parquet(compactDir).count() == spark.read.parquet(s"$sf/events.parquet").count())
+    // the compaction plan itself must move bytes without a shuffle:
+    // coalesce merges partitions in place — no Exchange anywhere
+    val compactionPlan = spark.read.parquet(smallDir).coalesce(target)
+      .queryExecution.executedPlan.toString
+    assert(!compactionPlan.contains("Exchange"),
+      s"compaction planned a shuffle:\n$compactionPlan")
+  }
+
   test("cleanup drops every layout table and deletes the layout temp dirs") {
     Layout.q46BucketedJoin(spark, sf).collect()
     val rewritten = Layout.partitionedEvents(spark, sf)
