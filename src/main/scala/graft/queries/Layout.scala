@@ -270,12 +270,99 @@ object Layout {
       |  MIN(value) AS min_value, MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Z-order (Morton) interleave of two non-negative long columns, as a
+    * pure composition of codegen'd bitwise builtins — no UDF. Each input
+    * is clamped to its low 32 bits and spread onto even bit positions
+    * with the classic 5-step mask/shift ladder; the second operand lands
+    * on odd positions. Sorting by the result clusters rows so that BOTH
+    * dimensions are locally narrow, which is what lets min/max stats
+    * (parquet row-group / file footers) skip data for predicates on
+    * EITHER column — a 1-D sort can only do that for its own column. */
+  private def spreadBits(c: Column): Column = {
+    val steps = Seq(
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    steps.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (n, m)) =>
+      x.bitwiseOR(shiftleft(x, n)).bitwiseAND(lit(m))
+    }
+  }
+  private[graft] def zvalue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Events rewritten z-ordered on (user_id, event_id): each column is
+    * first bucketized to 32 equal-width buckets (from a one-pass global
+    * min/max — 4 driver-side scalars, never data), the bucket ids are
+    * bit-interleaved, and the table is range-partitioned + sorted by the
+    * z-value. The bucketization step is what production z-order
+    * implementations do with range boundaries: interleaving RAW values
+    * degenerates to a 1-D sort on whichever column has more significant
+    * bits, because its high bits alone decide the z ordering. One
+    * rewrite per (session, sf dir), like the other layouts. */
+  private[graft] val ZorderFiles = 16
+  private[graft] val ZorderBuckets = 32
+  private[graft] def zorderedEvents(s: SparkSession, d: String): String = {
+    val k = s"${System.identityHashCode(s)}|$d|events_zorder"
+    val root = prepared.computeIfAbsent(k, _ => {
+      val r = newTempRoot("graft-layout-zorder")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val b = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id"))).head()
+      def bucket(c: Column, lo: Long, hi: Long): Column =
+        ((c - lit(lo)) * lit(ZorderBuckets.toLong) / lit(hi - lo + 1)).cast("long")
+      val z = zvalue(
+        bucket(col("user_id"), b.getLong(0), b.getLong(1)),
+        bucket(col("event_id"), b.getLong(2), b.getLong(3)))
+      ev.withColumn("z", z)
+        .repartitionByRange(ZorderFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(s"$r/events_zorder")
+      r
+    })
+    s"$root/events_zorder"
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Two-dimensional range predicate over the z-ordered layout. Hive
+    * partitioning (q47) prunes on ONE low-cardinality column; z-order is
+    * the layout for selective predicates on SEVERAL high-cardinality
+    * columns: every file covers a narrow range of BOTH user_id and
+    * event_id, so footer min/max stats let the reader skip most files /
+    * row groups for either predicate — at 100 TB the difference between
+    * scanning everything and scanning the few files whose stats overlap
+    * the query box. The oracle runs on the ORIGINAL table (rewrite
+    * proven lossless); `LayoutSpec` asserts the clustering property
+    * itself: per-file spans of BOTH columns shrink well below the global
+    * span (impossible for a 1-D sort), and both predicates reach the
+    * scan as PushedFilters. */
+  def q50ZorderCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(zorderedEvents(s, d))
+      .filter($"user_id".between(10, 75) && $"event_id".between(100, 5000))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("id_sum"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+  val q50Sql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 75 AND event_id BETWEEN 100 AND 5000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q46_bucketed_join" -> q46BucketedJoin _,
     "q47_partition_prune" -> q47PartitionPrune _,
     "q48_skew_join" -> q48SkewJoin _,
     "q49_compact_small_files" -> q49CompactSmallFiles _,
+    "q50_zorder_cluster" -> q50ZorderCluster _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +370,6 @@ object Layout {
     "q47_partition_prune" -> q47Sql,
     "q48_skew_join" -> q48Sql,
     "q49_compact_small_files" -> q49Sql,
+    "q50_zorder_cluster" -> q50Sql,
   )
 }

@@ -172,6 +172,39 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"compaction planned a shuffle:\n$compactionPlan")
   }
 
+  test("q50: z-order narrows per-file spans of BOTH columns; predicates reach the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Layout.zorderedEvents(spark, sf)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"user_id") - min($"user_id")).as("u_span"),
+        (max($"event_id") - min($"event_id")).as("e_span"))
+      .agg(count(lit(1)), avg($"u_span"), avg($"e_span")).head()
+    val (nFiles, uSpan, eSpan) = (perFile.getLong(0), perFile.getDouble(1), perFile.getDouble(2))
+    assert(nFiles >= 4, s"z-order layout produced too few files to cluster: $nFiles")
+    val g = spark.read.parquet(s"$sf/events.parquet")
+      .agg(max($"user_id") - min($"user_id"), max($"event_id") - min($"event_id")).head()
+    val (uGlobal, eGlobal) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+    // the property 1-D sorting cannot have: BOTH dimensions locally narrow
+    assert(uSpan < 0.5 * uGlobal,
+      s"user_id not clustered: mean per-file span $uSpan vs global $uGlobal")
+    assert(eSpan < 0.5 * eGlobal,
+      s"event_id not clustered: mean per-file span $eSpan vs global $eGlobal")
+    // losslessness at row granularity (values are oracle-gated)
+    assert(spark.read.parquet(dir).count() ==
+      spark.read.parquet(s"$sf/events.parquet").count())
+    // both range predicates must reach the parquet scan as pushed filters,
+    // where footer min/max stats turn the clustering into skipped IO
+    val scans = deepScans(Layout.q50ZorderCluster(spark, sf).queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan found in the q50 plan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    for (c <- Seq("user_id", "event_id")) {
+      assert(pushed.contains(s"GreaterThanOrEqual($c") && pushed.contains(s"LessThanOrEqual($c"),
+        s"$c range predicate not pushed to the scan: $pushed")
+    }
+  }
+
   test("cleanup drops every layout table and deletes the layout temp dirs") {
     Layout.q46BucketedJoin(spark, sf).collect()
     val rewritten = Layout.partitionedEvents(spark, sf)
