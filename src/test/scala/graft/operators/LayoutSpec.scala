@@ -205,6 +205,36 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q50 baseline: a 1-D sort leaves the OTHER column's per-file span wide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // negative control for the span metric: range-partition by user_id
+    // alone, and event_id must stay near-global-width in every file —
+    // the shape z-order exists to avoid
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-baseline").toString
+    try {
+      spark.read.parquet(s"$sf/events.parquet")
+        .repartitionByRange(Layout.ZorderFiles, $"user_id")
+        .sortWithinPartitions($"user_id")
+        .write.mode("overwrite").parquet(dir)
+      val span = spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg((max($"event_id") - min($"event_id")).as("e_span"))
+        .agg(avg($"e_span")).head().getDouble(0)
+      val global = spark.read.parquet(s"$sf/events.parquet")
+        .agg(max($"event_id") - min($"event_id")).head().getLong(0).toDouble
+      assert(span > 0.8 * global,
+        s"1-D sort unexpectedly clustered event_id (span $span vs global $global) — " +
+          "the q50 span assertion would not discriminate")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   test("cleanup drops every layout table and deletes the layout temp dirs") {
     Layout.q46BucketedJoin(spark, sf).collect()
     val rewritten = Layout.partitionedEvents(spark, sf)
