@@ -432,6 +432,69 @@ object Relational2 {
       |    INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_linenumber = 3))
       |GROUP BY op ORDER BY op""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Approximate quantiles (Greenwald-Khanna via percentile_approx) per
+    * priority class — the single-pass, mergeable, constant-memory sketch
+    * that replaces q33's exact window-sort percentiles at 100 TB, where
+    * a full per-group sort is the wrong plan. Rows-only like q42 (GK
+    * implementations differ engine to engine); the accuracy claim is
+    * oracled by [[q51QuantileBound]]. */
+  def q51ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(percentile_approx($"o_totalprice",
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_p"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Deterministic-bound companion to [[q51ApproxQuantiles]], same scheme
+    * as q42_sketch_bound: per group it emits the exact discrete
+    * percentiles (raw data values — hash-stable, q33 proves it) plus
+    * booleans asserting each GK estimate lands between the exact discrete
+    * values at p±0.01. Accuracy 10000 bounds GK's rank error at n/10000,
+    * two orders of magnitude inside the ±0.01-rank bracket, so the
+    * booleans are deterministically TRUE for a correct sketch and the
+    * oracle pins them; a sketch drifting out of bound hash-fails the row
+    * instead of passing rows-only. */
+  def q51QuantileBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    Tables.orders(s, d)
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        min(when($"cd" >= 0.5, $"o_totalprice")).as("p50"),
+        min(when($"cd" >= 0.9, $"o_totalprice")).as("p90"),
+        min(when($"cd" >= 0.99, $"o_totalprice")).as("p99"),
+        min(when($"cd" >= 0.49, $"o_totalprice")).as("lo50"),
+        min(when($"cd" >= 0.89, $"o_totalprice")).as("lo90"),
+        min(when($"cd" >= 0.98, $"o_totalprice")).as("lo99"),
+        min(when($"cd" >= 0.51, $"o_totalprice")).as("hi50"),
+        min(when($"cd" >= 0.91, $"o_totalprice")).as("hi90"),
+        max($"o_totalprice").as("hi99"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("a50"),
+        percentile_approx($"o_totalprice", lit(0.9), lit(10000)).as("a90"),
+        percentile_approx($"o_totalprice", lit(0.99), lit(10000)).as("a99"))
+      .select($"o_orderpriority", $"n", $"p50", $"p90", $"p99",
+        ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("p50_in_bound"),
+        ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("p90_in_bound"),
+        ($"a99" >= $"lo99" && $"a99" <= $"hi99").as("p99_in_bound"))
+      .orderBy($"o_orderpriority")
+  }
+  val q51BoundSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  MIN(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50,
+      |  MIN(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90,
+      |  MIN(CASE WHEN cd >= 0.99 THEN o_totalprice END) AS p99,
+      |  TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -448,6 +511,8 @@ object Relational2 {
     "q43_null_numeric" -> q43NullNumeric _,
     "q44_nested_agg" -> q44NestedAgg _,
     "q45_set_all" -> q45SetAll _,
+    "q51_approx_quantiles" -> q51ApproxQuantiles _,
+    "q51_quantile_bound" -> q51QuantileBound _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +532,9 @@ object Relational2 {
     "q43_null_numeric" -> q43Sql,
     "q44_nested_agg" -> q44Sql,
     "q45_set_all" -> q45Sql,
+    // q51_approx_quantiles: intentionally no oracle (GK sketch output
+    // differs engine-to-engine) — its accuracy claim is gated by
+    // q51_quantile_bound below
+    "q51_quantile_bound" -> q51BoundSql,
   )
 }
