@@ -171,6 +171,46 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx quantiles land inside the exact p±0.01 discrete bracket") {
+    // spec-time replica of the q51_quantile_bound oracle gate: every GK
+    // estimate (rank error <= n/10000) must sit between the exact
+    // discrete percentile values at p-0.01 and p+0.01
+    val rows = Relational2.q51QuantileBound(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 priority classes, got ${rows.length}")
+    rows.foreach { r =>
+      for (i <- 5 to 7)
+        assert(r.getBoolean(i), s"${r.getString(0)} quantile out of bound: $r")
+    }
+  }
+
+  test("approx quantiles are mergeable: the rank bound survives any partitioning") {
+    // the GK analogue of the HLL mergeability law — weaker on purpose:
+    // HLL merge is commutative (exact equality holds across splits), GK
+    // merge is only guarantee-preserving (arrival order may perturb the
+    // estimate WITHIN the rank bound), so the law is that every split
+    // still lands inside the exact p±0.01 bracket, not that estimates
+    // are bit-identical
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    val bracket = orders.withColumn("cd", cume_dist().over(w))
+      .groupBy($"o_orderpriority")
+      .agg(min(when($"cd" >= 0.49, $"o_totalprice")).as("lo"),
+        min(when($"cd" >= 0.51, $"o_totalprice")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (in <- Seq(orders, orders.repartition(1), orders.repartition(7, $"o_custkey"))) {
+      in.groupBy($"o_orderpriority")
+        .agg(percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("a50"))
+        .collect().foreach { r =>
+          val (lo, hi) = bracket(r.getString(0))
+          val a = r.getDouble(1)
+          assert(a >= lo && a <= hi,
+            s"${r.getString(0)}: p50 estimate $a outside exact bracket [$lo, $hi]")
+        }
+    }
+  }
+
   test("approx sketches are mergeable: cardinalities are partitioning-independent") {
     // The law that makes HLL usable at 100 TB: the per-partition partial
     // sketches merge associatively+commutatively, so the final estimate
