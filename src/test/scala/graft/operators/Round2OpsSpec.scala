@@ -211,6 +211,18 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx quantiles plan single-pass: partial agg, no window sort") {
+    // the plan-shape half of the q51 scale claim: the exact path (q33 /
+    // q51_quantile_bound) needs a per-group sort under a Window; the GK
+    // path must instead show a map-side partial percentile_approx and no
+    // Window at all — that difference IS why it's the 100 TB operator
+    val plan = Relational2.q51ApproxQuantiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"),
+      s"no map-side partial GK aggregation in the plan:\n$plan")
+    assert(!plan.contains("Window"), s"approx path planned a window sort:\n$plan")
+  }
+
   test("approx sketches are mergeable: cardinalities are partitioning-independent") {
     // The law that makes HLL usable at 100 TB: the per-partition partial
     // sketches merge associatively+commutatively, so the final estimate
