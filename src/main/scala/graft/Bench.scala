@@ -17,7 +17,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val filter: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
-    val rounds = args.lift(1).map(_.toInt).getOrElse(1)
+    // a typo'd name must not silently bench an empty set and record a
+    // bogus {} baseline — fail loudly naming the unknown queries
+    filter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
+    val rounds = args.lift(1).map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"rounds argument must be an integer, got: '$s'")
+      }
+    }.getOrElse(1)
     // default to the real core count (capped at 32): every query is
     // decimal-exact by construction, so parallelism never changes results
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

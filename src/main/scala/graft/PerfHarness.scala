@@ -44,6 +44,7 @@ object PerfHarness {
     * observability, mirroring the reference's RocksDB histograms —
     * RocksDB.scala:334-381 publishes p50/p95 per commit phase). */
   def percentile(samples: Seq[Double], q: Double): Double = {
+    require(samples.nonEmpty, s"percentile(q=$q) of zero samples is undefined")
     val sorted = samples.sorted
     sorted(math.min(sorted.size - 1, math.max(0, math.ceil(q * sorted.size).toInt - 1)))
   }

@@ -438,13 +438,16 @@ object Relational2 {
     * that replaces q33's exact window-sort percentiles at 100 TB, where
     * a full per-group sort is the wrong plan. Rows-only like q42 (GK
     * implementations differ engine to engine); the accuracy claim is
-    * oracled by [[q51QuantileBound]]. */
+    * oracled by [[q51QuantileBound]]. Scalar a50/a90/a99 columns (not an
+    * ArrayType) so the driver harness can sort/hash the frame. */
   def q51ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
-      .agg(percentile_approx($"o_totalprice",
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_p"),
+      .agg(
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("a50"),
+        percentile_approx($"o_totalprice", lit(0.9), lit(10000)).as("a90"),
+        percentile_approx($"o_totalprice", lit(0.99), lit(10000)).as("a99"),
         count(lit(1)).as("n"))
       .orderBy($"o_orderpriority")
   }
