@@ -96,6 +96,26 @@ final class FileBackedMetadataLog(
   private val batches = new java.util.concurrent.ConcurrentSkipListMap[Long, Array[FileEntry]]()
   @volatile private var latestBatchId: Option[Long] = None
 
+  // Batch ids removed by purgeBefore (age horizon), persisted to a
+  // `_purged` sidecar so the fallback-gap audit can tell a legitimately
+  // horizon-purged batch (absent on purpose) from one deleted by a torn
+  // compact's cleanup (absent = unrestorable state). Pruned at each
+  // completed compaction to ids above the surviving compact — older ids
+  // can never appear in a future audit gap — so the sidecar stays
+  // O(compactInterval), not O(history).
+  private val purgedIds = mutable.Set[Long]()
+  private def purgedFile: Path = new Path(logDir, "_purged")
+
+  private def writePurgedSidecar(): Unit = {
+    val arr = mapper.createArrayNode()
+    purgedIds.toSeq.sorted.foreach(arr.add(_))
+    val out = fm.createAtomic(purgedFile, true)
+    try {
+      out.write(mapper.writeValueAsString(arr).getBytes(StandardCharsets.UTF_8))
+      out.close()
+    } catch { case t: Throwable => out.cancel(); throw t }
+  }
+
   /** Files opened by the last restore — the observable restart cost. */
   @volatile var lastRestoreFilesRead: Int = 0
   private var compactions = 0L
@@ -112,6 +132,19 @@ final class FileBackedMetadataLog(
   // admitted files (duplicate ingestion at the source) — refuse instead.
   locally {
     var filesRead = 0
+    // purge sidecar first: the fallback-gap audit below needs it. An
+    // unreadable sidecar degrades to "no exemptions" — the audit may then
+    // refuse spuriously on a purged batch, which is the conservative
+    // direction (operator intervention), never silent wrong state.
+    if (fm.exists(purgedFile)) {
+      try mapper.readTree(readFileString(purgedFile)).elements().asScala
+        .foreach(n => purgedIds += n.asLong())
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"purge sidecar $purgedFile is unreadable (${e.getMessage}); " +
+            "treating as empty — the fallback-gap audit loses its purge exemptions")
+      }
+    }
     val compactIds = listCompactIds().sorted(Ordering[Long].reverse)
     val corrupt = mutable.ArrayBuffer[String]()
     val compactId: Option[Long] = compactIds.find { cid =>
@@ -147,12 +180,13 @@ final class FileBackedMetadataLog(
     // newest compact rotted long after a successful compaction), some of
     // those files are gone and continuing would silently regress
     // latestBatchId and re-admit already-ingested files, exactly what the
-    // no-readable-compact branch refuses. (A batch in the gap that was
-    // purged before the torn compact was written also trips this — a rare
-    // conservative refuse, never a silent wrong answer.)
+    // no-readable-compact branch refuses. A batch in the gap that was
+    // removed by purgeBefore (age horizon) before the torn compact was
+    // written is exempt — the `_purged` sidecar records exactly those ids,
+    // so its absence is deliberate, not evidence that cleanup ran.
     for (chosen <- compactId; newest = compactIds.head; if chosen < newest) {
       val present = listBatchIds().toSet
-      val missing = ((chosen + 1) to newest).filterNot(present)
+      val missing = ((chosen + 1) to newest).filterNot(present).filterNot(purgedIds)
       if (missing.nonEmpty) {
         throw new GraftSourceException(
           s"metadata log restore failed: compact ${compactFile(newest)} is unreadable and " +
@@ -316,6 +350,12 @@ final class FileBackedMetadataLog(
     } catch { case t: Throwable => out.cancel(); throw t }
     listBatchIds().filter(_ <= batchId).foreach(id => fm.delete(batchFile(id)))
     listCompactIds().filter(_ < batchId).foreach(id => fm.delete(compactFile(id)))
+    // a completed compaction bounds every future audit gap to ids above
+    // this compact — purge exemptions at or below it are dead weight
+    if (purgedIds.exists(_ <= batchId)) {
+      purgedIds.filterInPlace(_ > batchId)
+      writePurgedSidecar()
+    }
     compactions += 1
   }
 
@@ -362,6 +402,10 @@ final class FileBackedMetadataLog(
       }
       fm.delete(batchFile(id))
       removed += 1
+    }
+    if (toRemove.nonEmpty) {
+      purgedIds ++= toRemove
+      writePurgedSidecar()
     }
     removed
   }

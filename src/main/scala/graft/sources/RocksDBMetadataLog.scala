@@ -75,6 +75,7 @@ final class RocksDBMetadataLog(
     var sstBytesReused = 0L
     var zipBytesWritten = 0L
     var gcRuns = 0L
+    var gcAborts = 0L
     var versionsDeleted = 0L
     var sstsDeleted = 0L
   }
@@ -87,7 +88,7 @@ final class RocksDBMetadataLog(
       s""""lastCheckpointLatencyMs":$lastCheckpointLatencyMs,""" +
       s""""sstFilesUploaded":$sstFilesUploaded,"sstBytesUploaded":$sstBytesUploaded,""" +
       s""""sstFilesReused":$sstFilesReused,"sstBytesReused":$sstBytesReused,""" +
-      s""""zipBytesWritten":$zipBytesWritten,"gcRuns":$gcRuns,""" +
+      s""""zipBytesWritten":$zipBytesWritten,"gcRuns":$gcRuns,"gcAborts":$gcAborts,""" +
       s""""versionsDeleted":$versionsDeleted,"sstsDeleted":$sstsDeleted}"""
   }
 
@@ -277,14 +278,28 @@ final class RocksDBMetadataLog(
     * like a WAL truncated to its last complete record; the next commit
     * re-writes the torn version's zip atomically. Only corruption falls
     * through to an older version; a future-format checkpoint still fails
-    * immediately (it is intact — this build just must not touch it). */
+    * immediately (it is intact — this build just must not touch it).
+    * RocksDB.open runs INSIDE the fallback loop: a version whose files
+    * extract cleanly but refuse to open (an SST rotted at its recorded
+    * size, a corrupt MANIFEST) is as unrestorable as a torn zip, so it
+    * falls back to the previous retained version instead of hard-failing
+    * while restorable checkpoints still exist. */
   private def restore(): RocksDB = {
     dbDir.mkdirs()
     val versions = listVersions().sorted(Ordering[Long].reverse)
     val corrupt = mutable.ArrayBuffer[String]()
+    var db: RocksDB = null
     val restored = versions.find { v =>
-      try { loadVersion(v); true }
-      catch {
+      try {
+        loadVersion(v)
+        db = try RocksDB.open(dbOptions, dbDir.getAbsolutePath) catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new GraftCheckpointCorruptException(
+              s"checkpoint zip ${versionZip(v)} extracted cleanly but RocksDB " +
+                s"refused to open it (${e.getMessage})", e)
+        }
+        true
+      } catch {
         case e: GraftCheckpointCorruptException =>
           corrupt += e.getMessage
           logWarning(s"${e.getMessage}; falling back to the previous retained version")
@@ -300,14 +315,14 @@ final class RocksDBMetadataLog(
         s"metadata log restore failed: no readable checkpoint among versions " +
           s"${versions.mkString(", ")} under $dfsRoot (${corrupt.mkString("; ")})")
     }
-    try RocksDB.open(dbOptions, dbDir.getAbsolutePath) catch {
+    if (restored.isDefined) db
+    else try RocksDB.open(dbOptions, dbDir.getAbsolutePath) catch {
       case scala.util.control.NonFatal(e) =>
-        // e.g. an SST whose content rotted at its recorded size — name the
-        // restored version instead of surfacing a bare RocksDBException
+        // fresh checkpoint dir (no versions yet): nothing to fall back to,
+        // and saying "checkpoint version null extracted cleanly" would lie
         throw new GraftSourceException(
-          s"metadata log restore failed: checkpoint version ${restored.orNull} under " +
-            s"$dfsRoot extracted cleanly but RocksDB refused to open it (${e.getMessage}) — " +
-            "restore the checkpoint dir from backup", e)
+          s"metadata log init failed: RocksDB refused to open a fresh " +
+            s"instance at $dbDir (${e.getMessage})", e)
     }
   }
 
@@ -393,26 +408,46 @@ final class RocksDBMetadataLog(
     if (versions.size <= minVersionsToRetain) return
     val (old, keep) = versions.splitAt(versions.size - minVersionsToRetain)
     val referenced = mutable.HashSet[String]()
-    keep.foreach { v =>
-      // A retained zip can be torn: restore() deliberately leaves a torn
-      // newest zip on disk (the next checkpoint overwrites it), so a
-      // commit that runs before that re-write must not die on it here.
-      // Skipping is safe — a torn zip can never be restored from, so it
-      // contributes no SST references worth protecting.
-      try {
+    for (v <- keep) {
+      // Only the NEWEST retained zip may legitimately be torn: restore()
+      // deliberately leaves a torn newest on disk (the next checkpoint
+      // overwrites it), and skipping it is safe — a torn zip can never be
+      // restored from, so it contributes no SST references worth
+      // protecting. Any OLDER retained zip that fails to read is a
+      // different story: a transient DFS blip on a perfectly restorable
+      // version looks identical to corruption, and GC'ing the SSTs it
+      // references would silently make that checkpoint unrestorable
+      // forever. Abort the whole pass (no deletes) and retry next commit —
+      // a real corruption just means GC stays paused until retention
+      // rotates the bad zip into the newest-tolerated slot or an operator
+      // intervenes, never silent data loss.
+      // Either the zip's SST references, or why they couldn't be read.
+      // NB a truncated zip does NOT reliably throw: ZipInputStream's
+      // getNextEntry returns null on a torn header, so "no metadata.json
+      // found" must count as unreadable, not as an empty reference set.
+      val refs: Either[String, Seq[String]] = try {
         val in = new ZipInputStream(fm.open(versionZip(v)))
         try {
           var entry = in.getNextEntry
           while (entry != null && entry.getName != "metadata.json") entry = in.getNextEntry
-          if (entry != null) {
-            mapper.readTree(in.readAllBytes()).get("ssts").properties().asScala
-              .foreach(e => referenced += e.getValue.asText())
-          }
+          if (entry == null) Left("has no reachable metadata.json (torn write)")
+          else Right(mapper.readTree(in.readAllBytes()).get("ssts").properties().asScala
+            .map(_.getValue.asText()).toSeq)
         } finally in.close()
       } catch {
-        case scala.util.control.NonFatal(e) =>
-          logWarning(s"metadata log GC: retained zip ${versionZip(v)} is unreadable " +
-            s"(${e.getMessage}); skipping its SST references")
+        case scala.util.control.NonFatal(e) => Left(s"is unreadable (${e.getMessage})")
+      }
+      refs match {
+        case Right(r) => referenced ++= r
+        case Left(why) if v == keep.last =>
+          logWarning(s"metadata log GC: newest retained zip ${versionZip(v)} $why — " +
+            "torn final commit; skipping its SST references")
+        case Left(why) =>
+          logWarning(s"metadata log GC: retained zip ${versionZip(v)} $why but is not " +
+            "the newest — possibly a transient read failure on a restorable " +
+            "checkpoint; aborting this GC pass, will retry")
+          metrics.gcAborts += 1
+          return
       }
     }
     old.foreach(v => fm.delete(versionZip(v)))

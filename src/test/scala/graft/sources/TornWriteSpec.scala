@@ -106,6 +106,44 @@ class TornWriteSpec extends AnyFunSuite {
       s"must name the missing batches: ${e.getMessage}")
   }
 
+  test("file log: fallback audit exempts horizon-purged batches instead of refusing") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 4)
+    (0L to 5L).foreach(i => log.add(i, entries(i, s"f$i" -> (1000L + i))))
+    // on disk: 3.compact + batch files 4, 5
+    // age-horizon purge removes batch 4 (all files below horizon, not the
+    // latest) and records it in the _purged sidecar
+    assert(log.purgeBefore(1005L) >= 1)
+    log.add(6L, entries(6L, "f6" -> 1006L))
+    log.close()
+    val logDir = Paths.get(dir, "graft-batches")
+    assert(!Files.exists(logDir.resolve("4")), "purge must have deleted batch file 4")
+
+    // crash model: compaction at batch 7 tore mid-rename, cleanup never
+    // ran — every batch it folded still exists EXCEPT purged batch 4,
+    // whose absence is deliberate, not evidence that cleanup ran
+    Files.write(logDir.resolve("7"),
+      """[{"path":"f7","timestampMs":1007,"batchId":7}]""".getBytes("UTF-8"))
+    Files.write(logDir.resolve("7.compact"),
+      """{"version":2,"batchIds":[0,1,2,3,5,6,7],"entr""".getBytes("UTF-8"))
+
+    val restored = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 4)
+    try {
+      assert(restored.getLatestBatchId.contains(7L),
+        "purge-exempt fallback must reconstruct up to the torn compact's tail")
+      Seq(5L, 6L, 7L).foreach(i =>
+        assert(restored.get(i).exists(_.exists(_.path == s"f$i")), s"batch $i lost"))
+      assert(restored.get(4L).isEmpty, "purged batch must stay purged after fallback")
+    } finally restored.close()
+
+    // negative control on the same layout: a batch missing WITHOUT a purge
+    // record still refuses (the "cleanup already ran" rot model)
+    Files.delete(logDir.resolve("5"))
+    val e = intercept[GraftSourceException](
+      new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 4))
+    assert(e.getMessage.contains("already deleted"), s"not descriptive: ${e.getMessage}")
+  }
+
   test("file log: a leftover createAtomic temp file is invisible to restore") {
     val dir = Files.createTempDirectory("graft-torn").toString
     val log = new FileBackedMetadataLog(dir, new Configuration(), compactInterval = 3)
@@ -189,6 +227,85 @@ class TornWriteSpec extends AnyFunSuite {
       s"must blame a torn SST: ${e.getMessage}")
     assert(ssts.exists(s => e.getMessage.contains(s.getFileName.toString)),
       s"must name the damaged sidecar file: ${e.getMessage}")
+  }
+
+  /** Rewrite one entry of a checkpoint zip with same-length garbage —
+    * content rot, not truncation: the zip itself stays structurally valid
+    * (fresh CRCs), so extraction succeeds and only RocksDB.open can
+    * notice. */
+  private def rotZipEntry(zipPath: Path, namePrefix: String): Unit = {
+    val contents = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    val zin = new java.util.zip.ZipInputStream(Files.newInputStream(zipPath))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) { contents(e.getName) = zin.readAllBytes(); e = zin.getNextEntry }
+    } finally zin.close()
+    val victim = contents.keys.find(_.startsWith(namePrefix))
+    assert(victim.isDefined, s"no $namePrefix* entry in $zipPath: ${contents.keys}")
+    contents(victim.get) = Array.fill[Byte](contents(victim.get).length)(0x5A)
+    val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    try contents.foreach { case (name, bytes) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(name)); zout.write(bytes); zout.closeEntry()
+    } finally zout.close()
+  }
+
+  test("rocksdb log: a version that extracts cleanly but won't open falls back, not hard-fails") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    (0L to 2L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close() // versions 1..3
+    // rot version 3's MANIFEST in place: same length, valid zip, garbage
+    // content — the SST size audit can't see it and extraction succeeds,
+    // so the failure only surfaces at RocksDB.open
+    rotZipEntry(Paths.get(dir, "rocksdb", "3.zip"), "MANIFEST")
+
+    val restored = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    try {
+      // version 2 is the newest version that actually opens
+      assert(restored.getLatestBatchId.contains(1L),
+        s"expected fallback to version 2's state, got ${restored.getLatestBatchId}")
+      assert(restored.get(0).exists(_.head.path == "p0"))
+      assert(restored.get(1).exists(_.head.path == "p1"))
+      restored.add(2L, entries(2L, "p2" -> 102L)) // re-writes 3.zip atomically
+      assert(restored.getLatestBatchId.contains(2L))
+    } finally restored.close()
+
+    val again = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 5)
+    try assert(again.getLatestBatchId.contains(2L), "re-written version 3 must restore")
+    finally again.close()
+  }
+
+  test("rocksdb log: GC aborts when an OLDER retained zip is unreadable, deleting nothing") {
+    val dir = Files.createTempDirectory("graft-torn-rdb").toString
+    val log = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 2)
+    (0L to 3L).foreach(i => log.add(i, entries(i, s"p$i" -> (100L + i))))
+    log.close() // versions 1..4, retained window [3, 4]
+    // tear the OLDER retained zip: from GC's seat this is indistinguishable
+    // from a transient DFS read failure on a perfectly restorable version —
+    // deleting the SSTs it references would be silent data loss
+    truncate(Paths.get(dir, "rocksdb", "3.zip"), 8)
+
+    import scala.jdk.CollectionConverters._
+    def ls(p: Path): Set[String] =
+      Files.list(p).iterator().asScala.map(_.getFileName.toString).toSet
+    val zipsBefore = ls(Paths.get(dir, "rocksdb"))
+    val sstsBefore = ls(Paths.get(dir, "rocksdb", "SSTs"))
+    assert(sstsBefore.nonEmpty, "fixture must have produced SST sidecars")
+
+    val restored = new RocksDBMetadataLog(dir, new Configuration(), minVersionsToRetain = 2)
+    try {
+      assert(restored.getLatestBatchId.contains(3L)) // newest zip is intact
+      restored.commit() // the GC pass: must abort, not guess
+      assert(ls(Paths.get(dir, "rocksdb")) == zipsBefore,
+        "aborted GC must delete no version zips")
+      assert(ls(Paths.get(dir, "rocksdb", "SSTs")) == sstsBefore,
+        "aborted GC must delete no SSTs")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(restored.metricsJson)
+      assert(m.get("gcAborts").asLong() == 1, s"abort not counted: ${restored.metricsJson}")
+      assert(m.get("sstsDeleted").asLong() == 0 && m.get("versionsDeleted").asLong() == 0)
+      restored.add(4L, entries(4L, "p4" -> 104L)) // and the log keeps writing
+      assert(restored.getLatestBatchId.contains(4L))
+    } finally restored.close()
   }
 
   test("rocksdb log: every zip torn fails descriptively with the version list") {
