@@ -205,6 +205,51 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q50: the scan actually SKIPS files under a selective predicate — measured rows read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The span law proves the PREconditions (narrow per-file stats, pushed
+    // filters); this proves the payoff: the parquet reader materializes
+    // only the row groups whose footer stats overlap the predicate. Scan
+    // numOutputRows IS that measure — pushed filters skip row groups
+    // before materialization, so skipped rows never reach the metric.
+    val zdir = Layout.zorderedEvents(spark, sf)
+    def readRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).where(pred).agg(count(lit(1)))
+      df.collect()
+      deepScans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val total = spark.read.parquet(zdir).count()
+    // a narrow single-dimension box: the case 1-D user-sorting cannot help
+    val narrow = $"event_id".between(100, 200)
+    val zRead = readRows(zdir, narrow)
+
+    val bdir = java.nio.file.Files.createTempDirectory("graft-zorder-io-baseline").toString
+    try {
+      spark.read.parquet(s"$sf/events.parquet")
+        .repartitionByRange(Layout.ZorderFiles, $"user_id")
+        .sortWithinPartitions($"user_id")
+        .write.mode("overwrite").parquet(bdir)
+      val bRead = readRows(bdir, narrow)
+      info(s"total=$total zRead=$zRead baselineRead=$bRead")
+      // the 1-D layout cannot skip on event_id: it materializes ~everything
+      assert(bRead > (0.85 * total).toLong,
+        s"control degenerate: 1-D layout skipped on event_id ($bRead of $total)")
+      // the z-ordered layout must genuinely skip: well under half the table
+      assert(zRead < (0.5 * total).toLong,
+        s"z-order scan materialized $zRead of $total rows — no IO actually skipped")
+      assert(zRead < bRead / 2,
+        s"z-order read $zRead vs 1-D $bRead — layout made no IO difference")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(bdir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   test("q50 baseline: a 1-D sort leaves the OTHER column's per-file span wide") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
