@@ -356,6 +356,64 @@ object Layout {
       |WHERE user_id BETWEEN 10 AND 75 AND event_id BETWEEN 100 AND 5000
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Tiny event-type dimension derived deterministically from events
+    * (distinct types + a category rollup), written as its own parquet
+    * table — the classic star-schema dim whose predicate should prune
+    * the partitioned fact at runtime. */
+  private[graft] def eventTypeDim(s: SparkSession, d: String): String = {
+    val k = s"${System.identityHashCode(s)}|$d|event_type_dim"
+    val root = prepared.computeIfAbsent(k, _ => {
+      val r = newTempRoot("graft-layout-dim")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type")).distinct()
+        .withColumn("category",
+          when(col("event_type").isin("purchase", "signup"), "conversion")
+            .when(col("event_type").isin("click", "view"), "traffic")
+            .otherwise("ops"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$r/event_type_dim")
+      r
+    })
+    s"$root/event_type_dim"
+  }
+
+  /** Dynamic partition pruning: the fact side carries NO literal
+    * event_type predicate — the selected partitions are only knowable
+    * after the dim's `category = 'conversion'` filter runs, and Spark's
+    * DPP rule turns the dim join into a runtime partition filter on the
+    * fact scan (reusing the dim's broadcast). q47 prunes on a literal
+    * the user typed; this prunes on a predicate over ANOTHER table,
+    * which is how star-schema scans at 100 TB avoid reading partitions
+    * no dim row selects. The oracle re-derives the dim inline from the
+    * original events table, so the gate also proves the dim rewrite and
+    * the join semantics; `LayoutSpec` asserts the pruning itself: a
+    * DynamicPruningExpression in the fact scan's partition filters and
+    * a runtime numFiles equal to the selected partitions' files. */
+  def q52DppPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.parquet(partitionedEvents(s, d))
+    val dim = s.read.parquet(eventTypeDim(s, d)).filter($"category" === "conversion")
+    fact.join(dim, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q52Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |    CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |         WHEN event_type IN ('click','view') THEN 'traffic'
+      |         ELSE 'ops' END AS category
+      |  FROM events)
+      |SELECT e.event_type, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim USING (event_type)
+      |WHERE dim.category = 'conversion'
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q46_bucketed_join" -> q46BucketedJoin _,
@@ -363,6 +421,7 @@ object Layout {
     "q48_skew_join" -> q48SkewJoin _,
     "q49_compact_small_files" -> q49CompactSmallFiles _,
     "q50_zorder_cluster" -> q50ZorderCluster _,
+    "q52_dpp_prune" -> q52DppPrune _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,5 +430,6 @@ object Layout {
     "q48_skew_join" -> q48Sql,
     "q49_compact_small_files" -> q49Sql,
     "q50_zorder_cluster" -> q50Sql,
+    "q52_dpp_prune" -> q52Sql,
   )
 }

@@ -498,6 +498,43 @@ object Relational2 {
       |      FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Optimizer-injected runtime bloom-filter join — the scalable
+    * replacement for q39's manual pattern. q39 builds its bloom with a
+    * driver-side `stat.bloomFilter` collect and probes through a
+    * non-codegen UDF; here Catalyst's InjectRuntimeFilter plants a
+    * distributed `bloom_filter_agg` over the filtered dim keys and a
+    * codegen'd `might_contain` probe on the fact side, so rows of
+    * lineitem that can't join are dropped BEFORE the join shuffle —
+    * at 100 TB that's the difference between shuffling the whole fact
+    * table and shuffling ~the matching fifth. Runs in an isolated
+    * `newSession` because the injection is gated behind a 10 GB
+    * application-side threshold meant for real clusters (lowered here
+    * to demonstrate the plan at test scale) and because broadcast must
+    * be off for the fact join to take the SMJ shape the technique
+    * exists for — session isolation keeps both conf changes away from
+    * every other query. `Round2OpsSpec` pins the injection (bloom agg +
+    * might_contain in the plan, absent in a no-selective-filter
+    * control) and measures the probe actually filtering. */
+  def q53BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val orders = Tables.orders(s2, d).filter($"o_orderpriority" === "1-URGENT")
+    Tables.lineitem(s2, d).join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+  val q53Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q33_percentiles" -> q33Percentiles _,
@@ -516,6 +553,7 @@ object Relational2 {
     "q45_set_all" -> q45SetAll _,
     "q51_approx_quantiles" -> q51ApproxQuantiles _,
     "q51_quantile_bound" -> q51QuantileBound _,
+    "q53_bloom_join" -> q53BloomJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,5 +577,6 @@ object Relational2 {
     // differs engine-to-engine) — its accuracy claim is gated by
     // q51_quantile_bound below
     "q51_quantile_bound" -> q51BoundSql,
+    "q53_bloom_join" -> q53Sql,
   )
 }

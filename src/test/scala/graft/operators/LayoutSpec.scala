@@ -92,6 +92,39 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan read $read files; expected only the $selected files of the 2 selected partitions (of $total total)")
   }
 
+  test("q52: partition pruning decided at RUNTIME by the dim filter, not a literal") {
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+    val df = Layout.q52DppPrune(spark, sf)
+    val factScans0 = deepScans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "user_id")) // dim has no user_id
+    assert(factScans0.nonEmpty, "no fact scan in the q52 plan")
+    // q47's pruning comes from a literal the user typed; here the fact
+    // side has NO event_type predicate at all — the partition filter must
+    // be a DynamicPruningExpression fed by the dim's category filter
+    assert(factScans0.exists(_.partitionFilters.exists(
+        _.exists(_.isInstanceOf[DynamicPruningExpression]))),
+      s"no dynamic pruning expression on the fact scan: ${factScans0.map(_.partitionFilters)}")
+
+    // runtime proof: the scan must read ONLY the files of the partitions
+    // the dim filter selects — purchase + signup (category 'conversion')
+    df.collect()
+    val read = deepScans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "user_id"))
+      .map(_.metrics("numFiles").value).sum
+    def filesUnder(glob: String): Long = {
+      val root = java.nio.file.Paths.get(Layout.partitionedEvents(spark, sf))
+      java.nio.file.Files.list(root).filter(_.getFileName.toString.startsWith(glob))
+        .flatMap(d => java.nio.file.Files.list(d))
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    }
+    val selected = filesUnder("event_type=purchase") + filesUnder("event_type=signup")
+    val total = filesUnder("event_type=")
+    assert(total > selected, "fixture degenerate: nothing to prune")
+    assert(read == selected,
+      s"fact scan read $read files; runtime pruning should leave the $selected files " +
+        s"of the 2 dim-selected partitions (of $total total)")
+  }
+
   test("layout rewrites are lossless: q46/q47 match the same query over raw tables") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -223,6 +223,58 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), s"approx path planned a window sort:\n$plan")
   }
 
+  test("q53: the optimizer injects a runtime bloom filter that prunes BEFORE the shuffle") {
+    val df = Relational2.q53BloomJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // creation side: a distributed two-phase bloom aggregate over the
+    // filtered dim keys (no driver-side collect, unlike q39's manual bloom)
+    assert(plan.contains("partial_bloom_filter_agg") && plan.contains("bloom_filter_agg"),
+      s"no distributed bloom_filter_agg in the plan:\n$plan")
+    // probe side: a codegen'd might_contain filter on the fact table
+    assert(plan.contains("might_contain"), s"no might_contain probe in the plan:\n$plan")
+    // the probe must sit BELOW lineitem's exchange — pruning after the
+    // shuffle would defeat the technique (check textual order: the filter
+    // line appears under the fact side's Exchange hashpartitioning)
+    val factExchange = plan.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey"))
+    val probe = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(factExchange >= 0 && probe > factExchange,
+      s"might_contain probe not below the fact-side exchange (exchange@$factExchange, probe@$probe)")
+
+    // and it actually prunes: the probe-side Filter passes well under the
+    // full fact table (1-URGENT selects ~20% of orders)
+    df.collect()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(deep)
+    }
+    val probeFilter = deep(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilter.isDefined, "no executed might_contain FilterExec found")
+    val passed = probeFilter.get.metrics("numOutputRows").value
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(passed < (total * 0.4).toLong,
+      s"bloom probe passed $passed of $total fact rows — runtime filter pruned nothing")
+
+    // negative control: without a selective dim predicate the optimizer
+    // must NOT inject (nothing to gain — the bloom would pass everything)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val control = graft.queries.Tables.lineitem(s2, sf)
+      .join(graft.queries.Tables.orders(s2, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!control.queryExecution.executedPlan.toString.contains("might_contain"),
+      "control without a selective filter still planned a bloom probe")
+  }
+
   test("approx sketches are mergeable: cardinalities are partitioning-independent") {
     // The law that makes HLL usable at 100 TB: the per-partition partial
     // sketches merge associatively+commutatively, so the final estimate
