@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.DecimalType
   * read).
   *
   * Each query REWRITES a driver table into the layout once per
-  * (session, sf dir) — the write cost is the amortized one-time layout
+  * (sf dir, layout kind) — the write cost is the amortized one-time layout
   * investment a 100 TB pipeline makes at ingest — then runs the query
   * against the rewritten layout. The oracle runs plain SQL against the
   * ORIGINAL table, so the correctness gate also proves the rewrite is
@@ -27,10 +27,45 @@ object Layout {
   private def dec(c: Column): Column = c.cast(D)
   type Q = (SparkSession, String) => DataFrame
 
-  /** One rewrite per (session, sf dir, layout); values are layout roots
+  /** One rewrite per (sf dir, layout kind); values are layout roots
     * (temp dirs). Bench's min-of-two re-run and repeated spec calls hit
-    * the cache, so only the first call pays the write. */
+    * the cache, so only the first call pays the write.
+    *
+    * The key is CONTENT-derived (dir + kind), never session identity:
+    * the plain-parquet layouts are session-independent data, and the
+    * catalog-backed one is shared through the JVM's single external
+    * catalog (every session in a JVM shares one SparkContext and so one
+    * SharedState), so any session may reuse the rewrite. Collisions
+    * across data dirs are handled by the full dir string being IN the
+    * key. A cached root is never trusted blindly — [[preparedRoot]]
+    * re-validates `_SUCCESS` markers (and catalog tables, where the
+    * layout lives in the catalog) on every hit, so a crash mid-write,
+    * an external temp-dir cleaner, or a fresh catalog after
+    * `spark.stop()` triggers a rebuild instead of serving half a
+    * layout. */
   private val prepared = new ConcurrentHashMap[String, String]()
+
+  /** Spark's committer renames `_SUCCESS` into the output root only
+    * after every task committed: its absence is exactly the torn-write
+    * signal a half-written layout leaves behind. */
+  private def committed(dir: String): Boolean =
+    Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** Cache lookup that re-validates before trusting: a hit is served
+    * only if every expected output dir under the cached value still
+    * carries `_SUCCESS` AND the layout's extra liveness check (catalog
+    * tables, for the bucketed layout) passes; anything else rebuilds
+    * under the key's lock. The stale root is left for [[cleanup]] /
+    * the shutdown hook — deleting it here could race a concurrent
+    * reader of the old layout. */
+  private def preparedRoot(key: String, outDirs: String => Seq[String],
+      alsoValid: String => Boolean = _ => true)(build: => String): String = {
+    def ok(v: String): Boolean =
+      v != null && outDirs(v).forall(committed) && alsoValid(v)
+    val hit = prepared.get(key)
+    if (ok(hit)) hit
+    else prepared.compute(key, (_, cur) => if (ok(cur)) cur else build)
+  }
 
   /** Layout temp dirs created this JVM, deleted on [[cleanup]] or JVM
     * shutdown — a long-lived driver must not accrete one rewrite per
@@ -85,8 +120,13 @@ object Layout {
   private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
     val ot = s"graft_bucketed_orders_${suffix(d)}"
     val ct = s"graft_bucketed_customer_${suffix(d)}"
-    val k = s"${System.identityHashCode(s)}|$d|bucketed"
-    prepared.computeIfAbsent(k, _ => {
+    // the bucket metadata lives in the catalog, so a valid cached root
+    // also requires both tables to still resolve in THIS session's
+    // catalog (a fresh catalog after spark.stop() loses them even
+    // though the parquet data survived)
+    preparedRoot(s"$d|bucketed",
+      root => Seq(s"$root/orders", s"$root/customer"),
+      _ => s.catalog.tableExists(ot) && s.catalog.tableExists(ct)) {
       val root = newTempRoot("graft-layout-bucketed")
       s.read.parquet(s"$d/orders.parquet")
         .write.mode("overwrite")
@@ -97,22 +137,20 @@ object Layout {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$root/customer").saveAsTable(ct)
       root
-    })
+    }
     (ot, ct)
   }
 
   /** Events rewritten hive-partitioned by event_type. Plain parquet
     * directories — partition pruning needs no catalog. */
-  private[graft] def partitionedEvents(s: SparkSession, d: String): String = {
-    val k = s"${System.identityHashCode(s)}|$d|events_by_type"
-    prepared.computeIfAbsent(k, _ => {
+  private[graft] def partitionedEvents(s: SparkSession, d: String): String =
+    preparedRoot(s"$d|events_by_type", dir => Seq(dir)) {
       val root = newTempRoot("graft-layout-parts")
       s.read.parquet(s"$d/events.parquet")
         .write.mode("overwrite").partitionBy("event_type")
         .parquet(s"$root/events_by_type")
       s"$root/events_by_type"
-    })
-  }
+    }
 
   // ---------------------------------------------------------------- q46
   /** Revenue per market segment over a co-located orders ⋈ customer.
@@ -165,7 +203,7 @@ object Layout {
       |FROM events WHERE event_type IN ('purchase', 'view')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Small-file fixture + compaction, once per (session, sf dir): events
+  /** Small-file fixture + compaction, once per sf dir: events
     * shattered into many tiny parquet files (what a streaming ingest
     * leaves behind), then compacted into byte-targeted files. Returns
     * (smallDir, compactDir). Compaction is coalesce-based — merging
@@ -174,8 +212,8 @@ object Layout {
     * computed from the actual input bytes, not guessed. */
   private[graft] val CompactTargetBytes: Long = 4L * 1024 * 1024
   private[graft] def compactedEvents(s: SparkSession, d: String): (String, String) = {
-    val k = s"${System.identityHashCode(s)}|$d|events_compacted"
-    val root = prepared.computeIfAbsent(k, _ => {
+    val root = preparedRoot(s"$d|events_compacted",
+      r => Seq(s"$r/events_small", s"$r/events_compact")) {
       val r = newTempRoot("graft-layout-compact")
       s.read.parquet(s"$d/events.parquet")
         .repartition(256)
@@ -193,7 +231,7 @@ object Layout {
         .coalesce(nOut)
         .write.mode("overwrite").parquet(s"$r/events_compact")
       r
-    })
+    }
     (s"$root/events_small", s"$root/events_compact")
   }
 
@@ -298,12 +336,11 @@ object Layout {
     * implementations do with range boundaries: interleaving RAW values
     * degenerates to a 1-D sort on whichever column has more significant
     * bits, because its high bits alone decide the z ordering. One
-    * rewrite per (session, sf dir), like the other layouts. */
+    * rewrite per sf dir, like the other layouts. */
   private[graft] val ZorderFiles = 16
   private[graft] val ZorderBuckets = 32
-  private[graft] def zorderedEvents(s: SparkSession, d: String): String = {
-    val k = s"${System.identityHashCode(s)}|$d|events_zorder"
-    val root = prepared.computeIfAbsent(k, _ => {
+  private[graft] def zorderedEvents(s: SparkSession, d: String): String =
+    preparedRoot(s"$d|events_zorder", dir => Seq(dir)) {
       val r = newTempRoot("graft-layout-zorder")
       val ev = s.read.parquet(s"$d/events.parquet")
       val b = ev.agg(min(col("user_id")), max(col("user_id")),
@@ -318,10 +355,8 @@ object Layout {
         .sortWithinPartitions(col("z"))
         .drop("z")
         .write.mode("overwrite").parquet(s"$r/events_zorder")
-      r
-    })
-    s"$root/events_zorder"
-  }
+      s"$r/events_zorder"
+    }
 
   // ---------------------------------------------------------------- q50
   /** Two-dimensional range predicate over the z-ordered layout. Hive
@@ -361,9 +396,8 @@ object Layout {
     * (distinct types + a category rollup), written as its own parquet
     * table — the classic star-schema dim whose predicate should prune
     * the partitioned fact at runtime. */
-  private[graft] def eventTypeDim(s: SparkSession, d: String): String = {
-    val k = s"${System.identityHashCode(s)}|$d|event_type_dim"
-    val root = prepared.computeIfAbsent(k, _ => {
+  private[graft] def eventTypeDim(s: SparkSession, d: String): String =
+    preparedRoot(s"$d|event_type_dim", dir => Seq(dir)) {
       val r = newTempRoot("graft-layout-dim")
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_type")).distinct()
@@ -373,10 +407,8 @@ object Layout {
             .otherwise("ops"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$r/event_type_dim")
-      r
-    })
-    s"$root/event_type_dim"
-  }
+      s"$r/event_type_dim"
+    }
 
   /** Dynamic partition pruning: the fact side carries NO literal
     * event_type predicate — the selected partitions are only knowable

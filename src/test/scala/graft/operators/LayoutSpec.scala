@@ -313,6 +313,92 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------- torn-write safety
+  // A crash mid-`write.parquet` leaves a root without `_SUCCESS`. The
+  // cache must detect that on the next hit and rebuild instead of
+  // serving the half-written layout. One case per cached rewrite.
+
+  private def successMarker(dir: String) = java.nio.file.Paths.get(dir, "_SUCCESS")
+  private def tear(dir: String): Unit =
+    assert(java.nio.file.Files.deleteIfExists(successMarker(dir)),
+      s"fixture: expected a _SUCCESS marker to tear in $dir")
+
+  test("torn zorder layout: missing _SUCCESS forces a rebuild") {
+    val r1 = Layout.zorderedEvents(spark, sf)
+    tear(r1)
+    val r2 = Layout.zorderedEvents(spark, sf)
+    assert(r2 != r1, "cache served the torn root instead of rebuilding")
+    assert(java.nio.file.Files.exists(successMarker(r2)), s"rebuilt root not committed: $r2")
+    assert(spark.read.parquet(r2).count() ==
+      spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("torn partitioned layout: missing _SUCCESS forces a rebuild") {
+    val r1 = Layout.partitionedEvents(spark, sf)
+    tear(r1)
+    val r2 = Layout.partitionedEvents(spark, sf)
+    assert(r2 != r1, "cache served the torn root instead of rebuilding")
+    assert(java.nio.file.Files.exists(successMarker(r2)))
+  }
+
+  test("torn dim layout: missing _SUCCESS forces a rebuild") {
+    val r1 = Layout.eventTypeDim(spark, sf)
+    tear(r1)
+    val r2 = Layout.eventTypeDim(spark, sf)
+    assert(r2 != r1, "cache served the torn root instead of rebuilding")
+    assert(java.nio.file.Files.exists(successMarker(r2)))
+  }
+
+  test("torn compacted layout: tearing EITHER output dir forces a full rebuild") {
+    val (small1, compact1) = Layout.compactedEvents(spark, sf)
+    tear(small1) // the compact dir alone committing must not validate the pair
+    val (small2, compact2) = Layout.compactedEvents(spark, sf)
+    assert(small2 != small1 && compact2 != compact1,
+      "cache served a pair with a torn member instead of rebuilding")
+    assert(java.nio.file.Files.exists(successMarker(small2)))
+    assert(java.nio.file.Files.exists(successMarker(compact2)))
+  }
+
+  test("torn bucketed layout: missing _SUCCESS under the table path forces a rebuild") {
+    val (ot, _) = Layout.bucketedTables(spark, sf)
+    def ordersDir: String = new java.io.File(
+      new java.net.URI(spark.table(ot).inputFiles.head)).getParentFile.toString
+    val d1 = ordersDir
+    tear(d1)
+    val (ot2, ct2) = Layout.bucketedTables(spark, sf)
+    assert(ot2 == ot, "table names are content-derived and must be stable")
+    val d2 = ordersDir
+    assert(d2 != d1, "catalog table still points at the torn root")
+    assert(java.nio.file.Files.exists(successMarker(d2)))
+    assert(spark.catalog.tableExists(ot2) && spark.catalog.tableExists(ct2))
+    assert(Layout.q46BucketedJoin(spark, sf).count() > 0)
+  }
+
+  test("catalog churn: a dropped bucketed table is re-registered, not trusted from cache") {
+    val (ot, ct) = Layout.bucketedTables(spark, sf)
+    spark.sql(s"DROP TABLE `$ot`")
+    // the parquet data still exists and carries _SUCCESS — only the
+    // catalog entry is gone, which is exactly what a fresh catalog after
+    // spark.stop() looks like to a content-keyed cache
+    val (ot2, ct2) = Layout.bucketedTables(spark, sf)
+    assert(spark.catalog.tableExists(ot2) && spark.catalog.tableExists(ct2),
+      "rebuild did not re-register the catalog tables")
+    assert(Layout.q46BucketedJoin(spark, sf).count() > 0)
+    assert(ct2 == ct)
+  }
+
+  test("session churn: a sibling session reuses the content-keyed layouts safely") {
+    val r1 = Layout.partitionedEvents(spark, sf)
+    val s2 = spark.newSession()
+    // content key (no session identity): the sibling session must HIT the
+    // cache for plain-parquet layouts rather than paying a second rewrite
+    assert(Layout.partitionedEvents(s2, sf) == r1)
+    // and the catalog-backed layout works end-to-end from the sibling
+    // (shared SharedState means the tables resolve there too)
+    assert(Layout.q46BucketedJoin(s2, sf).count() > 0)
+    assert(Layout.q52DppPrune(s2, sf).count() > 0)
+  }
+
   test("cleanup drops every layout table and deletes the layout temp dirs") {
     Layout.q46BucketedJoin(spark, sf).collect()
     val rewritten = Layout.partitionedEvents(spark, sf)
