@@ -181,4 +181,75 @@ class FileMetadataLogSpec extends AnyFunSuite {
       assert(log.getLatestBatchId.contains(2L))
     }
   }
+
+  test("bench-age files never reach the purge sidecar path (r10 stream_* rule-out)") {
+    withLog { (log, dir) =>
+      // The bench stream queries stage their input seconds before the
+      // run and keep the 15d maxFileAge default, so GraftFileSource's
+      // commit-time purge horizon (newest file ts - maxFileAgeMs, per
+      // FileCache.lastPurgeTimestamp) sits 15 DAYS before every file it
+      // has admitted. This pins the resulting law: at bench data ages
+      // purgeBefore selects nothing and the `_purged` sidecar — the one
+      // r10 FileMetadataLog change on the stream_* hot path — is never
+      // even created, so it cannot have contributed a byte of the r10
+      // stream_* bench swing.
+      val now = System.currentTimeMillis()
+      val maxFileAgeMs = ConnectorOptions(
+        Map("queueurl" -> "q", "fileformat" -> "parquet")).maxFileAgeMs
+      assert(maxFileAgeMs == 15L * 24 * 3600 * 1000, "15d default moved; re-derive this law")
+      (0L until 20L).foreach { i =>
+        log.add(i, entries(i, s"staged-$i" -> (now - i * 1000)))
+      }
+      val horizon = math.max(0L, now - maxFileAgeMs)
+      assert(log.purgeBefore(horizon) == 0, "bench-age batch purged — horizon law broken")
+      (0L until 20L).foreach(i => assert(log.get(i).isDefined))
+      val sidecar = java.nio.file.Paths.get(dir, "graft-batches", "_purged")
+      assert(!Files.exists(sidecar),
+        "purge sidecar written without any purge — the write is not horizon-gated")
+    }
+  }
+
+  test("purge sidecar stays O(compactInterval): compaction prunes covered ids") {
+    withLog { (log, dir) =>
+      // Purge-heavy run: every batch below the horizon gets purged as
+      // soon as it is no longer the latest, across many compaction
+      // cycles (default interval 5). Without the compact-time pruning
+      // at FileMetadataLog.compact, purgedIds would grow O(history) and
+      // the `_purged` file would be rewritten whole on every purge.
+      val sidecar = java.nio.file.Paths.get(dir, "graft-batches", "_purged")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var maxSeen = 0
+      (0L until 60L).foreach { i =>
+        log.add(i, entries(i, s"old-$i" -> i))
+        log.purgeBefore(Long.MaxValue) // everything but the latest is expired
+        if (Files.exists(sidecar)) {
+          val n = mapper.readTree(new String(Files.readAllBytes(sidecar), "UTF-8")).size()
+          maxSeen = math.max(maxSeen, n)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      // a purge AFTER the last compaction may leave ids below the compact
+      // until the next one runs — the law is that each completed
+      // compaction drops every id it covers. Run batches up to the next
+      // compact boundary (no interleaved purge) and check the sidecar.
+      (60L until 65L).foreach(i => log.add(i, entries(i, s"old-$i" -> i)))
+      val lastCompact = Files.list(java.nio.file.Paths.get(dir, "graft-batches"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".compact")).map(_.stripSuffix(".compact").toLong).max
+      assert(lastCompact >= 60L, s"fixture: expected a fresh compaction, last is $lastCompact")
+      val ids = mapper.readTree(new String(Files.readAllBytes(sidecar), "UTF-8"))
+        .elements().asScala.map(_.asLong()).toSeq
+      assert(ids.forall(_ > lastCompact),
+        s"sidecar retains ids at/below the surviving compact $lastCompact: $ids")
+      // bound: ids above the last compact are at most one interval's
+      // worth of batches (+1 for the never-purged latest exclusion)
+      assert(maxSeen <= 2 * FileBackedMetadataLog.DefaultCompactInterval + 1,
+        s"sidecar grew to $maxSeen entries over 60 purge-heavy batches — not O(compactInterval)")
+      // and the pruning must not cost correctness: a restart still
+      // audits clean (no spurious torn-compact refusal on purged gaps)
+      val log2 = new FileBackedMetadataLog(dir, new Configuration())
+      assert(log2.getLatestBatchId.contains(64L))
+      log2.close()
+    }
+  }
 }
