@@ -86,6 +86,39 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"whitelist entries no longer needed (remove them): ${stale.mkString(", ")}")
   }
 
+  /** Per-query plan laws promoted from ad-hoc operator specs, keyed by
+    * query name: each row is a plan property that IS the query's scale
+    * claim, so a refactor that loses it fails this sweep by name even if
+    * values stay oracle-green. Deep assertions (runtime metrics, negative
+    * controls) remain in the operator specs; these pin the static shape. */
+  private val namedPlanLaws: Seq[(String, String, String => Boolean)] = Seq(
+    ("q51_approx_quantiles", "single-pass GK: map-side partial percentile_approx",
+      _.contains("partial_percentile_approx")),
+    ("q51_approx_quantiles", "single-pass GK: no per-group window sort",
+      !_.contains("Window")),
+    ("q52_dpp_prune", "fact scan partition-pruned at RUNTIME (DynamicPruningExpression)",
+      _.toLowerCase.contains("dynamicpruning")),
+    ("q53_bloom_join", "bloom built DISTRIBUTED: partial+final bloom_filter_agg, no driver collect",
+      p => p.contains("partial_bloom_filter_agg") && p.contains("bloom_filter_agg")),
+    ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
+      p => {
+        val ex = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
+        val probe = p.linesIterator.indexWhere(_.contains("might_contain"))
+        ex >= 0 && probe > ex
+      }),
+  )
+
+  test("named per-query plan laws hold across the inventory") {
+    val plans = batchQueries.toMap
+    val missing = namedPlanLaws.map(_._1).distinct.filterNot(plans.contains)
+    assert(missing.isEmpty,
+      s"law-keyed queries gone from the inventory (delete their rows?): ${missing.mkString(", ")}")
+    val broken = namedPlanLaws.collect {
+      case (name, law, pred) if !pred(plans(name)) => s"$name: $law"
+    }
+    assert(broken.isEmpty, s"plan laws broken:\n${broken.mkString("\n")}")
+  }
+
   test("every scan of a wide table prunes columns (no full-schema reads)") {
     // full widths of the tables wide enough for pruning to matter; a scan
     // that reads every column for a narrower projection wastes IO that
