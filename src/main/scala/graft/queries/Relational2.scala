@@ -209,24 +209,44 @@ object Relational2 {
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q39
-  /** Explicit runtime-filter pattern: a Bloom filter built from the
-    * selective dim side broadcasts into a fact-side pre-filter, pruning
-    * most of the fact BEFORE its shuffle; the exact semi join then runs
-    * on the survivors, so false positives cannot leak into the result.
-    * This is what Spark's own runtime row-level filtering injects when it
-    * fires — spelled out as an operator so the pruning is guaranteed, not
-    * heuristic. The filter is sized from the dim's actual count (one tiny
-    * action on the already-filtered dim). */
+  /** Explicit runtime-filter pattern, spelled on the same primitives
+    * Catalyst's InjectRuntimeFilter uses (q53 demonstrates the
+    * optimizer-injected form): ONE distributed `bloom_filter_agg` job
+    * folds the filtered dim keys into a bloom filter — map-side partial
+    * sketches merged once, the bloom's bytes the only driver traffic —
+    * and the probe is the codegen'd `might_contain` expression over
+    * `xxhash64` on the fact side, pruning most of the fact BEFORE its
+    * shuffle. The exact semi join then runs on the survivors, so bloom
+    * false positives cannot leak into the result. Spelled manually
+    * rather than relying on q53's injection because the injection is
+    * heuristic-gated (size thresholds, join-shape checks): a pipeline
+    * that KNOWS its dim is selective states the filter explicitly and
+    * is guaranteed the pruning. (The previous spelling here paid two
+    * driver-side row-scale actions — dim.count() then stat.bloomFilter,
+    * each a separate dim scan — and probed through a per-row Scala UDF;
+    * that pattern is exactly what q53's documentation calls out as the
+    * non-scalable spelling, and this query no longer uses it.) */
   def q39BloomSemi(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graftshim.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val dim = Tables.orders(s, d)
       .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
       .select($"o_orderkey")
-    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
-    val bfBc = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
+    // one distributed aggregation; the driver receives only bloom bytes
+    // (the expressions aren't in the FunctionRegistry — InjectRuntimeFilter
+    // builds them directly, and so does this query, through the shim)
+    val bloom = dim.agg(GraftShims.column(
+        new BloomFilterAggregate(GraftShims.expression(xxhash64($"o_orderkey")))
+          .toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val probe = // empty dim => null sketch => nothing can match
+      if (bloom == null) lit(false)
+      else GraftShims.column(BloomFilterMightContain(
+        GraftShims.expression(lit(bloom)), GraftShims.expression(xxhash64($"l_orderkey"))))
     Tables.lineitem(s, d)
-      .filter(mightContain($"l_orderkey")) // ~fpp of the non-matching fact survives
+      .filter(probe) // ~fpp of the non-matching fact survives
       .join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).cast("double").as("qty"))
@@ -499,12 +519,11 @@ object Relational2 {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q53
-  /** Optimizer-injected runtime bloom-filter join — the scalable
-    * replacement for q39's manual pattern. q39 builds its bloom with a
-    * driver-side `stat.bloomFilter` collect and probes through a
-    * non-codegen UDF; here Catalyst's InjectRuntimeFilter plants a
-    * distributed `bloom_filter_agg` over the filtered dim keys and a
-    * codegen'd `might_contain` probe on the fact side, so rows of
+  /** Optimizer-injected runtime bloom-filter join — the heuristic twin
+    * of q39's explicit pattern (both now run on the same primitives):
+    * Catalyst's InjectRuntimeFilter plants a distributed
+    * `bloom_filter_agg` over the filtered dim keys and a codegen'd
+    * `might_contain` probe on the fact side, so rows of
     * lineitem that can't join are dropped BEFORE the join shuffle —
     * at 100 TB that's the difference between shuffling the whole fact
     * table and shuffling ~the matching fifth. Runs in an isolated

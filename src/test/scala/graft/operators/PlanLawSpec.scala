@@ -98,6 +98,8 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       !_.contains("Window")),
     ("q52_dpp_prune", "fact scan partition-pruned at RUNTIME (DynamicPruningExpression)",
       _.toLowerCase.contains("dynamicpruning")),
+    ("q39_bloom_semi", "fact pre-filtered by a codegen might_contain probe, not a per-row UDF",
+      p => p.contains("might_contain") && !p.contains("UDF(")),
     ("q53_bloom_join", "bloom built DISTRIBUTED: partial+final bloom_filter_agg, no driver collect",
       p => p.contains("partial_bloom_filter_agg") && p.contains("bloom_filter_agg")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",

@@ -227,7 +227,8 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Relational2.q53BloomJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     // creation side: a distributed two-phase bloom aggregate over the
-    // filtered dim keys (no driver-side collect, unlike q39's manual bloom)
+    // filtered dim keys (q39 builds its bloom with the same aggregate,
+    // explicitly; here the optimizer injects it)
     assert(plan.contains("partial_bloom_filter_agg") && plan.contains("bloom_filter_agg"),
       s"no distributed bloom_filter_agg in the plan:\n$plan")
     // probe side: a codegen'd might_contain filter on the fact table
