@@ -206,21 +206,76 @@ object PerfHarness {
       s""""new_files_per_round":8,"series":[${series.mkString(",")}]}"""
   }
 
+  /** Layout-cache soak under session churn — the `prepared` cache's
+    * hazard case (one JVM, many short-lived sessions, as a long-lived
+    * driver serving interactive users churns them). Each of `sessions`
+    * sibling sessions runs the three cached-layout queries `rounds`
+    * times. The very first call in the JVM pays the one-time rewrite;
+    * every LATER session's first call must hit the content-keyed cache
+    * (its key has no session identity and `_SUCCESS` revalidation is a
+    * handful of stat calls), so `later_first` times should sit in the
+    * steady band, not the build band — that separation is the measured
+    * claim. Row counts are asserted identical across every session and
+    * round: a rebuild would still be correct, a torn root would not. */
+  def layoutSoak(spark: SparkSession, sfDir: String, sessions: Int, rounds: Int): String = {
+    val names = Seq("q49_compact_small_files", "q50_zorder_cluster", "q52_dpp_prune")
+    val qs = graft.queries.Layout.queries
+    val counts = scala.collection.mutable.Map[String, Long]()
+    var valid = true
+    // per query: (session index, round index, seconds)
+    val samples = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double)]()
+    (1 to sessions).foreach { si =>
+      val s = if (si == 1) spark else spark.newSession()
+      // a churned session starts from SparkConf defaults, not the parent
+      // session's conf — carry the one reader setting the driver tables
+      // need (events.parquet stores TIMESTAMP(NANOS))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      for (n <- names; r <- 1 to rounds) {
+        val t0 = System.nanoTime()
+        val c = qs(n)(s, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (counts.getOrElseUpdate(n, c) != c) valid = false
+        samples += ((n, si, r, dt))
+      }
+      System.err.println(f"[layout-soak] session $si%2d: " +
+        names.map(n => f"$n=${samples.collect { case (`n`, `si`, _, t) => t }.min}%.2fs").mkString(" "))
+    }
+    val perQuery = names.map { n =>
+      val firstBuild = samples.collectFirst { case (`n`, 1, 1, t) => t }.get
+      val laterFirsts = samples.collect { case (`n`, si, 1, t) if si > 1 => t }.toSeq
+      val steady = samples.collect { case (`n`, _, r, t) if r > 1 => t }.toSeq
+      s""""$n":{"first_build_sec":${f"$firstBuild%.3f"},""" +
+        s""""later_first_p95_sec":${f"${percentile(laterFirsts, 0.95)}%.3f"},""" +
+        s""""steady_p50_sec":${f"${percentile(steady, 0.5)}%.3f"}}"""
+    }
+    s"""{"metric":"layout_soak","sf":"$sfDir","sessions":$sessions,"rounds":$rounds,""" +
+      s""""queries":{${perQuery.mkString(",")}},"valid":$valid}"""
+  }
+
   /** args: [nFiles] [rowsPerFile], defaults 200 x 1000;
-    * or: soak [n1,n2,...] [rowsPerFile] (defaults 1000,4000,12000 x 10). */
+    * or: soak [n1,n2,...] [rowsPerFile] (defaults 1000,4000,12000 x 10);
+    * or: layout [sessions] [rounds] [sfDir] (defaults 8 x 3 on sf0.1). */
   def main(args: Array[String]): Unit = {
     val soakMode = args.headOption.contains("soak")
-    val nFiles = if (soakMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
-    val rowsPerFile = if (soakMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
+    val layoutMode = args.headOption.contains("layout")
+    val nFiles = if (soakMode || layoutMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
+    val rowsPerFile = if (soakMode || layoutMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")
       .appName("graft-perf-harness")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (soakMode) {
+      if (layoutMode) {
+        val sessions = args.lift(1).map(_.toInt).getOrElse(8)
+        val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+        val sfDir = args.lift(3)
+          .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+        println(layoutSoak(spark, sfDir, sessions, rounds))
+      } else if (soakMode) {
         val backlogs = args.lift(1).getOrElse("1000,4000,12000")
           .split(",").toSeq.map(_.trim.toInt)
         val rows = args.lift(2).map(_.toInt).getOrElse(10)

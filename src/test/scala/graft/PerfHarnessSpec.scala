@@ -29,6 +29,18 @@ class PerfHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       PerfHarness.percentile(r.graftIncRounds, 0.95))
   }
 
+  test("layout soak: churned sessions agree on results and report the cache split") {
+    val out = PerfHarness.layoutSoak(spark, "/root/testdata/sf0.001", sessions = 3, rounds = 2)
+    assert(out.contains(""""metric":"layout_soak""""), out)
+    assert(out.contains(""""valid":true"""),
+      s"row counts diverged across churned sessions: $out")
+    // every soaked query reports all three bands the claim is made of
+    for (n <- Seq("q49_compact_small_files", "q50_zorder_cluster", "q52_dpp_prune")) {
+      assert(out.contains(s""""$n":{"first_build_sec""""), s"missing $n in: $out")
+    }
+    assert(out.contains("later_first_p95_sec") && out.contains("steady_p50_sec"), out)
+  }
+
   test("nearest-rank percentile picks the documented ranks") {
     val xs = Seq(5.0, 1.0, 3.0, 2.0, 4.0)
     assert(PerfHarness.percentile(xs, 0.5) == 3.0)
