@@ -301,8 +301,93 @@ object PipelineOps {
        |        FROM documents))
        |ORDER BY shard, pos""".stripMargin
 
+  // ------------------------------------------------------ RAG chunking
+  /** Fixed-window document chunking with overlap — the retrieval-corpus
+    * preparation step (RAG indexes, context-window packing, embedding
+    * inputs all consume chunks, not documents). Window 200 chars, step
+    * 150 (50-char overlap so no boundary sentence is lost to both
+    * neighbors); chunk ids derive arithmetically from the start offset,
+    * so they are stable under any recomputation.
+    *
+    * Scale: the entire operator is a narrow map — `sequence` builds each
+    * doc's start offsets, `explode` fans them out, `substr` slices; no
+    * shuffle anywhere (the gate's ORDER BY is presentation only), all
+    * codegen'd builtins, so it pipelines at scan speed over 100 TB and
+    * the output partitioning simply inherits the input's. The classic
+    * failure spelling — collecting texts to a driver-side chunker or a
+    * per-row UDF returning Seq — loses both codegen and the ability to
+    * push the explode below later projections. */
+  private[graft] val ChunkWindow = 200
+  private[graft] val ChunkStep = 150 // = window - overlap(50)
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(length($"text"), lit(1)), lit(ChunkStep)))
+          .as("start"))
+      .select($"doc_id",
+        (($"start" - 1) / ChunkStep).cast("long").as("chunk_id"),
+        $"start".cast("long").as("char_start"),
+        $"text".substr($"start", lit(ChunkWindow)).as("chunk_text"))
+      .withColumn("chunk_len", length($"chunk_text").cast("long"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val chunkDocumentsSql: String =
+    s"""SELECT doc_id,
+       |  CAST((t.gs - 1) / $ChunkStep AS BIGINT) AS chunk_id,
+       |  CAST(t.gs AS BIGINT) AS char_start,
+       |  substr(text, CAST(t.gs AS INTEGER), $ChunkWindow) AS chunk_text,
+       |  CAST(length(substr(text, CAST(t.gs AS INTEGER), $ChunkWindow)) AS BIGINT) AS chunk_len
+       |FROM documents,
+       |  UNNEST(generate_series(1, greatest(length(text), 1), $ChunkStep)) AS t(gs)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------ stratified sampling
+  /** Exact-N-per-stratum deterministic sample: the top [[StratumN]] rows
+    * of each event_type ordered by md5(event_id) — a content-stable
+    * pseudo-random order, so the sample never changes across re-runs or
+    * repartitioning (eval sets and human-review draws must be
+    * reproducible).
+    *
+    * Scale: a single `Window.partitionBy(stratum)` is the trap spelling
+    * — with few strata it funnels each stratum's ENTIRE data through one
+    * task (same hazard q48 demonstrates for joins). This runs the
+    * salted two-phase top-N instead: phase 1 takes top-N per
+    * (stratum, salt) over [[StratumSalts]] salts — parallelism ×salts,
+    * every true top-N row is necessarily in its own bucket's top-N —
+    * then phase 2's window sees only salts×N candidate rows per
+    * stratum, a constant, regardless of corpus size. */
+  private[graft] val StratumN = 20
+  private[graft] val StratumSalts = 16
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"event_id", md5($"event_id".cast("string")).as("h"))
+    val phase1 = Window
+      .partitionBy($"event_type", pmod(xxhash64($"event_id"), lit(StratumSalts.toLong)))
+      .orderBy($"h", $"event_id")
+    val candidates = ev
+      .withColumn("rn1", row_number().over(phase1))
+      .filter($"rn1" <= StratumN).drop("rn1")
+    val phase2 = Window.partitionBy($"event_type").orderBy($"h", $"event_id")
+    candidates
+      .withColumn("sample_rank", row_number().over(phase2).cast("long"))
+      .filter($"sample_rank" <= StratumN)
+      .select($"event_type", $"sample_rank", $"event_id", $"h")
+      .orderBy($"event_type", $"sample_rank")
+  }
+  val stratifiedSampleSql: String =
+    s"""SELECT event_type, CAST(rn AS BIGINT) AS sample_rank, event_id, h
+       |FROM (SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS h,
+       |        row_number() OVER (PARTITION BY event_type
+       |          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+       |      FROM events)
+       |WHERE rn <= $StratumN ORDER BY event_type, sample_rank""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "chunk_documents" -> chunkDocuments _,
+    "stratified_sample" -> stratifiedSample _,
     "split_train_val" -> splitTrainVal _,
     "pack_sequences" -> packSequences _,
     "tfidf_top_terms" -> tfidfTopTerms _,
@@ -313,6 +398,8 @@ object PipelineOps {
     "train_order" -> trainOrder _,
   )
   val oracles: Map[String, String] = Map(
+    "chunk_documents" -> chunkDocumentsSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "split_train_val" -> splitTrainValSql,
     "pack_sequences" -> packSequencesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

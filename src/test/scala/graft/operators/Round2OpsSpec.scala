@@ -146,6 +146,59 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byName("train").toDouble / total > 0.8 && byName("train").toDouble / total < 0.97)
   }
 
+  test("chunk_documents: full coverage, exact overlap, shuffle-free plan") {
+    val dir = plantDocs(Seq(
+      1L -> ("x" * 150 + "y" * 150 + "z" * 50), // 350 chars -> 3 chunks
+      2L -> "short doc under one window"))      // 26 chars -> 1 chunk
+    val out = PipelineOps.chunkDocuments(spark, dir).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    val c1 = byDoc(1L).sortBy(_.getLong(1))
+    assert(c1.map(_.getLong(4)).toSeq == Seq(200L, 200L, 50L))
+    assert(c1.map(_.getLong(2)).toSeq == Seq(1L, 151L, 301L))
+    // reconstruction: the step-sized prefix of every chunk but the last,
+    // plus the whole last chunk, is exactly the document — nothing lost,
+    // nothing duplicated beyond the declared 50-char overlap
+    val text = c1.dropRight(1).map(_.getString(3).take(PipelineOps.ChunkStep)).mkString +
+      c1.last.getString(3)
+    assert(text == "x" * 150 + "y" * 150 + "z" * 50)
+    // consecutive full chunks overlap by exactly window - step chars
+    assert(c1(0).getString(3).drop(PipelineOps.ChunkStep) ==
+      c1(1).getString(3).take(PipelineOps.ChunkWindow - PipelineOps.ChunkStep))
+    val c2 = byDoc(2L)
+    assert(c2.length == 1 && c2.head.getLong(4) == 26L)
+    // scale law: chunking is a narrow map — no hash exchange anywhere
+    // (the only exchange is the presentation sort's range partitioning)
+    val plan = PipelineOps.chunkDocuments(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking planned a hash shuffle:\n$plan")
+  }
+
+  test("stratified_sample: salted two-phase equals the naive window, bounded phase 2") {
+    import spark.implicits._
+    val out = PipelineOps.stratifiedSample(spark, sf).collect()
+    // exact-N (or stratum size) per stratum, ranks contiguous from 1
+    out.groupBy(_.getString(0)).foreach { case (st, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq, st)
+      assert(rows.length <= PipelineOps.StratumN)
+    }
+    // the two-phase result must be IDENTICAL to the naive single-window
+    // spelling (the salting is a pure execution-strategy change)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"h", $"event_id")
+    val naive = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"event_id", md5($"event_id".cast("string")).as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= PipelineOps.StratumN)
+      .select($"event_type", $"sample_rank", $"event_id", $"h")
+      .orderBy($"event_type", $"sample_rank").collect()
+    assert(out.toSeq == naive.toSeq)
+    // plan shape: two Window nodes (per-salt then per-stratum), so the
+    // full-data window never runs single-task-per-stratum
+    val plan = PipelineOps.stratifiedSample(spark, sf).queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(plan).size == 2, s"expected 2 windows:\n$plan")
+    assert(plan.contains("pmod"), s"phase-1 window lost its salt:\n$plan")
+  }
+
   test("as-of and range joins never plan a nested-loop join") {
     Seq(Relational2.q34AsofJoin(spark, sf), Relational2.q35RangeJoin(spark, sf))
       .foreach { df =>
