@@ -99,6 +99,67 @@ object Curation {
          |WHERE d.doc_id % 10 = 7
          |ORDER BY bench_id""".stripMargin
 
+  /** Bloom-accelerated decontamination — IDENTICAL output to
+    * [[decontaminate]] (it shares that oracle), different execution
+    * shape for the 100 TB corpus. The asymmetry is structural: the eval
+    * slice is a fixed benchmark (small forever) while the training
+    * corpus grows with the crawl, yet [[decontaminate]] shuffles the
+    * corpus's full exploded gram set twice (its distinct(), then the
+    * join). Here the eval side's gram keys are folded into a bloom
+    * filter by ONE distributed `BloomFilterAggregate` job (driver
+    * traffic = the bloom's bytes), and the corpus's exploded grams are
+    * pre-filtered by the codegen'd `might_contain` probe BEFORE both
+    * shuffles — only ~fpp of non-matching grams survive to shuffle at
+    * all. The exact equi-join then runs on the survivors, so bloom
+    * false positives cannot change the report. Same primitive pair as
+    * q39/q53, applied where a pipeline actually needs it.
+    *
+    * Honest cost note (BENCH_NOTES r11): at gate scale the bloom build
+    * is an EXTRA pass over the eval grams, and the tiny corpus's saved
+    * shuffle doesn't pay for it — sf0.1 reads ~2x the exact spelling
+    * (0.9 vs 0.5 s). The crossover is where it always is for runtime
+    * filters: when the corpus-side shuffle dwarfs the eval-side scan,
+    * i.e. exactly the 100 TB regime this variant exists for. Both
+    * spellings stay in the gate so the trade is measured, not assumed. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= ContamN)
+    val bench = docs.filter($"doc_id" % 10 === 7)
+      .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
+      .select($"doc_id", gramKey($"g").as("gk"))
+      .distinct()
+      .withColumnRenamed("doc_id", "bench_id")
+    val bloom = bench
+      .agg(GraftShims.column(
+        new BloomFilterAggregate(GraftShims.expression(xxhash64($"gk")))
+          .toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = docs.filter($"doc_id" % 10 =!= 7)
+      .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
+      .select($"doc_id", gramKey($"g").as("gk"))
+    val probe = // empty eval slice => nothing can be contaminated
+      if (bloom == null) lit(false)
+      else GraftShims.column(BloomFilterMightContain(
+        GraftShims.expression(lit(bloom)), GraftShims.expression(xxhash64($"gk"))))
+    val corpus = corpusGrams.filter(probe).distinct()
+    val hits = bench.join(corpus, "gk")
+      .groupBy($"bench_id")
+      .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
+        countDistinct($"gk").as("n_shared_grams"))
+    Tables.documents(s, d).filter($"doc_id" % 10 === 7)
+      .select($"doc_id".as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select($"bench_id",
+        coalesce($"n_contaminated_docs", lit(0L)).as("n_contaminated_docs"),
+        coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"))
+      .orderBy($"bench_id")
+  }
+
   // ------------------------------------------------- repetition quality
   /** Gopher-style repetition filters, per document: the fraction of all
     * 2-grams (and 3-grams) taken by the single most frequent one, and the
@@ -201,11 +262,15 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate _,
+    "decontaminate_bloom" -> decontaminateBloom _,
     "text_repetition" -> textRepetition _,
     "text_cooccur" -> textCooccur _,
   )
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
+    // identical semantics by construction (bloom is a pre-filter only;
+    // the exact join runs on survivors) => shares the exact oracle
+    "decontaminate_bloom" -> decontaminateSql,
     "text_repetition" -> textRepetitionSql,
     "text_cooccur" -> textCooccurSql,
   )

@@ -88,6 +88,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"contamination join degenerated:\n$plan")
   }
 
+  test("decontaminate_bloom: identical report, corpus pruned before the shuffles") {
+    val sf = "/root/testdata/sf0.001"
+    val fast = Curation.decontaminateBloom(spark, sf)
+    // equality on real data — the bloom is a pre-filter only, the exact
+    // join decides; any FP leaking into the report breaks this
+    assert(fast.collect().toSeq == Curation.decontaminate(spark, sf).collect().toSeq)
+    // plan: codegen might_contain probe, never a per-row UDF
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in the plan:\n$plan")
+    assert(!plan.contains("UDF("), s"per-row UDF crept into the probe:\n$plan")
+    // and it actually prunes: the probe filter passes far fewer corpus
+    // grams than exist (the eval slice's gram set is ~10% of the corpus)
+    fast.collect()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(deep)
+    }
+    val probeFilter = deep(fast.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilter.isDefined, "no executed might_contain FilterExec")
+    import org.apache.spark.sql.functions._
+    val totalCorpusGrams = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .count() // upper bound on grams (n_grams = n_tokens - 7 per doc)
+    assert(probeFilter.get.metrics("numOutputRows").value < totalCorpusGrams / 2,
+      s"bloom probe passed ${probeFilter.get.metrics("numOutputRows").value} " +
+        s"of <=$totalCorpusGrams corpus grams — pruned nothing")
+  }
+
   test("text_repetition scores a looping doc high and a diverse doc low") {
     val dir = plantDocs(Seq(
       1L -> "spam ham spam ham spam ham spam ham spam ham", // top 2-gram dominates
