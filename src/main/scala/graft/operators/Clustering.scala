@@ -204,31 +204,38 @@ object Clustering {
     emb.withColumn("best", array(elems: _*))
   }
 
-  private def embPqOn(s: SparkSession, emb: DataFrame): DataFrame = {
-    import s.implicits._
-    // init = the PqK lowest vec_ids, sliced per subspace driver-side
-    // (identical floats to slicing in a projection first)
-    val init = emb.orderBy($"vec_id").limit(PqK)
+  /** The PQ training loop, shared by [[embPq]] and [[annTopKPq]]:
+    * init = the PqK lowest vec_ids sliced per subspace driver-side
+    * (identical floats to slicing in a projection first), then
+    * [[PqIters]] Lloyd rounds where ONE posexplode of the full vector
+    * updates ALL M codebooks (dimension p belongs to subspace p/PqSub;
+    * one (m, cluster, pos) fixed-point aggregate, M·K·PqSub floats to
+    * the driver, one job per iteration). */
+  private[operators] def trainPqBooks(emb: DataFrame): Array[Array[Array[Float]]] = {
+    val init = emb.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Float](1).toArray)
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(PqM)(m => init.map(_.slice(m * PqSub, (m + 1) * PqSub)))
     for (_ <- 0 until PqIters) {
-      // ONE posexplode of the full vector updates ALL M codebooks:
-      // dimension p belongs to subspace p/PqSub; one (m, cluster, pos)
-      // fixed-point aggregate, M·K·PqSub floats to the driver, one job
       val means = assignAllPq(emb, books)
-        .select($"best", posexplode($"embedding").as(Seq("p", "x")))
-        .select(($"p" / PqSub).cast("int").as("m"),
-          element_at($"best", ($"p" / PqSub).cast("int") + 1).getField("k").as("cluster"),
-          ($"p" % PqSub).as("pos"), $"x")
-        .groupBy($"m", $"cluster", $"pos")
-        .agg((sum(round($"x".cast("double") * Q).cast("long")).cast("double")
+        .select(col("best"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") / PqSub).cast("int").as("m"),
+          element_at(col("best"), (col("p") / PqSub).cast("int") + 1).getField("k").as("cluster"),
+          (col("p") % PqSub).as("pos"), col("x"))
+        .groupBy(col("m"), col("cluster"), col("pos"))
+        .agg((sum(round(col("x").cast("double") * Q).cast("long")).cast("double")
           / (count(lit(1)) * Q)).cast("float").as("mn"))
         .collect()
       val next = books.map(_.map(_.clone()))
       means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
       books = next
     }
+    books
+  }
+
+  private def embPqOn(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val books = trainPqBooks(emb)
     // final stats: one aggregate, no explode — per subspace, distinct
     // codes used plus the exact micro-unit reconstruction-error sum
     val aggCols = (0 until PqM).flatMap { m =>
@@ -246,6 +253,106 @@ object Clustering {
     s.createDataFrame(stats).toDF("subspace", "codes_used", "sq_err", "n_vecs")
       .withColumn("compression_x", lit(compression))
       .orderBy($"subspace")
+  }
+
+  // ------------------------------------------------------ PQ-ADC search
+  /** Asymmetric-distance (ADC) approximate top-K search over the PQ
+    * codes — the missing fourth ANN variant (brute = exactness oracle,
+    * LSH and IVF = bucketing scale paths, PQ-ADC = the memory scale
+    * path). The corpus is represented ONLY by its M 4-bit codes; per
+    * probe, an M×K table of subspace distances to every codebook entry
+    * is computed once driver-side (M·K doubles — the whole point: the
+    * probe never touches a corpus float), and each vector's distance is
+    * the sum of M table lookups on its codes. This is how a
+    * billion-vector index answers queries from RAM at 100 TB corpus
+    * scale: 2 B per vector instead of 256 B.
+    *
+    * Plan shape: one encode projection over the corpus (the codegen'd
+    * [[assignAllPq]] argmin), a broadcast of the [[Similarity.NProbes]]
+    * probe rows carrying their literal distance tables, per-row scoring
+    * as M `element_at` lookups + a fixed-order sum (all codegen'd), and
+    * the same bounded per-probe window as the other ANN variants. The
+    * arithmetic is the assignment scoring's (|c|² − 2·q·c per subspace,
+    * left-to-right double sums), so DuckDB replays it bit-for-bit:
+    * same Lloyd CTEs as `emb_pq`, then table-join scoring — the row is
+    * hash-gated like the other ANN variants, no rows-only escape. */
+  def annTopKPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id") // single-file fixture: unlock parallelism
+      .persist()
+    try {
+      val books = trainPqBooks(emb)
+      val encoded = assignAllPq(emb, books)
+        .select($"vec_id",
+          array((0 until PqM).map(m => $"best" (m).getField("k")): _*).as("codes"))
+      val probeRows = emb.orderBy($"vec_id").limit(Similarity.NProbes).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).toArray
+          val dtab: Seq[Seq[Double]] = (0 until PqM).map { m =>
+            val sub = v.slice(m * PqSub, (m + 1) * PqSub)
+            (0 until PqK).map(k => norm2(books(m)(k)) - 2.0 * dotArr(sub, books(m)(k)))
+          }
+          (r.getLong(0), dtab)
+        }.toSeq
+      val probes = s.createDataFrame(probeRows).toDF("query_id", "dtab")
+      val scored = encoded.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("adc", round(
+          (0 until PqM).map(m =>
+            element_at(element_at($"dtab", m + 1), $"codes" (m) + 1)).reduce(_ + _), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adc", $"vec_id")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adc")
+        .orderBy($"query_id", $"rank")
+    } finally emb.unpersist()
+  }
+
+  private def dotArr(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  val annTopKPqSql: String = {
+    val subs = (0 until PqM).map { m =>
+      s"""emb$m AS (SELECT vec_id, embedding[${m * PqSub + 1}:${(m + 1) * PqSub}] AS embedding
+         |  FROM embeddings),
+         |${lloydSql(PqK, PqIters, PqSub, m.toString)}""".stripMargin
+    }
+    val dtabs = (0 until PqM).map { m =>
+      val sub = s"p.embedding[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+      s"""dt$m AS (
+         |  SELECT p.query_id, c.k,
+         |    ${dotSql("c.cv", "c.cv")} - 2.0 * ${dotSql(sub, "c.cv")} AS d
+         |  FROM probes p CROSS JOIN cent$PqIters$m c)""".stripMargin
+    }
+    val codeJoins = (1 until PqM).map(m => s"JOIN fin$m f$m USING (vec_id)").mkString(" ")
+    val dtJoins = (0 until PqM)
+      .map(m => s"JOIN dt$m d$m ON d$m.query_id = p.query_id AND d$m.k = v.k$m").mkString("\n  ")
+    val sum = (1 until PqM).foldLeft("d0.d")((acc, m) => s"($acc + d$m.d)")
+    s"""WITH ${subs.mkString(",\n")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id
+       |  LIMIT ${Similarity.NProbes}),
+       |${dtabs.mkString(",\n")},
+       |codes AS (
+       |  SELECT vec_id, ${(0 until PqM).map(m => s"f$m.k AS k$m").mkString(", ")}
+       |  FROM fin0 f0 $codeJoins),
+       |scored AS (
+       |  SELECT p.query_id, v.vec_id, ROUND($sum, 6) AS adc
+       |  FROM codes v CROSS JOIN probes p
+       |  $dtJoins
+       |  WHERE v.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, adc FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   val embPqSql: String = {
@@ -267,6 +374,7 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
     "emb_pq" -> embPq _,
+    "ann_topk_pq" -> annTopKPq _,
   )
   /** Full DuckDB replicas of both Lloyd loops: fixed-point arithmetic
     * makes every step a single identical IEEE operation on both engines,
@@ -274,5 +382,6 @@ object Clustering {
   val oracles: Map[String, String] = Map(
     "emb_kmeans" -> embKmeansSql,
     "emb_pq" -> embPqSql,
+    "ann_topk_pq" -> annTopKPqSql,
   )
 }

@@ -108,6 +108,61 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("ann PQ-ADC: a planted probe copy attains the minimal possible ADC distance") {
+    import spark.implicits._
+    // A copy of a probe vector encodes to the per-subspace argmins of the
+    // probe's OWN distance table, so no vector in the corpus can score
+    // strictly below it — the asymmetric distance is exact w.r.t. the
+    // quantized representation. Plant copies under fresh high vec_ids
+    // (the probe set is the 64 LOWEST ids, so probes are unchanged).
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqann").toString
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val maxId = base.agg(max($"vec_id")).head().getLong(0)
+    val copies = base.orderBy($"vec_id").limit(8)
+      .select(($"vec_id" + maxId + 1).as("vec_id"), $"embedding")
+    base.unionByName(copies).write.parquet(s"$dir/embeddings.parquet")
+
+    val out = Clustering.annTopKPq(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    (0 until 8).foreach { i =>
+      val q = i.toLong // probes are the lowest vec_ids, 0-based here
+      val rows = out(q).sortBy(_.getInt(1))
+      val copyId = maxId + 1 + q
+      val hit = rows.find(_.getLong(2) == copyId)
+      assert(hit.isDefined, s"probe $q: planted copy $copyId missing from top-5: " +
+        rows.map(_.getLong(2)).mkString(","))
+      assert(hit.get.getDouble(3) == rows.head.getDouble(3),
+        s"probe $q: copy's ADC ${hit.get.getDouble(3)} above the minimum ${rows.head.getDouble(3)}")
+    }
+  }
+
+  test("ann PQ-ADC recall vs exact L2 stays above the 16-bit-code floor") {
+    import spark.implicits._
+    // Measured 0.145-0.147 at sf0.001/sf0.01: the information limit of a
+    // 2-byte (M=4 x 4-bit) code over UNCLUSTERED synthetic vectors, not a
+    // defect — random top-5 of ~160 would read ~0.03, so the floor still
+    // catches scrambled codes / broken tables while admitting the data's
+    // honest ceiling. Real corpora with cluster structure score far
+    // higher at the same code budget.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select($"vec_id", $"embedding")
+    val probes = emb.orderBy($"vec_id").limit(Similarity.NProbes)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val dot = graft.functions.VectorOps.dotf _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d", $"vec_id")
+    val exact = emb.crossJoin(broadcast(probes)).filter($"vec_id" =!= $"query_id")
+      .withColumn("d", dot($"embedding", $"embedding") - lit(2.0) * dot($"qv", $"embedding"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Clustering.annTopKPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"PQ-ADC recall@5 vs exact L2 = $recall")
+    assert(recall >= 0.10, s"ADC recall collapsed below the code-budget floor: $recall")
+  }
+
   test("dedup_embedding_cosine finds planted near-dups without a cartesian plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString

@@ -44,6 +44,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val justifiedBnlj: Map[String, String] = Map(
     "ann_topk_brute" -> "broadcast probe set is NProbes=64 rows by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
+    "ann_topk_pq" -> "broadcast probe set is NProbes=64 rows (with M*K-double tables) by construction",
     "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
     "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
   )
