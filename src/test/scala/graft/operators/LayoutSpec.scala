@@ -374,6 +374,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Layout.q46BucketedJoin(spark, sf).count() > 0)
   }
 
+  test("concurrent callers after a tear: one rebuild, every caller gets the committed root") {
+    import scala.jdk.CollectionConverters._
+    val r1 = Layout.partitionedEvents(spark, sf)
+    tear(r1)
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def rootCount: Long = {
+      val l = java.nio.file.Files.list(tmp)
+      try l.iterator().asScala.count(_.getFileName.toString.startsWith("graft-layout-parts"))
+      finally l.close()
+    }
+    val before = rootCount
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = Layout.partitionedEvents(spark, sf)
+        }))
+        .map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.toSet.size == 1, s"racers saw different roots: ${results.toSet}")
+      assert(results.head != r1, "racers were served the torn root")
+      assert(java.nio.file.Files.exists(successMarker(results.head)))
+      // the compute-under-lock contract: the 8 racers paid ONE rebuild
+      assert(rootCount == before + 1,
+        s"expected exactly one new layout root, got ${rootCount - before}")
+    } finally pool.shutdownNow()
+  }
+
   test("catalog churn: a dropped bucketed table is re-registered, not trusted from cache") {
     val (ot, ct) = Layout.bucketedTables(spark, sf)
     spark.sql(s"DROP TABLE `$ot`")

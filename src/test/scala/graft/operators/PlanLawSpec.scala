@@ -101,6 +101,12 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.toLowerCase.contains("dynamicpruning")),
     ("q39_bloom_semi", "fact pre-filtered by a codegen might_contain probe, not a per-row UDF",
       p => p.contains("might_contain") && !p.contains("UDF(")),
+    ("chunk_documents", "chunking is a narrow map: no hash exchange anywhere",
+      !_.contains("Exchange hashpartitioning")),
+    ("stratified_sample", "salted two-phase top-N: exactly two Window nodes, salt present",
+      p => "Window ".r.findAllIn(p).size == 2 && p.contains("pmod")),
+    ("decontaminate_bloom", "corpus pre-filtered by codegen might_contain, not a per-row UDF",
+      p => p.contains("might_contain") && !p.contains("UDF(")),
     ("q53_bloom_join", "bloom built DISTRIBUTED: partial+final bloom_filter_agg, no driver collect",
       p => p.contains("partial_bloom_filter_agg") && p.contains("bloom_filter_agg")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
