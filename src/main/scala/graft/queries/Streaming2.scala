@@ -319,16 +319,72 @@ object Streaming2 {
        |WHERE doc.doc_id % 5 = 0 AND doc.doc_id < $DocCutoff
        |ORDER BY doc.doc_id""".stripMargin
 
+  // ---------------------------------------------------- chunk at ingest
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming RAG chunking: documents arrive through the push-based
+    * source (3 staged files, 1 per trigger ⇒ 3 micro-batches) and are
+    * chunked by the SAME narrow-map expressions as the batch operator
+    * ([[graft.operators.PipelineOps.chunkDocuments]]). The pipeline is
+    * stateless — no watermark, no state store — so exactly-once chunk
+    * delivery reduces entirely to the source's admission control, and
+    * the accumulated sink must hash-equal batch chunking of the same
+    * table: the gate row shares `chunk_documents`' DuckDB oracle. This
+    * is the shape chunking deploys as at 100 TB — chunk-at-ingest on
+    * the stream, each document chunked exactly once as it lands, not a
+    * second full-corpus pass after the fact. */
+  def streamChunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.PipelineOps.{ChunkStep, ChunkWindow}
+    val runId = s"chunk${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.documents(s, dir).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(documentsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .select($"doc_id", $"text",
+        explode(sequence(lit(1), greatest(length($"text"), lit(1)), lit(ChunkStep)))
+          .as("start"))
+      .select($"doc_id",
+        (($"start" - 1) / ChunkStep).cast("long").as("chunk_id"),
+        $"start".cast("long").as("char_start"),
+        $"text".substr($"start", lit(ChunkWindow)).as("chunk_text"))
+      .withColumn("chunk_len", length($"chunk_text").cast("long"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_chunk_documents", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> streamSessionWindow _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_mgws_session" -> streamMgwsSession _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
+    "stream_chunk_documents" -> streamChunkDocuments _,
   )
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_mgws_session" -> streamMgwsSessionSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
+    // stateless parity: the stream must land exactly the batch chunker's
+    // rows, so it shares chunk_documents' oracle verbatim
+    "stream_chunk_documents" -> graft.operators.PipelineOps.chunkDocumentsSql,
   )
 }
