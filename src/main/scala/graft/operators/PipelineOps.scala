@@ -102,6 +102,64 @@ object PipelineOps {
          |          FROM documents)))
          |GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  // ------------------------------------------- token-budget selection
+  /** Quality-ordered corpus selection under a global token budget: "take
+    * the best documents until [[BudgetTokens]] tokens" — the curation
+    * step that turns a scored crawl into a right-sized training mix.
+    * Quality here is the distinct-token count (an exact integer, so both
+    * engines rank identically; a model-based scorer would slot into the
+    * same column), ties broken by doc_id.
+    *
+    * The cutoff needs the GLOBAL running token sum in quality order —
+    * the same prefix-sum problem as [[packSequences]], solved the same
+    * scalable way but over a DIFFERENT sort key: range-partition by
+    * (quality DESC, doc_id), cumsum within each partition in parallel,
+    * lift to global with the #partitions-row offsets table, then the
+    * budget test is a pure map. No global single-task sort anywhere; at
+    * 100 TB the selection costs one range shuffle of (id, two longs). */
+  private[graft] val BudgetTokens = 10000L
+  def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPart = math.max(2, s.sparkContext.defaultParallelism)
+    val docs = Tables.documents(s, d)
+      .select($"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .repartitionByRange(nPart, $"quality".desc, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted for the same reason as packSequences: the range
+    // partitioner samples boundaries per evaluation; offsets must see
+    // the same pid assignment the final join does
+    val withLocal = docs.withColumn("local_cum", sum($"ntok").over(wIn)).persist()
+    try {
+      val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withLocal.groupBy($"pid").agg(sum($"ntok").as("ptot"))
+        .withColumn("offset", coalesce(sum($"ptot").over(wOff), lit(0L)))
+        .select($"pid", $"offset")
+      withLocal.join(broadcast(offsets), "pid")
+        .withColumn("cum", $"local_cum" + $"offset")
+        .filter($"cum" <= BudgetTokens)
+        .select($"doc_id", $"quality", $"ntok", $"cum")
+        .orderBy($"cum")
+        // the optimizer may not have materialized the persist before the
+        // caller collects; force the frame while it is still cached
+        .localCheckpoint(true)
+    } finally withLocal.unpersist()
+  }
+  val budgetSelectSql: String =
+    raw"""SELECT doc_id, quality, ntok, CAST(cum AS BIGINT) AS cum
+         |FROM (
+         |  SELECT doc_id, quality, ntok,
+         |    SUM(ntok) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT doc_id,
+         |          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS quality,
+         |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+         |        FROM documents))
+         |WHERE cum <= $BudgetTokens ORDER BY cum""".stripMargin
+
   // ------------------------------------------------------------- tf-idf
   /** Top-3 terms per document by tf-idf. Since the corpus size N is a
     * constant per query, ranking by tf/df is ranking by tf-idf (any
@@ -386,6 +444,7 @@ object PipelineOps {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "budget_select" -> budgetSelect _,
     "chunk_documents" -> chunkDocuments _,
     "stratified_sample" -> stratifiedSample _,
     "split_train_val" -> splitTrainVal _,
@@ -398,6 +457,7 @@ object PipelineOps {
     "train_order" -> trainOrder _,
   )
   val oracles: Map[String, String] = Map(
+    "budget_select" -> budgetSelectSql,
     "chunk_documents" -> chunkDocumentsSql,
     "stratified_sample" -> stratifiedSampleSql,
     "split_train_val" -> splitTrainValSql,

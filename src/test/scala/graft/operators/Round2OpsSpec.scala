@@ -199,6 +199,34 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("pmod"), s"phase-1 window lost its salt:\n$plan")
   }
 
+  test("budget_select: two-phase prefix sum equals the naive global window, greedy-maximal") {
+    import spark.implicits._
+    val out = PipelineOps.budgetSelect(spark, sf).collect()
+    assert(out.nonEmpty, "budget fixture degenerate: nothing selected")
+    // the scalable spelling (range partition + local cumsum + offsets
+    // lift) must produce the exact global running sums of the naive
+    // single-task window — the property the offsets table exists for
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+    val naive = scored.withColumn("cum", sum($"ntok").over(w))
+      .filter($"cum" <= PipelineOps.BudgetTokens)
+      .select($"doc_id", $"quality", $"ntok", $"cum")
+      .orderBy($"cum").collect()
+    assert(out.toSeq == naive.toSeq)
+    // greedy-maximal: the next document in quality order would bust the budget
+    val nextCum = scored.withColumn("cum", sum($"ntok").over(w))
+      .filter($"cum" > PipelineOps.BudgetTokens)
+      .agg(min($"cum")).head().getLong(0)
+    assert(nextCum > PipelineOps.BudgetTokens &&
+      out.map(_.getLong(3)).max <= PipelineOps.BudgetTokens)
+  }
+
   test("as-of and range joins never plan a nested-loop join") {
     Seq(Relational2.q34AsofJoin(spark, sf), Relational2.q35RangeJoin(spark, sf))
       .foreach { df =>
