@@ -260,9 +260,91 @@ object Curation {
          |FROM pairs
          |ORDER BY lift DESC, tok_a, tok_b LIMIT $TopPairs""".stripMargin
 
+  // ------------------------------------------------ quality-filter cascade
+  /** Quality-filter cascade with attrition accounting: every document gets
+    * the FIRST rule it fails (or `pass`), and the result is the per-rule
+    * attrition table a curation pipeline publishes alongside its corpus —
+    * every stage listed, zero rows included, so a rule that silently stops
+    * firing is visible in the report rather than vanishing from it.
+    *
+    * Rules, in cascade order (first failure wins):
+    *   1 too_short     — fewer than [[CascadeMinTokens]] whitespace tokens
+    *   2 too_long      — more than [[CascadeMaxChars]] characters
+    *   3 high_punct    — punctuation ratio above [[CascadePunctMax]]
+    *   4 low_stopword  — English doc with stopword ratio below
+    *                     [[CascadeStopMin]] (non-language text masquerading
+    *     as English; the rule is lang-gated because the stopword list is)
+    *   5 pass
+    *
+    * Scale shape: ONE narrow projection computes all metrics (codegen'd
+    * built-ins, no UDFs), one `when`-chain assigns the verdict, and the
+    * aggregation groups into at most five rows — a map-side-combined hash
+    * agg whose shuffle carries five rows per partition regardless of
+    * corpus size. The static rule table is five literal rows broadcast by
+    * construction. All ratio thresholds compare exact-integer IEEE
+    * divisions, so the verdict is bit-identical across engines. */
+  private[graft] val CascadeMinTokens = 20
+  private[graft] val CascadeMaxChars  = 450
+  private[graft] val CascadePunctMax  = 0.10
+  private[graft] val CascadeStopMin   = 0.03
+  def filterCascade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(s, d).select(
+      $"doc_id", $"lang", $"n_chars",
+      length($"text").as("len"), size(toks).as("nt"),
+      stopwordRatio(toks).as("sr"), punctRatio($"text").as("pr"))
+    val verdict = scored.withColumn("rule",
+      when($"nt" < CascadeMinTokens, "too_short")
+        .when($"len" > CascadeMaxChars, "too_long")
+        .when($"pr" > CascadePunctMax, "high_punct")
+        .when($"lang" === "en" && $"sr" < CascadeStopMin, "low_stopword")
+        .otherwise("pass"))
+      .groupBy($"rule")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("first_doc"))
+    val stages = Seq(
+      (1, "too_short"), (2, "too_long"), (3, "high_punct"),
+      (4, "low_stopword"), (5, "pass")).toDF("stage", "rule")
+    stages.join(verdict, Seq("rule"), "left")
+      .select($"stage", $"rule",
+        coalesce($"n_docs", lit(0L)).as("n_docs"),
+        coalesce($"n_chars", lit(0L)).as("n_chars"),
+        $"first_doc")
+      .orderBy($"stage")
+  }
+  val filterCascadeSql: String = {
+    val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""WITH scored AS (
+         |  SELECT doc_id, lang, n_chars, LENGTH(text) AS len, len(toks) AS nt,
+         |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) / len(toks) AS sr,
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / LENGTH(text) AS pr
+         |  FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |), verdict AS (
+         |  SELECT CASE WHEN nt < $CascadeMinTokens THEN 'too_short'
+         |              WHEN len > $CascadeMaxChars THEN 'too_long'
+         |              WHEN pr > $CascadePunctMax THEN 'high_punct'
+         |              WHEN lang = 'en' AND sr < $CascadeStopMin THEN 'low_stopword'
+         |              ELSE 'pass' END AS rule,
+         |         doc_id, n_chars
+         |  FROM scored
+         |), agg AS (
+         |  SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars, MIN(doc_id) AS first_doc
+         |  FROM verdict GROUP BY rule)
+         |SELECT s.stage, s.rule, COALESCE(a.n_docs, 0) AS n_docs,
+         |  COALESCE(a.n_chars, 0) AS n_chars, a.first_doc
+         |FROM (VALUES (1, 'too_short'), (2, 'too_long'), (3, 'high_punct'),
+         |             (4, 'low_stopword'), (5, 'pass')) AS s(stage, rule)
+         |LEFT JOIN agg a ON s.rule = a.rule
+         |ORDER BY s.stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,
+    "filter_cascade" -> filterCascade _,
     "text_repetition" -> textRepetition _,
     "text_cooccur" -> textCooccur _,
   )
@@ -271,6 +353,7 @@ object Curation {
     // identical semantics by construction (bloom is a pre-filter only;
     // the exact join runs on survivors) => shares the exact oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "filter_cascade" -> filterCascadeSql,
     "text_repetition" -> textRepetitionSql,
     "text_cooccur" -> textCooccurSql,
   )

@@ -442,8 +442,65 @@ object PipelineOps {
        |      FROM events)
        |WHERE rn <= $StratumN ORDER BY event_type, sample_rank""".stripMargin
 
+  // -------------------------------------------- domain soft-cap sampling
+  /** Temperature-style domain rebalancing: any language ("domain") with
+    * more than [[DomainCap]] documents is downsampled with acceptance
+    * rate sqrt([[DomainCap]] / count) — i.e. p_keep proportional to
+    * count^(alpha-1) with alpha = 0.5, the soft cap that flattens
+    * over-represented domains without truncating them to an exact quota.
+    * Acceptance is deterministic per document (md5 bucket of doc_id, the
+    * same content-stable trick as [[splitTrainVal]]): a document's fate
+    * never depends on which other documents share its partition, so
+    * re-runs and repartitioning reproduce the identical sample.
+    *
+    * Output is the attrition report per domain: incoming docs, kept docs,
+    * kept chars, first kept doc (null when a domain keeps nothing).
+    *
+    * Scale shape: one tiny per-domain count (hash agg, domain-sized
+    * output) broadcast back onto the corpus, then a pure map filter and a
+    * second domain-sized hash agg — the corpus itself never shuffles.
+    * The rate is sqrt of one IEEE division of exact integers (both
+    * exactly rounded), so the accept decision is bit-identical across
+    * engines. */
+  private[graft] val DomainCap = 100
+  def domainCapSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val kept = docs.join(broadcast(counts), "lang")
+      .withColumn("u",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") / 65536.0)
+      .withColumn("rate", least(lit(1.0), sqrt(lit(DomainCap.toDouble) / $"n_in")))
+      .filter($"u" < $"rate")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"),
+        min($"doc_id").as("first_kept"))
+    counts.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_in",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"chars_kept", lit(0L)).as("chars_kept"),
+        $"first_kept")
+      .orderBy($"lang")
+  }
+  val domainCapSampleSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in FROM documents GROUP BY lang
+       |), kept AS (
+       |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept, MIN(d.doc_id) AS first_kept
+       |  FROM documents d JOIN counts c ON d.lang = c.lang
+       |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS DOUBLE) / 65536.0
+       |        < least(1.0, sqrt($DomainCap.0 / c.n_in))
+       |  GROUP BY d.lang)
+       |SELECT c.lang, c.n_in, COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.chars_kept, 0) AS chars_kept, k.first_kept
+       |FROM counts c LEFT JOIN kept k ON c.lang = k.lang
+       |ORDER BY c.lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "domain_cap_sample" -> domainCapSample _,
     "budget_select" -> budgetSelect _,
     "chunk_documents" -> chunkDocuments _,
     "stratified_sample" -> stratifiedSample _,
@@ -457,6 +514,7 @@ object PipelineOps {
     "train_order" -> trainOrder _,
   )
   val oracles: Map[String, String] = Map(
+    "domain_cap_sample" -> domainCapSampleSql,
     "budget_select" -> budgetSelectSql,
     "chunk_documents" -> chunkDocumentsSql,
     "stratified_sample" -> stratifiedSampleSql,

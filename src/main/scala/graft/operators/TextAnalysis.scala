@@ -194,7 +194,42 @@ object TextAnalysis {
          |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ corpus heavy hitters
+  /** Corpus-level heavy hitters: the [[NgramTopK]] adjacent bigrams with
+    * the highest DOCUMENT frequency (each doc votes once per distinct
+    * bigram — df, not raw term count, so one repetitive document cannot
+    * elect a heavy hitter). The table a curation pipeline watches for
+    * boilerplate phrases worth adding to a line-dedup blocklist.
+    *
+    * Scale shape: shingle-explode is a pure map (distinct-per-doc is
+    * local, inside the array), the df count is one map-side-combined hash
+    * agg keyed by bigram (vocabulary-sized, zipf-bounded), and the top-K
+    * runs as TakeOrdered — O(K) heap per partition plus a K-row driver
+    * merge, never a global sort of the vocabulary. Tie-break on the
+    * bigram string makes the cut deterministic. */
+  private[graft] val NgramTopK = 50
+  def topNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"bigram")
+      .limit(NgramTopK)
+  }
+  val topNgramsSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), bg AS (
+         |  SELECT DISTINCT doc_id, t[gs] || ' ' || t[gs + 1] AS bigram
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(gs)
+         |  WHERE len(t) >= 2)
+         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df
+         |FROM bg GROUP BY bigram
+         |ORDER BY df DESC, bigram LIMIT $NgramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_ngrams" -> topNgrams _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint_groups" -> textFingerprintGroups _,
@@ -202,6 +237,7 @@ object TextAnalysis {
     "text_perplexity" -> textPerplexity _,
   )
   val oracles: Map[String, String] = Map(
+    "top_ngrams" -> topNgramsSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint_groups" -> textFingerprintGroupsSql,

@@ -124,6 +124,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"of <=$totalCorpusGrams corpus grams — pruned nothing")
   }
 
+  test("filter_cascade: first failing rule wins, every stage listed, lang-gated stopword rule") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cascade").toString
+    val longTok = "x" * 50
+    Seq(
+      // too_short (5 tokens)
+      (1L, "a b c d e", "en"),
+      // 10 tokens x 50 chars: ALSO over the char cap, but too_short is
+      // earlier in the cascade and must win
+      (2L, Seq.fill(10)(longTok).mkString(" "), "en"),
+      // 100 x 7-char tokens = 799 chars -> too_long
+      (3L, (1 to 100).map(i => f"word$i%03d").mkString(" "), "en"),
+      // 30 tokens "a!" -> punct ratio 30/89 > 0.10 -> high_punct
+      (4L, Seq.fill(30)("a!").mkString(" "), "en"),
+      // 25 stopword-free tokens, en -> low_stopword
+      (5L, (1 to 25).map(i => s"z$i").mkString(" "), "en"),
+      // same text, fr -> rule is lang-gated -> pass
+      (6L, (1 to 25).map(i => s"z$i").mkString(" "), "fr"),
+      // en with stopwords sprinkled -> pass
+      (7L, (1 to 25).map(i => if (i % 3 == 0) "the" else s"w$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = Curation.filterCascade(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5), s"stages out of order: ${rows.toSeq}")
+    val byRule = rows.map(t => t._2 -> (t._3, t._4)).toMap
+    assert(byRule("too_short") == ((2L, 1L)), s"cascade order broken (doc 2 must fall to too_short, not too_long): $byRule")
+    assert(byRule("too_long") == ((1L, 3L)), byRule.toString)
+    assert(byRule("high_punct") == ((1L, 4L)), byRule.toString)
+    assert(byRule("low_stopword") == ((1L, 5L)), byRule.toString)
+    assert(byRule("pass") == ((2L, 6L)), byRule.toString)
+  }
+
   test("text_repetition scores a looping doc high and a diverse doc low") {
     val dir = plantDocs(Seq(
       1L -> "spam ham spam ham spam ham spam ham spam ham", // top 2-gram dominates

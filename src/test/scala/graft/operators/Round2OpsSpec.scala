@@ -418,4 +418,45 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(top1 == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
   }
+
+  test("domain_cap_sample: over-cap domain thinned, under-cap kept whole, layout-invariant") {
+    import spark.implicits._
+    def plant(partitions: Int): String = {
+      val dir = Files.createTempDirectory("graft-capsample").toString
+      val rows = (1L to 400L).map(i => (i, s"big doc $i", "big")) ++
+        (401L to 450L).map(i => (i, s"small doc $i", "small"))
+      val df = rows.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("fixture"))
+        .withColumn("n_chars", length($"text").cast("long"))
+      (if (partitions == 1) df.coalesce(1) else df.repartition(partitions))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val a = PipelineOps.domainCapSample(spark, plant(1)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // small (50 <= cap 100): rate 1, kept whole
+    assert(a("small") == ((50L, 50L)), a.toString)
+    // big (400 > cap): rate sqrt(100/400) = 0.5; md5 buckets uniform, so
+    // kept ~ Binomial(400, 0.5) — deterministic, and far from 0 or 400
+    val (bigIn, bigKept) = a("big")
+    assert(bigIn == 400L && bigKept > 150L && bigKept < 250L, a.toString)
+    // acceptance is per-document content, so file layout must not matter
+    val b = PipelineOps.domainCapSample(spark, plant(7)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, s"sample changed with file layout: $a vs $b")
+  }
+
+  test("top_ngrams: document frequency (not term frequency), deterministic tie-break") {
+    val dir = plantDocs(Seq(
+      1L -> "the end is near",
+      // within-doc repeat of "the end" must count ONCE toward df
+      2L -> "the end the end",
+      3L -> "the end again"))
+    val got = TextAnalysis.topNgrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.head == (("the end", 3L)), got.toString)
+    // df=1 bigrams tie: must come back in lexicographic order
+    assert(got.tail == Seq(("end again", 1L), ("end is", 1L),
+      ("end the", 1L), ("is near", 1L)), got.toString)
+  }
 }
