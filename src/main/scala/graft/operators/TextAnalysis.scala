@@ -211,7 +211,13 @@ object TextAnalysis {
   def topNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bigram"))
+      .repartition($"doc_id") // single-file fixture: unlock parallelism
+      // toks as its own projected column: inlining tokens() into shingles
+      // re-runs the regexp split once PER SHINGLE inside the transform
+      // lambda (the Dedup2.shingleSets fusion trap; 4x on this query) —
+      // CollapseProject keeps a multiply-referenced expensive alias.
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode(shingles($"toks", 2)).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("df"))
       .orderBy($"df".desc, $"bigram")
