@@ -287,32 +287,48 @@ object Curation {
   private[graft] val CascadeMaxChars  = 450
   private[graft] val CascadePunctMax  = 0.10
   private[graft] val CascadeStopMin   = 0.03
-  def filterCascade(s: SparkSession, d: String): DataFrame = {
+
+  /** Per-rule cascade aggregates over any documents frame. This is the
+    * per-micro-batch unit of the streaming spelling: a document's verdict
+    * depends only on the document, and count/sum/min are associative, so
+    * batch-sliced aggregates merge into exactly the whole-corpus answer. */
+  private[graft] def cascadeVerdictAgg(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val toks = tokens($"text")
-    val scored = Tables.documents(s, d).select(
+    docs.select(
       $"doc_id", $"lang", $"n_chars",
       length($"text").as("len"), size(toks).as("nt"),
       stopwordRatio(toks).as("sr"), punctRatio($"text").as("pr"))
-    val verdict = scored.withColumn("rule",
-      when($"nt" < CascadeMinTokens, "too_short")
-        .when($"len" > CascadeMaxChars, "too_long")
-        .when($"pr" > CascadePunctMax, "high_punct")
-        .when($"lang" === "en" && $"sr" < CascadeStopMin, "low_stopword")
-        .otherwise("pass"))
+      .withColumn("rule",
+        when($"nt" < CascadeMinTokens, "too_short")
+          .when($"len" > CascadeMaxChars, "too_long")
+          .when($"pr" > CascadePunctMax, "high_punct")
+          .when($"lang" === "en" && $"sr" < CascadeStopMin, "low_stopword")
+          .otherwise("pass"))
       .groupBy($"rule")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
         min($"doc_id").as("first_doc"))
+  }
+
+  /** The published attrition table: every stage listed in cascade order,
+    * zero rows included, from a per-rule aggregate frame. */
+  private[graft] def cascadeReport(perRule: DataFrame): DataFrame = {
+    val s = perRule.sparkSession
+    import s.implicits._
     val stages = Seq(
       (1, "too_short"), (2, "too_long"), (3, "high_punct"),
       (4, "low_stopword"), (5, "pass")).toDF("stage", "rule")
-    stages.join(verdict, Seq("rule"), "left")
+    stages.join(perRule, Seq("rule"), "left")
       .select($"stage", $"rule",
         coalesce($"n_docs", lit(0L)).as("n_docs"),
         coalesce($"n_chars", lit(0L)).as("n_chars"),
         $"first_doc")
       .orderBy($"stage")
   }
+
+  def filterCascade(s: SparkSession, d: String): DataFrame =
+    cascadeReport(cascadeVerdictAgg(Tables.documents(s, d)))
   val filterCascadeSql: String = {
     val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     raw"""WITH scored AS (

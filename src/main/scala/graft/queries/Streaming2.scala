@@ -371,12 +371,58 @@ object Streaming2 {
     s.table(sinkName).orderBy($"doc_id", $"chunk_id")
   }
 
+  // ------------------------------------------- attrition at ingest
+  /** Streaming quality-filter cascade: documents arrive through the push
+    * source (3 staged files, 1 per trigger ⇒ 3 micro-batches); each
+    * micro-batch runs the SAME verdict logic as the batch operator
+    * ([[graft.operators.Curation.cascadeVerdictAgg]]) and appends its
+    * per-rule aggregates; the final report merges them (count/sum/min
+    * are associative, so batch slicing cannot change the table) and must
+    * hash-equal the batch cascade of the same corpus — the gate row
+    * shares `filter_cascade`'s DuckDB oracle. This is the attrition
+    * accounting a production ingest pipeline keeps LIVE: the report is
+    * incrementally maintained as data lands, not recomputed. */
+  def streamFilterCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runId = s"cascade${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.documents(s, dir).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
+    val query = s.readStream.format("graft-files").schema(documentsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val agg = graft.operators.Curation.cascadeVerdictAgg(batch)
+        StreamPlans.capturePlan("stream_filter_cascade", agg)
+        agg.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    val merged = s.read.parquet(outDir).groupBy($"rule")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"first_doc").as("first_doc"))
+    graft.operators.Curation.cascadeReport(merged)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> streamSessionWindow _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_mgws_session" -> streamMgwsSession _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
     "stream_chunk_documents" -> streamChunkDocuments _,
+    "stream_filter_cascade" -> streamFilterCascade _,
   )
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
@@ -386,5 +432,8 @@ object Streaming2 {
     // stateless parity: the stream must land exactly the batch chunker's
     // rows, so it shares chunk_documents' oracle verbatim
     "stream_chunk_documents" -> graft.operators.PipelineOps.chunkDocumentsSql,
+    // merged per-batch aggregates must equal the batch cascade exactly
+    // (associative merge), so it shares filter_cascade's oracle verbatim
+    "stream_filter_cascade" -> graft.operators.Curation.filterCascadeSql,
   )
 }
