@@ -442,6 +442,62 @@ object PipelineOps {
        |      FROM events)
        |WHERE rn <= $StratumN ORDER BY event_type, sample_rank""".stripMargin
 
+  // ------------------------------------------------ split leakage audit
+  /** Train/val split-leakage audit: documents whose normalized text is
+    * byte-identical on BOTH sides of the [[splitTrainVal]] boundary — the
+    * dataset-hygiene check a pipeline runs after every re-ingest, because
+    * a duplicated document whose copies hash to different splits silently
+    * leaks val into train. Reports one row per leaked content group:
+    * representative doc_id, members on each side.
+    *
+    * GATE STAGING (same discipline as `dedup_embedding_cosine_gate`): the
+    * synthetic corpus has zero exact-duplicate texts, so the raw-corpus
+    * report is empty and would prove nothing. The operator therefore runs
+    * on the corpus plus deterministic copies (doc_id + 1,000,000 of ids
+    * < 60); each copy lands in whatever split its NEW id hashes to, so
+    * ~18% of groups straddle the boundary — a non-vacuous expected set
+    * the oracle replays exactly.
+    *
+    * Scale shape: one hash aggregation keyed by the 64-bit content
+    * fingerprint (8-byte shuffle key, never the text; the oracle groups
+    * by the normalized string itself, so a fingerprint collision would
+    * surface as a gate mismatch — same argument as
+    * `text_fingerprint_groups`). The split flag is a pure map. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val staged = docs.unionByName(
+      docs.filter($"doc_id" < 60).select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    val bucket = pmod(
+      conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+    staged
+      .withColumn("is_train", bucket < 90)
+      .groupBy(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("rep_id"),
+        sum(when($"is_train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(!$"is_train", 1L).otherwise(0L)).as("n_val"))
+      .filter($"n_train" > 0 && $"n_val" > 0)
+      .select($"rep_id", $"n_train", $"n_val")
+      .orderBy($"rep_id")
+  }
+  val splitLeakageSql: String =
+    raw"""WITH staged AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
+         |), flagged AS (
+         |  SELECT doc_id, text,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 AS is_train
+         |  FROM staged
+         |), grouped AS (
+         |  SELECT MIN(doc_id) AS rep_id,
+         |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+         |  FROM flagged
+         |  GROUP BY array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' '))
+         |SELECT rep_id, n_train, n_val FROM grouped
+         |WHERE n_train > 0 AND n_val > 0 ORDER BY rep_id""".stripMargin
+
   // -------------------------------------------- domain soft-cap sampling
   /** Temperature-style domain rebalancing: any language ("domain") with
     * more than [[DomainCap]] documents is downsampled with acceptance
@@ -500,6 +556,7 @@ object PipelineOps {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "split_leakage" -> splitLeakage _,
     "domain_cap_sample" -> domainCapSample _,
     "budget_select" -> budgetSelect _,
     "chunk_documents" -> chunkDocuments _,
@@ -514,6 +571,7 @@ object PipelineOps {
     "train_order" -> trainOrder _,
   )
   val oracles: Map[String, String] = Map(
+    "split_leakage" -> splitLeakageSql,
     "domain_cap_sample" -> domainCapSampleSql,
     "budget_select" -> budgetSelectSql,
     "chunk_documents" -> chunkDocumentsSql,

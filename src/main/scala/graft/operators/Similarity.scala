@@ -382,7 +382,73 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------ embedding decontamination
+  /** Embedding-space eval-set leakage report: for every held-out eval
+    * vector (vec_id % 10 == 7 — the same held-out convention as the
+    * n-gram `decontaminate`), how many TRAINING vectors sit within
+    * cosine >= [[EmbContamTau]], the maximum train cosine, and the
+    * nearest training vector (ties to the smallest vec_id). Every eval
+    * vector reports — an eval item with zero leaks is a row, so the
+    * report's size is the eval-set size, not data-dependent. This is the
+    * semantic companion to the n-gram decontaminate: paraphrased
+    * benchmark leaks share no 8-gram but do share an embedding
+    * neighborhood.
+    *
+    * Scale shape: the eval slice is CONSTANT-SIZE by construction
+    * (vec_id < [[EmbEvalCutoff]] on top of the %10 convention — at most
+    * 100 rows at any corpus scale, the way a benchmark eval set is fixed
+    * while the training corpus grows), so it broadcasts like a probe
+    * set — ONE pass over the training corpus, no corpus shuffle; the
+    * pairs frame streams through the per-eval window + aggregation. The
+    * threshold 0.45 sits below the sign-LSH family's reliable-recall
+    * regime (the 16-table 6-bit index would miss ~29% of true
+    * 0.45-pairs), so the broadcast pass IS the honest spelling, not a
+    * missed-index shortcut. */
+  private[graft] val EmbContamTau = 0.45
+  private[graft] val EmbEvalCutoff = 1000L
+  def decontaminateEmb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .repartition($"vec_id") // single-file fixture: unlock parallelism
+      .withColumn("vn", norm($"embedding"))
+    val eval = emb.filter($"vec_id" % 10 === 7 && $"vec_id" < EmbEvalCutoff)
+      .select($"vec_id".as("eval_id"), $"embedding".as("qv"), $"vn".as("qn"))
+    val train = emb.filter($"vec_id" % 10 =!= 7)
+    val scored = train.crossJoin(broadcast(eval))
+      .withColumn("sim", round(dot($"qv", $"embedding") / ($"vn" * $"qn"), 6))
+    val w = Window.partitionBy($"eval_id").orderBy($"sim".desc, $"vec_id")
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy($"eval_id")
+      .agg(sum(when($"sim" >= EmbContamTau, 1L).otherwise(0L)).as("n_leaks"),
+        max($"sim").as("max_sim"),
+        min(when($"rn" === 1, $"vec_id")).as("nearest_train_id"))
+      .orderBy($"eval_id")
+  }
+  val decontaminateEmbSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 10 = 7 AND vec_id < $EmbEvalCutoff
+       |), scored AS (
+       |  SELECT ev.eval_id, t.vec_id,
+       |    ROUND(
+       |      list_sum(list_transform(range(1, len(t.embedding)+1),
+       |        k -> CAST(t.embedding[k] AS DOUBLE) * CAST(ev.qv[k] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(t.embedding)+1),
+       |           k -> CAST(t.embedding[k] AS DOUBLE) * CAST(t.embedding[k] AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(range(1, len(ev.qv)+1),
+       |           k -> CAST(ev.qv[k] AS DOUBLE) * CAST(ev.qv[k] AS DOUBLE))))), 6) AS sim
+       |  FROM embeddings t CROSS JOIN ev WHERE t.vec_id % 10 <> 7
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT eval_id,
+       |  CAST(SUM(CASE WHEN sim >= $EmbContamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
+       |  MAX(sim) AS max_sim,
+       |  MIN(CASE WHEN rn = 1 THEN vec_id END) AS nearest_train_id
+       |FROM ranked GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_emb" -> decontaminateEmb _,
     "ann_topk_brute" -> annTopKBrute _,
     // production operator, corpus-faithful (empty on the raw fixture —
     // still hash-gated: an LSH false positive would fail the row)
@@ -393,6 +459,7 @@ object Similarity {
     "ann_topk_ivf" -> annTopKIvf _,
   )
   val oracles: Map[String, String] = Map(
+    "decontaminate_emb" -> decontaminateEmbSql,
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_cosine_gate" -> dedupEmbeddingCosineGateSql,

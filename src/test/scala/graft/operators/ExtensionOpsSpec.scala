@@ -163,6 +163,31 @@ class ExtensionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.10, s"ADC recall collapsed below the code-budget floor: $recall")
   }
 
+  test("decontaminate_emb: planted leak counted, clean eval vector still reports zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-decon").toString
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // eval ids are % 10 == 7: id 7 gets an exact train copy (id 3 -> sim
+    // 1.0); id 17 is random, so far from everything (64-dim gaussians
+    // concentrate near orthogonal). Filler train ids skip % 10 == 7.
+    val leakTarget = vec()
+    val rows = Seq(7L -> leakTarget, 3L -> leakTarget, 17L -> vec()) ++
+      (20L to 50L).filter(_ % 10 != 7).map(_ -> vec())
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.decontaminateEmb(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(7L, 17L), s"every eval vector must report: $got")
+    val (leaks7, max7, near7) = got(7L)
+    assert(leaks7 == 1L && max7 == 1.0 && near7 == 3L,
+      s"planted exact-copy leak not reported: $got")
+    val (leaks17, max17, _) = got(17L)
+    assert(leaks17 == 0L, s"clean eval vector reported a leak: $got")
+    assert(max17 < Similarity.EmbContamTau,
+      s"clean eval vector's max cosine must sit below the threshold: $got")
+  }
+
   test("dedup_embedding_cosine finds planted near-dups without a cartesian plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString

@@ -419,6 +419,30 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top1 == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
   }
 
+  test("split_leakage: reports exactly the groups whose copies straddle the split") {
+    // independent md5 reimplementation of the split rule: the test derives
+    // the expected leak set without calling any operator code
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def isTrain(id: Long): Boolean = bucket(id) < 90
+    val dir = plantDocs((1L to 10L).map(i => i -> s"unique text body number $i"))
+    // the operator stages a copy (id + 1,000,000) of every doc_id < 60;
+    // a group leaks iff original and copy land on different sides
+    val expected = (1L to 10L)
+      .filter(i => isTrain(i) != isTrain(i + 1000000L)).toSet
+    val got = PipelineOps.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == expected, s"leaked groups: $got expected reps $expected")
+    got.foreach { case (rep, nTrain, nVal) =>
+      assert(nTrain == 1L && nVal == 1L, s"each planted group is 1 orig + 1 copy: $got")
+      assert(rep <= 10L, s"representative must be the original id: $got")
+    }
+  }
+
   test("domain_cap_sample: over-cap domain thinned, under-cap kept whole, layout-invariant") {
     import spark.implicits._
     def plant(partitions: Int): String = {
