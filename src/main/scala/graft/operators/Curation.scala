@@ -260,6 +260,66 @@ object Curation {
          |FROM pairs
          |ORDER BY lift DESC, tok_a, tok_b LIMIT $TopPairs""".stripMargin
 
+  // ---------------------------------------------- duplication fraction
+  /** Per-document cross-corpus duplication fraction (the Gopher-family
+    * "fraction of n-grams also found elsewhere" signal): of a document's
+    * distinct [[DupFracN]]-grams, how many occur in at least one OTHER
+    * document — a high fraction marks boilerplate-heavy or templated
+    * documents that per-doc repetition metrics ([[textRepetition]])
+    * cannot see because the repetition is across documents. Every
+    * document reports (a doc shorter than the gram order reports zero
+    * grams and a NULL fraction).
+    *
+    * Scale shape: distinct (doc, 60-bit gram key) pairs — an 8-byte
+    * shuffle key, never the gram text — one vocabulary-sized hash agg
+    * for document frequency, one equi-join back (each pair matches
+    * exactly one df row, so there is no fan-out to skew), one per-doc
+    * hash agg. The fraction is one exact-integer IEEE division. */
+  private[graft] val DupFracN = 3
+  def docDupFrac(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .repartition($"doc_id") // single-file fixture: unlock parallelism
+      .withColumn("t", tokens($"text"))
+      .select($"doc_id", explode(ngrams($"t", DupFracN)).as("g"))
+      .select($"doc_id", gramKey($"g").as("k"))
+      .distinct()
+    val dfreq = grams.groupBy($"k").agg(count(lit(1)).as("df"))
+    val per = grams.join(dfreq, "k")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when($"n_grams" > 0, $"n_dup".cast("double") / $"n_grams"))
+      .orderBy($"doc_id")
+  }
+  val docDupFracSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, ${gramKeySql("g")} AS k
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(t) - ${DupFracN - 2}),
+         |                 i -> array_to_string(t[i:i+${DupFracN - 1}], ' '))) AS g
+         |        FROM toks WHERE len(t) >= $DupFracN)
+         |), dfreq AS (
+         |  SELECT k, COUNT(*) AS df FROM grams GROUP BY k
+         |), per AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM grams g JOIN dfreq f ON g.k = f.k GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+         |       THEN CAST(p.n_dup AS DOUBLE) / p.n_grams END AS dup_frac
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ quality-filter cascade
   /** Quality-filter cascade with attrition accounting: every document gets
     * the FIRST rule it fails (or `pass`), and the result is the per-rule
@@ -360,6 +420,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,
+    "doc_dup_frac" -> docDupFrac _,
     "filter_cascade" -> filterCascade _,
     "text_repetition" -> textRepetition _,
     "text_cooccur" -> textCooccur _,
@@ -369,6 +430,7 @@ object Curation {
     // identical semantics by construction (bloom is a pre-filter only;
     // the exact join runs on survivors) => shares the exact oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "doc_dup_frac" -> docDupFracSql,
     "filter_cascade" -> filterCascadeSql,
     "text_repetition" -> textRepetitionSql,
     "text_cooccur" -> textCooccurSql,

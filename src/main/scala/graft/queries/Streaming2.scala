@@ -381,7 +381,10 @@ object Streaming2 {
     * hash-equal the batch cascade of the same corpus — the gate row
     * shares `filter_cascade`'s DuckDB oracle. This is the attrition
     * accounting a production ingest pipeline keeps LIVE: the report is
-    * incrementally maintained as data lands, not recomputed. */
+    * incrementally maintained as data lands, not recomputed. Per-batch
+    * output is batch-id-addressed and overwritten (the idempotent-sink
+    * pattern `ScalePatternsSpec` pins), so a retried micro-batch cannot
+    * double-count its slice. */
   def streamFilterCascade(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val runId = s"cascade${seq.incrementAndGet()}_${System.nanoTime()}"
@@ -400,10 +403,12 @@ object Streaming2 {
       .option("maxFilesPerTrigger", "1")
       .load()
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val agg = graft.operators.Curation.cascadeVerdictAgg(batch)
         StreamPlans.capturePlan("stream_filter_cascade", agg)
-        agg.write.mode("append").parquet(outDir)
+        // batch-id-addressed + overwrite: a retried micro-batch replaces
+        // its own directory instead of double-counting the attrition
+        agg.write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-$runId-cp").toString)

@@ -161,6 +161,40 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byRule("pass") == ((2L, 6L)), byRule.toString)
   }
 
+  test("doc_dup_frac: cross-doc trigrams counted, within-doc repeats distinct, short docs null") {
+    val dir = plantDocs(Seq(
+      1L -> "a b c x1 x2",          // shares "a b c" with doc 2 -> 1 of 3
+      2L -> "z1 a b c z2",          // shares "a b c" with doc 1 -> 1 of 3
+      3L -> "u1 u2 u3 u4",          // fully unique -> 0 of 2
+      4L -> "t1 t2",                // shorter than the gram order
+      5L -> "r1 r2 r3 q r1 r2 r3")) // repeated trigram counts ONCE (4 distinct)
+    val got = Curation.docDupFrac(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3)), got.toString)
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)), got.toString)
+    assert(got(3L) == ((2L, 0L, 0.0)), got.toString)
+    assert(got(4L) == ((0L, 0L, -1.0)), s"short doc must report zero grams + NULL frac: $got")
+    assert(got(5L) == ((4L, 0L, 0.0)), s"within-doc repeat must count once: $got")
+  }
+
+  test("filter_cascade conserves the corpus: attrition rows partition docs and chars") {
+    // on ANY input, every document falls to exactly one rule, so the
+    // attrition table's totals must equal the corpus totals exactly
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (nDocs, nChars) = {
+      val r = docs.agg(count(lit(1)), sum("n_chars")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val rows = Curation.filterCascade(spark, dir).collect()
+    assert(rows.map(_.getLong(2)).sum == nDocs,
+      s"attrition docs don't partition the corpus: ${rows.mkString(", ")}")
+    assert(rows.map(_.getLong(3)).sum == nChars,
+      s"attrition chars don't partition the corpus: ${rows.mkString(", ")}")
+    assert(rows.length == 5, "every stage must be listed exactly once")
+  }
+
   test("text_repetition scores a looping doc high and a diverse doc low") {
     val dir = plantDocs(Seq(
       1L -> "spam ham spam ham spam ham spam ham spam ham", // top 2-gram dominates

@@ -470,6 +470,19 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, s"sample changed with file layout: $a vs $b")
   }
 
+  test("domain_cap_sample conserves counts: kept <= in per domain, ins sum to the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val rows = PipelineOps.domainCapSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == total, s"n_in must partition the corpus: ${rows.mkString(", ")}")
+    rows.foreach { case (lang, nIn, nKept) =>
+      assert(nKept <= nIn, s"$lang kept more than arrived: ${rows.mkString(", ")}")
+      if (nIn <= PipelineOps.DomainCap)
+        assert(nKept == nIn, s"under-cap domain $lang must keep everything: ${rows.mkString(", ")}")
+    }
+  }
+
   test("top_ngrams: document frequency (not term frequency), deterministic tie-break") {
     val dir = plantDocs(Seq(
       1L -> "the end is near",
