@@ -399,7 +399,10 @@ object Similarity {
     * 100 rows at any corpus scale, the way a benchmark eval set is fixed
     * while the training corpus grows), so it broadcasts like a probe
     * set — ONE pass over the training corpus, no corpus shuffle; the
-    * pairs frame streams through the per-eval window + aggregation. The
+    * pairs frame streams through a pure hash aggregation (map-side
+    * partial combine — the shuffle carries at most |eval| rows per map
+    * partition; the nearest-id argmax rides the same agg as an
+    * integer-encoded (sim, -id) max, never a pairs-frame window). The
     * threshold 0.45 sits below the sign-LSH family's reliable-recall
     * regime (the 16-table 6-bit index would miss ~29% of true
     * 0.45-pairs), so the broadcast pass IS the honest spelling, not a
@@ -416,12 +419,23 @@ object Similarity {
     val train = emb.filter($"vec_id" % 10 =!= 7)
     val scored = train.crossJoin(broadcast(eval))
       .withColumn("sim", round(dot($"qv", $"embedding") / ($"vn" * $"qn"), 6))
-    val w = Window.partitionBy($"eval_id").orderBy($"sim".desc, $"vec_id")
-    scored.withColumn("rn", row_number().over(w))
+    // argmax WITHOUT a window: a per-eval window would shuffle the whole
+    // |train| x |eval| pairs frame on eval_id; instead encode
+    // (sim, -vec_id) into one BIGINT (sim is already 6dp, so micro-sims
+    // are exact integers; vec_id < 2^33) and take max() — a hash agg
+    // with map-side partial combine, so the shuffle carries at most
+    // |eval| rows per map partition. max key = highest sim, ties to the
+    // smallest vec_id; the id is recovered by integer arithmetic.
+    val simMicro = round($"sim" * 1e6).cast("long")
+    scored
+      .withColumn("k", simMicro * 8589934592L - $"vec_id") // 2^33
       .groupBy($"eval_id")
       .agg(sum(when($"sim" >= EmbContamTau, 1L).otherwise(0L)).as("n_leaks"),
         max($"sim").as("max_sim"),
-        min(when($"rn" === 1, $"vec_id")).as("nearest_train_id"))
+        max($"k").as("max_k"))
+      .withColumn("nearest_train_id",
+        round($"max_sim" * 1e6).cast("long") * 8589934592L - $"max_k")
+      .select($"eval_id", $"n_leaks", $"max_sim", $"nearest_train_id")
       .orderBy($"eval_id")
   }
   val decontaminateEmbSql: String =
@@ -438,14 +452,15 @@ object Similarity {
        |        * sqrt(list_sum(list_transform(range(1, len(ev.qv)+1),
        |           k -> CAST(ev.qv[k] AS DOUBLE) * CAST(ev.qv[k] AS DOUBLE))))), 6) AS sim
        |  FROM embeddings t CROSS JOIN ev WHERE t.vec_id % 10 <> 7
-       |), ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY sim DESC, vec_id) AS rn
-       |  FROM scored)
-       |SELECT eval_id,
-       |  CAST(SUM(CASE WHEN sim >= $EmbContamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
-       |  MAX(sim) AS max_sim,
-       |  MIN(CASE WHEN rn = 1 THEN vec_id END) AS nearest_train_id
-       |FROM ranked GROUP BY eval_id ORDER BY eval_id""".stripMargin
+       |), agg AS (
+       |  SELECT eval_id,
+       |    CAST(SUM(CASE WHEN sim >= $EmbContamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
+       |    MAX(sim) AS max_sim,
+       |    MAX(CAST(round(sim * 1e6) AS BIGINT) * 8589934592 - vec_id) AS max_k
+       |  FROM scored GROUP BY eval_id)
+       |SELECT eval_id, n_leaks, max_sim,
+       |  CAST(round(max_sim * 1e6) AS BIGINT) * 8589934592 - max_k AS nearest_train_id
+       |FROM agg ORDER BY eval_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate_emb" -> decontaminateEmb _,
