@@ -523,36 +523,37 @@ object PipelineOps {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
-    val kept = docs.join(broadcast(counts), "lang")
-      .withColumn("u",
-        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long").cast("double") / 65536.0)
-      .withColumn("rate", least(lit(1.0), sqrt(lit(DomainCap.toDouble) / $"n_in")))
-      .filter($"u" < $"rate")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"),
-        min($"doc_id").as("first_kept"))
-    counts.join(kept, Seq("lang"), "left")
-      .select($"lang", $"n_in",
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        coalesce($"chars_kept", lit(0L)).as("chars_kept"),
-        $"first_kept")
+    // ONE verdict pass: the accept flag and the report ride the same
+    // conditional aggregation, so the corpus is scanned exactly twice
+    // (tiny counts agg + this) — no post-filter regroup, no report-side
+    // re-join, and a domain that keeps nothing still reports (its
+    // conditional aggregates go to 0/NULL naturally)
+    val accept =
+      conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+        .cast("long").cast("double") / 65536.0 <
+        least(lit(1.0), sqrt(lit(DomainCap.toDouble) / $"n_in"))
+    docs.join(broadcast(counts), "lang")
+      .groupBy($"lang", $"n_in")
+      .agg(sum(when(accept, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(accept, $"n_chars")), lit(0L)).as("chars_kept"),
+        min(when(accept, $"doc_id")).as("first_kept"))
+      .select($"lang", $"n_in", $"n_kept", $"chars_kept", $"first_kept")
       .orderBy($"lang")
   }
   val domainCapSampleSql: String =
     s"""WITH counts AS (
        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in FROM documents GROUP BY lang
-       |), kept AS (
-       |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
-       |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept, MIN(d.doc_id) AS first_kept
-       |  FROM documents d JOIN counts c ON d.lang = c.lang
-       |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS DOUBLE) / 65536.0
-       |        < least(1.0, sqrt($DomainCap.0 / c.n_in))
-       |  GROUP BY d.lang)
-       |SELECT c.lang, c.n_in, COALESCE(k.n_kept, 0) AS n_kept,
-       |  COALESCE(k.chars_kept, 0) AS chars_kept, k.first_kept
-       |FROM counts c LEFT JOIN kept k ON c.lang = k.lang
-       |ORDER BY c.lang""".stripMargin
+       |), flagged AS (
+       |  SELECT d.lang, c.n_in, d.doc_id, d.n_chars,
+       |    CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS DOUBLE) / 65536.0
+       |      < least(1.0, sqrt($DomainCap.0 / c.n_in)) AS accept
+       |  FROM documents d JOIN counts c ON d.lang = c.lang)
+       |SELECT lang, n_in,
+       |  CAST(SUM(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN accept THEN n_chars END), 0) AS BIGINT) AS chars_kept,
+       |  MIN(CASE WHEN accept THEN doc_id END) AS first_kept
+       |FROM flagged GROUP BY lang, n_in
+       |ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
