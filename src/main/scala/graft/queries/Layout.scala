@@ -446,8 +446,35 @@ object Layout {
       |WHERE dim.category = 'conversion'
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Per-customer order rollup straight off the bucketed layout: the
+    * 8-bucket o_custkey layout already satisfies the aggregation's
+    * distribution requirement, so the plan contains NO hash exchange at
+    * all — the per-key rollup a 100 TB fact table serves shuffle-free
+    * when it is stored pre-bucketed on the rollup key (the agg sibling
+    * of q46's shuffle-free join; over raw parquet the same rollup
+    * shuffles the whole table). The only exchange is the presentation
+    * sort. The oracle runs against the ORIGINAL orders table, so the
+    * gate also re-proves the bucketed rewrite lossless. */
+  def q54BucketedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ot, _) = bucketedTables(s, d)
+    s.table(ot)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_spend"),
+        min($"o_orderkey").as("first_order"))
+      .orderBy($"o_custkey")
+  }
+  val q54Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+      |  MIN(o_orderkey) AS first_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q54_bucketed_agg" -> q54BucketedAgg _,
     "q46_bucketed_join" -> q46BucketedJoin _,
     "q47_partition_prune" -> q47PartitionPrune _,
     "q48_skew_join" -> q48SkewJoin _,
@@ -457,6 +484,7 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_bucketed_agg" -> q54Sql,
     "q46_bucketed_join" -> q46Sql,
     "q47_partition_prune" -> q47Sql,
     "q48_skew_join" -> q48Sql,

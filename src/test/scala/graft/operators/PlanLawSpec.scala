@@ -110,6 +110,10 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       p => p.contains("might_contain") && !p.contains("UDF(")),
     ("q53_bloom_join", "bloom built DISTRIBUTED: partial+final bloom_filter_agg, no driver collect",
       p => p.contains("partial_bloom_filter_agg") && p.contains("bloom_filter_agg")),
+    ("q54_bucketed_agg", "aggregation rides the bucketed layout: no hash exchange anywhere",
+      !_.contains("Exchange hashpartitioning")),
+    ("q54_bucketed_agg", "scan is bucket-aware",
+      _.contains("Bucketed: true")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
       p => {
         val ex = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
