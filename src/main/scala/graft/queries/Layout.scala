@@ -472,8 +472,39 @@ object Layout {
       |  MIN(o_orderkey) AS first_order
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Per-customer windowed order features (order index, previous spend)
+    * straight off the bucketed layout: Window's ClusteredDistribution on
+    * o_custkey is satisfied by the bucketed scan, so the plan contains
+    * NO hash exchange — only the cheap in-partition sort the window's
+    * ordering needs. This is the per-entity sequence-feature extraction
+    * a training pipeline runs constantly (per-user event features, per-
+    * document revision features); stored pre-bucketed on the entity key
+    * it never shuffles the fact table. */
+  def q55BucketedWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ot, _) = bucketedTables(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderkey")
+    s.table(ot)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).as("order_idx"),
+        coalesce(lag(dec($"o_totalprice"), 1).over(w), lit(BigDecimal(0)).cast(D))
+          .cast("double").as("prev_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val q55Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS order_idx,
+      |  CAST(COALESCE(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w,
+      |                CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS prev_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q55_bucketed_window" -> q55BucketedWindow _,
     "q54_bucketed_agg" -> q54BucketedAgg _,
     "q46_bucketed_join" -> q46BucketedJoin _,
     "q47_partition_prune" -> q47PartitionPrune _,
@@ -484,6 +515,7 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_bucketed_window" -> q55Sql,
     "q54_bucketed_agg" -> q54Sql,
     "q46_bucketed_join" -> q46Sql,
     "q47_partition_prune" -> q47Sql,

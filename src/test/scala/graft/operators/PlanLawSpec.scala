@@ -114,6 +114,10 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       !_.contains("Exchange hashpartitioning")),
     ("q54_bucketed_agg", "scan is bucket-aware",
       _.contains("Bucketed: true")),
+    ("q55_bucketed_window", "window rides the bucketed layout: no hash exchange anywhere",
+      p => !p.contains("Exchange hashpartitioning") && p.contains("Window")),
+    ("q55_bucketed_window", "scan is bucket-aware",
+      _.contains("Bucketed: true")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
       p => {
         val ex = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
