@@ -555,7 +555,66 @@ object Relational2 {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ----------------------------------------------------------------
+  // ---------------------------------------------------------------- q56
+  /** Ordered funnel analysis: users progressing view → click → purchase
+    * IN ORDER, each later step strictly after the user's FIRST occurrence
+    * of the previous step (the standard product-analytics funnel; order
+    * matters — a purchase before the first view does not convert). Every
+    * funnel depth reports, zeros included.
+    *
+    * Scale shape: one narrow filtered pass per step, each a per-user
+    * hash agg (map-side combined); the step joins are user-level frames
+    * meeting on the user key — the raw events table is never joined to
+    * itself. All event-time arithmetic in micros (the engines' common
+    * precision; see [[tsUs]]). */
+  def q56Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", tsUs.as("us"))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"us" > $"t1").groupBy($"user_id").agg(min($"us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"us" > $"t2").groupBy($"user_id").agg(min($"us").as("t3"))
+    val reached = s1.select(lit(1).as("depth"), $"user_id")
+      .unionByName(s2.select(lit(2).as("depth"), $"user_id"))
+      .unionByName(s3.select(lit(3).as("depth"), $"user_id"))
+      .groupBy($"depth")
+      .agg(count(lit(1)).as("n_users"), min($"user_id").as("first_user"))
+    Seq((1, "view"), (2, "view>click"), (3, "view>click>purchase"))
+      .toDF("depth", "step")
+      .join(reached, Seq("depth"), "left")
+      .select($"depth", $"step",
+        coalesce($"n_users", lit(0L)).as("n_users"), $"first_user")
+      .orderBy($"depth")
+  }
+  val q56Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |  GROUP BY e.user_id
+      |), reached AS (
+      |  SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users, MIN(user_id) AS first_user
+      |  FROM (SELECT 1 AS depth, user_id FROM s1
+      |        UNION ALL SELECT 2, user_id FROM s2
+      |        UNION ALL SELECT 3, user_id FROM s3)
+      |  GROUP BY depth)
+      |SELECT d.depth, d.step, COALESCE(r.n_users, 0) AS n_users, r.first_user
+      |FROM (VALUES (1, 'view'), (2, 'view>click'), (3, 'view>click>purchase')) AS d(depth, step)
+      |LEFT JOIN reached r ON d.depth = r.depth
+      |ORDER BY d.depth""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_funnel" -> q56Funnel _,
     "q33_percentiles" -> q33Percentiles _,
     "q34_asof_join" -> q34AsofJoin _,
     "q35_range_join" -> q35RangeJoin _,
@@ -576,6 +635,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_funnel" -> q56Sql,
     "q33_percentiles" -> q33Sql,
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,

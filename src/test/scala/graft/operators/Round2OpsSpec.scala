@@ -419,6 +419,26 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top1 == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
   }
 
+  test("q56_funnel: strict order required, same-microsecond is not 'after', zeros report") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val us = 1000L // one microsecond in nanos
+    Seq(
+      (1L, "view", 1 * us), (1L, "click", 2 * us), (1L, "purchase", 3 * us), // full funnel
+      (2L, "purchase", 1 * us), (2L, "view", 2 * us), (2L, "click", 3 * us), // purchase BEFORE view -> depth 2
+      (3L, "view", 1 * us),                                                  // depth 1
+      (4L, "click", 1 * us),                                                 // never viewed -> depth 0
+      (5L, "view", 1 * us), (5L, "click", 1 * us))                           // same microsecond: NOT after -> depth 1
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational2.q56Funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1) == ((4L, 1L)), s"depth 1 must be users 1,2,3,5: $got")
+    assert(got(2) == ((2L, 1L)), s"depth 2 must be users 1,2 (order within later steps ok): $got")
+    assert(got(3) == ((1L, 1L)), s"depth 3 must be user 1 only (user 2's purchase precedes the view): $got")
+  }
+
   test("split_leakage: reports exactly the groups whose copies straddle the split") {
     // independent md5 reimplementation of the split rule: the test derives
     // the expected leak set without calling any operator code
