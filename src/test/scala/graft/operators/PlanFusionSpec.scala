@@ -55,7 +55,8 @@ class PlanFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_substrings", "decontaminate", "dsir_resample", "text_cooccur",
     "text_repetition", "text_quality", "text_lang_id", "text_token_count",
     "text_fingerprint_groups", "text_perplexity", "tfidf_top_terms",
-    "pii_redact", "corpus_stats", "top_ngrams", "filter_cascade")
+    "pii_redact", "corpus_stats", "top_ngrams", "filter_cascade",
+    "doc_dup_frac", "budget_select", "split_leakage")
 
   test("no tokenizer is fused into a lambda body in any text query plan") {
     val offenders = tokenizingQueries.flatMap { name =>
