@@ -613,7 +613,48 @@ object Relational2 {
       |LEFT JOIN reached r ON d.depth = r.depth
       |ORDER BY d.depth""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Revenue share per nation: each nation's revenue joined against the
+    * grand total derived FROM THE SAME aggregated frame. Spark's
+    * ReuseExchange rule detects the two identical shuffles and executes
+    * ONE — the share-a-shuffle pattern that matters at 100 TB whenever a
+    * report needs both group-level and whole-corpus figures (the naive
+    * spelling shuffles the fact table twice). The plan law pins the
+    * `ReusedExchange` node. The grand total is a one-row frame, so the
+    * share join broadcasts. */
+  def q57ReuseExchange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // same proven-portable revenue arithmetic as q26 (decimal term, double out)
+    val term = (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+      .cast(DecimalType(18, 4))
+    // decimals all the way to the output casts: a double grand total would
+    // be summation-order-dependent (house rule — see Relational scaladoc)
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(term).as("rev_dec"))
+    val total = rev.agg(sum($"rev_dec").as("total_dec"))
+    rev.crossJoin(total)
+      .select($"n_name", $"rev_dec".cast("double").as("revenue"),
+        ($"rev_dec".cast("double") / $"total_dec".cast("double")).as("share"))
+      .orderBy($"n_name")
+  }
+  val q57Sql: String = {
+    val rev = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+    s"""WITH rev AS (
+       |  SELECT n_name, SUM($rev) AS rev_dec
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY n_name)
+       |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+       |  CAST(rev_dec AS DOUBLE) / CAST((SELECT SUM(rev_dec) FROM rev) AS DOUBLE) AS share
+       |FROM rev ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_reuse_exchange" -> q57ReuseExchange _,
     "q56_funnel" -> q56Funnel _,
     "q33_percentiles" -> q33Percentiles _,
     "q34_asof_join" -> q34AsofJoin _,
@@ -635,6 +676,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_reuse_exchange" -> q57Sql,
     "q56_funnel" -> q56Sql,
     "q33_percentiles" -> q33Sql,
     "q34_asof_join" -> q34Sql,

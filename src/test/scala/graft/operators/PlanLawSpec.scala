@@ -48,6 +48,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
     "decontaminate_emb" -> "broadcast eval slice is <= 100 rows by construction (vec_id % 10 == 7 AND vec_id < 1000)",
     "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
+    "q57_reuse_exchange" -> "broadcast side is the ONE-row grand-total aggregate by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
@@ -118,6 +119,8 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       p => !p.contains("Exchange hashpartitioning") && p.contains("Window")),
     ("q55_bucketed_window", "scan is bucket-aware",
       _.contains("Bucketed: true")),
+    ("top_ngrams", "heavy hitters run as TakeOrdered, never a global sort of the vocabulary",
+      _.contains("TakeOrderedAndProject")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
       p => {
         val ex = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
@@ -135,6 +138,16 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (name, law, pred) if !pred(plans(name)) => s"$name: $law"
     }
     assert(broken.isEmpty, s"plan laws broken:\n${broken.mkString("\n")}")
+  }
+
+  test("q57: the grand total reuses the group-by shuffle (ReusedExchange in the executed plan)") {
+    // exchange reuse materializes during adaptive execution, so this law
+    // needs an EXECUTED plan — it cannot ride the unexecuted named sweep
+    val df = graft.queries.Relational2.q57ReuseExchange(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"grand total re-shuffled the fact table instead of reusing the group-by exchange:\n$plan")
   }
 
   test("every scan of a wide table prunes columns (no full-schema reads)") {
