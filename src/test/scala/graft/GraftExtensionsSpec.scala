@@ -17,6 +17,18 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("driver contract: every query has an oracle except the two documented sketch rows") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    val orphanOracles = os -- qs
+    assert(orphanOracles.isEmpty,
+      s"oracle SQL registered for nonexistent queries (typo?): ${orphanOracles.mkString(", ")}")
+    val unoracled = qs -- os
+    assert(unoracled == Set("q42_approx_sketches", "q51_approx_quantiles"),
+      "only the two documented sketch rows may be rows-only " +
+        s"(see SparkEntry scaladoc); found: ${unoracled.mkString(", ")}")
+  }
+
   test("simhash usable from SQL and equals the column API") {
     import spark.implicits._
     import graft.functions.TextFunctions
