@@ -371,7 +371,45 @@ object Clustering {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY subspace"
   }
 
+  // ------------------------------------------------- per-source centroids
+  /** Per-source mean embedding ("domain embedding profiles"): the corpus
+    * fingerprint a curation pipeline tracks per data source — drift in a
+    * source's centroid between ingests flags a content change upstream
+    * before any downstream metric moves. Output is one (source, dim)
+    * row per centroid coordinate, so the gate hashes scalars (no array
+    * cells).
+    *
+    * Scale shape: one doc↔embedding equi-join, a posexplode (pure map,
+    * ×dim fan-out of 8-byte values), and one (source, dim)-keyed hash
+    * agg — map-side combined, output is |sources|·dim rows. The mean
+    * uses the same 2^20 fixed-point sum as the Lloyd loops, so it is one
+    * identical IEEE division on both engines. */
+  def sourceCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    docs.join(emb, $"doc_id" === $"vec_id")
+      .select($"source", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"source", $"pos".cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(round($"x".cast("double") * Q).cast("long")).cast("double")
+          / (count(lit(1)) * Q)).as("mean_val"))
+      .orderBy($"source", $"pos")
+  }
+  val sourceCentroidsSql: String =
+    s"""WITH j AS (
+       |  SELECT d.source, e.embedding FROM documents d
+       |  JOIN embeddings e ON d.doc_id = e.vec_id
+       |), x AS (
+       |  SELECT source, CAST(gs - 1 AS BIGINT) AS pos,
+       |    CAST(round(CAST(embedding[gs] AS DOUBLE) * $Q) AS BIGINT) AS fx
+       |  FROM j, UNNEST(generate_series(1, len(embedding))) AS u(gs))
+       |SELECT source, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / (COUNT(*) * $Q) AS mean_val
+       |FROM x GROUP BY source, pos ORDER BY source, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_centroids" -> sourceCentroids _,
     "emb_kmeans" -> embKmeans _,
     "emb_pq" -> embPq _,
     "ann_topk_pq" -> annTopKPq _,
@@ -380,6 +418,7 @@ object Clustering {
     * makes every step a single identical IEEE operation on both engines,
     * so even iterative clustering is hash-gated. */
   val oracles: Map[String, String] = Map(
+    "source_centroids" -> sourceCentroidsSql,
     "emb_kmeans" -> embKmeansSql,
     "emb_pq" -> embPqSql,
     "ann_topk_pq" -> annTopKPqSql,

@@ -407,6 +407,27 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source_centroids: exact per-source per-dim means, docs without embeddings excluded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-srccent").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc 4 has no embedding row -> source c must not appear
+    Seq(
+      (1L, Array(1.0f, -2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Clustering.sourceCentroids(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((2L, 2.0)), ("a", 1L) -> ((2L, 1.0)),
+      ("b", 0L) -> ((1L, 0.5)), ("b", 1L) -> ((1L, 0.25))), got.toString)
+  }
+
   test("tfidf ranks a document's distinctive term above corpus-common terms") {
     // tf/df: unique terms score 2/1 = 2.0, shared scores 3/3 = 1.0
     val dir = plantDocs(Seq(
