@@ -234,7 +234,53 @@ object TextAnalysis {
          |FROM bg GROUP BY bigram
          |ORDER BY df DESC, bigram LIMIT $NgramTopK""".stripMargin
 
+  // --------------------------------------------- BPE pair-count kernel
+  /** The distributed kernel of BPE tokenizer training: corpus-weighted
+    * adjacent character-pair counts over the word vocabulary, top
+    * [[BpeTopK]] (count desc, pair asc — BPE's deterministic merge pick).
+    * Full vocabulary learning is a driver-coordinated loop of exactly
+    * this kernel (count pairs → merge the top pair → recount), the same
+    * iterate-a-distributed-aggregate pattern as the Lloyd loops in
+    * [[Clustering]]; the kernel is the part that touches corpus-scale
+    * data, so it is the part that must distribute.
+    *
+    * Scale shape: word counting collapses the corpus to its vocabulary
+    * (one map-side-combined hash agg — pair statistics then cost
+    * O(vocab), not O(corpus), which is why real BPE trainers count words
+    * first), pair explode is a pure map over vocab rows, and the final
+    * count is a second hash agg + TakeOrdered. */
+  private[graft] val BpeTopK = 30
+  def bpePairCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .repartition($"doc_id") // single-file fixture: unlock parallelism
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    words
+      .select($"wc", explode(
+        when(length($"w") >= 2,
+          transform(sequence(lit(1), length($"w") - 1),
+            i => concat($"w".substr(i, lit(1)), lit(" "), $"w".substr(i + 1, lit(1)))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(BpeTopK)
+  }
+  val bpePairCountsSql: String =
+    raw"""WITH words AS (
+         |  SELECT w, COUNT(*) AS wc
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+         |  GROUP BY w
+         |), pairs AS (
+         |  SELECT substring(w, gs, 1) || ' ' || substring(w, gs + 1, 1) AS pair, wc
+         |  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS u(gs)
+         |  WHERE length(w) >= 2)
+         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_counts" -> bpePairCounts _,
     "top_ngrams" -> topNgrams _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
@@ -243,6 +289,7 @@ object TextAnalysis {
     "text_perplexity" -> textPerplexity _,
   )
   val oracles: Map[String, String] = Map(
+    "bpe_pair_counts" -> bpePairCountsSql,
     "top_ngrams" -> topNgramsSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,

@@ -524,6 +524,17 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe_pair_counts: corpus-weighted pairs, single-char words excluded, tie-break") {
+    // words: "ab" x3 (two docs), "bc" x1, "a" x1 (no pairs), "abc" x1
+    val dir = plantDocs(Seq(
+      1L -> "ab ab bc a",
+      2L -> "ab abc"))
+    val got = TextAnalysis.bpePairCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b": 3 (from ab x3) + 1 (from abc) = 4; "b c": 1 (bc) + 1 (abc) = 2
+    assert(got == Seq(("a b", 4L), ("b c", 2L)), got.toString)
+  }
+
   test("top_ngrams: document frequency (not term frequency), deterministic tie-break") {
     val dir = plantDocs(Seq(
       1L -> "the end is near",
