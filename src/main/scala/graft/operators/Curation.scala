@@ -20,7 +20,7 @@ object Curation {
   /** Contiguous n-grams of a token array as strings. Guarded: sequence()
     * with a stop below its start counts DOWN, so a short doc must yield
     * an empty array, not reversed garbage. */
-  private def ngrams(toks: Column, n: Int): Column =
+  private[operators] def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
@@ -31,14 +31,14 @@ object Curation {
     * standard trick for contamination checks over TB-scale corpora); a
     * collision would produce the same spurious pair on both engines, so
     * the gate stays consistent, and at 2^60 the odds are irrelevant. */
-  private def gramKey(g: Column): Column =
+  private[operators] def gramKey(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 
-  private def gramKeySql(g: String): String =
+  private[operators] def gramKeySql(g: String): String =
     s"CAST(concat('0x', substring(md5($g), 1, 15)) AS BIGINT)"
 
   // ----------------------------------------------------- decontamination
-  private val ContamN = 8 // gram order; 13 is standard, docs here are short
+  private[operators] val ContamN = 8 // gram order; 13 is standard, docs here are short
 
   /** Benchmark contamination report: for every doc in the held-out eval
     * slice (doc_id % 10 == 7), how many training-corpus docs share at
@@ -278,8 +278,7 @@ object Curation {
   private[graft] val DupFracN = 3
   def docDupFrac(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .repartition($"doc_id") // single-file fixture: unlock parallelism
+    val grams = Par.spread(Tables.documents(s, d), $"doc_id")
       .withColumn("t", tokens($"text"))
       .select($"doc_id", explode(ngrams($"t", DupFracN)).as("g"))
       .select($"doc_id", gramKey($"g").as("k"))
@@ -348,6 +347,19 @@ object Curation {
   private[graft] val CascadePunctMax  = 0.10
   private[graft] val CascadeStopMin   = 0.03
 
+  /** The per-document cascade verdict as ONE Column over a raw
+    * documents frame ("pass" or the first failing stage) — the codegen'd
+    * scored expression the report aggregate, the streaming spelling, and
+    * the composed pipeline ([[PipelineOps.pipelineEndToEnd]]) all share. */
+  private[operators] def cascadeRule: Column = {
+    val toks = tokens(col("text"))
+    when(size(toks) < CascadeMinTokens, "too_short")
+      .when(length(col("text")) > CascadeMaxChars, "too_long")
+      .when(punctRatio(col("text")) > CascadePunctMax, "high_punct")
+      .when(col("lang") === "en" && stopwordRatio(toks) < CascadeStopMin, "low_stopword")
+      .otherwise("pass")
+  }
+
   /** Per-rule cascade aggregates over any documents frame. This is the
     * per-micro-batch unit of the streaming spelling: a document's verdict
     * depends only on the document, and count/sum/min are associative, so
@@ -355,17 +367,7 @@ object Curation {
   private[graft] def cascadeVerdictAgg(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = tokens($"text")
-    docs.select(
-      $"doc_id", $"lang", $"n_chars",
-      length($"text").as("len"), size(toks).as("nt"),
-      stopwordRatio(toks).as("sr"), punctRatio($"text").as("pr"))
-      .withColumn("rule",
-        when($"nt" < CascadeMinTokens, "too_short")
-          .when($"len" > CascadeMaxChars, "too_long")
-          .when($"pr" > CascadePunctMax, "high_punct")
-          .when($"lang" === "en" && $"sr" < CascadeStopMin, "low_stopword")
-          .otherwise("pass"))
+    docs.withColumn("rule", cascadeRule)
       .groupBy($"rule")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
         min($"doc_id").as("first_doc"))

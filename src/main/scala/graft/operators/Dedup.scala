@@ -33,10 +33,11 @@ object Dedup {
   private val LshRows = 4
 
   /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops.
-    * Repartitioned on doc_id first: the fixture is one small parquet file
-    * (= one input split), and without this every downstream shingle/
-    * signature computation runs on a single core. At real scale the scan
-    * has thousands of splits and this is a cheap balanced re-bucket. */
+    * [[Par.spread]]-gated on doc_id first: the fixture is one small
+    * parquet file (= one input split), and without a re-bucket every
+    * downstream shingle/signature computation runs on a single core. At
+    * real scale the scan has thousands of splits and the gate makes the
+    * re-bucket a no-op. */
   private[operators] def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Two-step projection on purpose: `toks` must be a materialized
@@ -53,8 +54,7 @@ object Dedup {
     // tokenize+shingle pass dominates the query (measured ~10s vs ~1.8s
     // at sf0.1). At real scale the same move is materializing the shingle
     // table once before pair generation.
-    Tables.documents(s, d)
-      .repartition($"doc_id")
+    Par.spread(Tables.documents(s, d), $"doc_id")
       .withColumn("toks", tokens($"text"))
       .select($"doc_id", shingles($"toks", ShingleSize).as("sh"))
       .persist()
@@ -223,8 +223,7 @@ object Dedup {
     * [[dedupSimhashSql]]); locality also asserted on planted near-dups. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigs = Tables.documents(s, d)
-      .repartition($"doc_id") // single-file fixture: unlock parallelism
+    val sigs = Par.spread(Tables.documents(s, d), $"doc_id")
       .select($"doc_id", simhash(tokens($"text")).as("h"))
     val chunks = sigs.select($"doc_id", $"h",
       posexplode(array((0 until 4).map(c => hashChunk($"h", c)): _*)).as(Seq("chunk_idx", "chunk_val")))

@@ -135,7 +135,7 @@ object Dedup2 {
   private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.repartition($"doc_id")
+    Par.spread(docs, $"doc_id")
       .withColumn("toks", tokens($"text"))
       .select($"doc_id", graft.functions.TextFunctions.shingles($"toks", Dedup.ShingleSize).as("sh"))
   }

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fixture-parallelism guard.
+  *
+  * The driver's sf* fixtures are single parquet files, so a narrow
+  * pipeline over them plans as ONE input split and serializes on a
+  * single task. Operators used to bake an unconditional
+  * `repartition(key)` into their bodies to unlock parallelism — but at
+  * production scale the input arrives as thousands of splits and that
+  * shuffle is pure waste (worse: most of those operators aggregate on a
+  * key other than the shim's, so the shuffle buys nothing downstream).
+  *
+  * [[spread]] keeps the fixture behavior and deletes the scale cost: it
+  * hash-spreads on `key` only when the input plans to fewer splits than
+  * the session's parallelism; many-split input passes through with no
+  * shuffle and `eq`-identical plan. Results are partition-independent
+  * by the whole-inventory law (PartitionIndependenceSpec), so the gate
+  * hashes identically on both paths.
+  */
+private[graft] object Par {
+  /** Threshold: spread only when the input can't occupy the session's
+    * cores. `df.rdd.getNumPartitions` plans the frame (driver-side,
+    * no job) and reports the true split count — file count alone would
+    * misread one large splittable file.
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(key) else df
+  }
+}

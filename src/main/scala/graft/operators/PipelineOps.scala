@@ -167,8 +167,7 @@ object PipelineOps {
     * log(double) last-ulp drift. Ties break on the term itself. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val terms = Tables.documents(s, d)
-      .repartition($"doc_id") // single-file fixture: unlock parallelism
+    val terms = Par.spread(Tables.documents(s, d), $"doc_id")
       .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))

@@ -70,8 +70,7 @@ object Similarity {
     * similarity with vec_id tie-break so order is engine-independent. */
   def annTopKBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition($"vec_id") // single-file fixture: unlock parallelism
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
       .withColumn("vn", norm($"embedding")) // norm once per vector, pre-join
     val probes = probeSet(emb)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
@@ -159,8 +158,7 @@ object Similarity {
   private def cosineNearDupPairs(raw: DataFrame): DataFrame = {
     val tables = 16
     val bits = 6
-    val emb = raw
-      .repartition(col("vec_id")) // single-file fixture: unlock parallelism
+    val emb = Par.spread(raw, col("vec_id"))
       .withColumn("vn", norm(col("embedding")))
     val bucketed = emb.select(col("vec_id"), col("embedding"), col("vn"),
       posexplode(array((0 until tables).map(t => lshBucket(col("embedding"), bits, 64, t)): _*))
@@ -220,8 +218,7 @@ object Similarity {
     * exact query. */
   def annTopKLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition($"vec_id")
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
     val tables = 16
     val bits = 6
     def bucketed(df: DataFrame) = df.select($"vec_id", $"embedding",
@@ -310,16 +307,21 @@ object Similarity {
     import s.implicits._
     val k = 16     // coarse clusters
     val nprobe = 4 // clusters searched per query
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition($"vec_id")
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
       .withColumn("vn", norm($"embedding"))
     // deterministic centroid sample: the k smallest by md5-hashed id
     // (md5, not xxhash64: both engines can compute it, so the oracle can
-    // reproduce the centroid set exactly)
-    val centroids = broadcast(
+    // reproduce the centroid set exactly). The sample is the index's
+    // one corpus-wide pass, so it goes through the train-once store:
+    // first call commits the k rows as parquet, later calls reload them
+    // without touching the corpus (ModelsSpec pins the law).
+    val centDir = Models.root(s"ivf-centroids|$d|k=$k") { dir =>
       emb.orderBy(conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"),
           $"vec_id").limit(k)
-        .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn")))
+        .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val centroids = broadcast(s.read.parquet(centDir))
     def assign(df: DataFrame, idCol: String, top: Int): DataFrame =
       df.crossJoin(centroids)
         // 6dp-rounded before ranking: assignment must not depend on
@@ -411,8 +413,7 @@ object Similarity {
   private[graft] val EmbEvalCutoff = 1000L
   def decontaminateEmb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      .repartition($"vec_id") // single-file fixture: unlock parallelism
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
       .withColumn("vn", norm($"embedding"))
     val eval = emb.filter($"vec_id" % 10 === 7 && $"vec_id" < EmbEvalCutoff)
       .select($"vec_id".as("eval_id"), $"embedding".as("qv"), $"vn".as("qn"))

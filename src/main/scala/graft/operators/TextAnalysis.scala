@@ -210,8 +210,7 @@ object TextAnalysis {
   private[graft] val NgramTopK = 50
   def topNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .repartition($"doc_id") // single-file fixture: unlock parallelism
+    Par.spread(Tables.documents(s, d), $"doc_id")
       // toks as its own projected column: inlining tokens() into shingles
       // re-runs the regexp split once PER SHINGLE inside the transform
       // lambda (the Dedup2.shingleSets fusion trap; 4x on this query) —
@@ -252,8 +251,7 @@ object TextAnalysis {
   private[graft] val BpeTopK = 30
   def bpePairCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, d)
-      .repartition($"doc_id") // single-file fixture: unlock parallelism
+    val words = Par.spread(Tables.documents(s, d), $"doc_id")
       .select(explode(tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
     words
@@ -279,7 +277,102 @@ object TextAnalysis {
          |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
          |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ------------------------------------------------ BPE vocab learning
+  /** End-to-end BPE tokenizer training: [[BpeMerges]] driver-coordinated
+    * merge rounds over the [[bpePairCounts]] kernel — count adjacent
+    * pairs, merge the top pair (count desc, pair asc: BPE's
+    * deterministic pick) into every word, recount — the same
+    * iterate-a-distributed-aggregate discipline as the Lloyd loops
+    * ([[Clustering.embKmeans]]). Output is the learned merge table:
+    * one (round, pair, n) row per merge, i.e. the vocabulary beyond the
+    * character alphabet.
+    *
+    * Representation: each word becomes its token sequence spelled as a
+    * SENTINEL-WRAPPED string — every token is `tok` — so
+    * "merge pair (a,b) leftmost-first non-overlapping" (the BPE merge
+    * rule) is EXACTLY one literal `replace(ws, ⟨a⟩⟨b⟩, ⟨ab⟩)`: both
+    * Spark's `replace` and DuckDB's scan left-to-right over
+    * non-overlapping occurrences, and the sentinels make a token
+    * boundary impossible to match across (the pattern `⟨a⟩⟨b⟩` cannot
+    * occur inside `⟨ya⟩⟨b⟩`). That one identity is what lets an
+    * ITERATIVE tokenizer-training loop be DuckDB-hash-gated at all.
+    *
+    * Scale shape: the corpus collapses to its weighted vocabulary ONCE
+    * (the kernel's map-side-combined hash agg — this is the only
+    * corpus-scale pass); every merge round is a narrow projection over
+    * vocab rows plus one vocabulary-keyed pair aggregate whose TOP-1
+    * reaches the driver (TakeOrdered — K=1 heap per partition). Round
+    * r recomputes r cheap `replace` projections from the persisted
+    * vocab rather than caching per-round frames: at N≈tens of merges
+    * the recompute is vocab-sized narrow work, the price of not holding
+    * N persisted copies. */
+  private[graft] val BpeMerges = 6
+  private val TokL = "\u0001" // token open sentinel (a byte no whitespace-split token contains)
+  private val TokR = "\u0002" // token close sentinel
+  def bpeVocabLearn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Par.spread(Tables.documents(s, d), $"doc_id")
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace($"w", "(.)", s"$TokL$$1$TokR").as("ws"), $"wc")
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var cur: DataFrame = words
+      for (r <- 1 to BpeMerges) {
+        val toks = split($"ws".substr(lit(2), greatest(length($"ws") - 2, lit(0))), s"$TokR$TokL")
+        val top = cur
+          .select($"wc", when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+            .otherwise(array().cast("array<string>")).as("ps"))
+          .select($"wc", explode($"ps").as("pair"))
+          .groupBy($"pair").agg(sum($"wc").as("n"))
+          .orderBy($"n".desc, $"pair").limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        merges += ((r, pair, top.getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        cur = cur.withColumn("ws",
+          replace($"ws", lit(s"$TokL$a$TokR$TokL$b$TokR"), lit(s"$TokL$a$b$TokR")))
+      }
+      s.createDataFrame(merges.toSeq).toDF("round", "pair", "n")
+    } finally words.unpersist()
+  }
+
+  /** DuckDB replica of [[bpeVocabLearn]]: the same merge rounds unrolled
+    * as a CTE chain (the [[Clustering.lloydSql]] discipline) — per round
+    * a top-1 pair CTE and a `replace`-merged sequence CTE, the top pair
+    * entering the replace as scalar subqueries. */
+  val bpeVocabLearnSql: String = {
+    def encA = "chr(1) || string_split(pair, ' ')[1] || chr(2)"
+    def encB = "chr(1) || string_split(pair, ' ')[2] || chr(2)"
+    val base =
+      raw"""words AS (
+           |  SELECT w, COUNT(*) AS wc
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+           |  GROUP BY w),
+           |seq0 AS (
+           |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS ws, wc FROM words)""".stripMargin
+    val rounds = (1 to BpeMerges).map { r =>
+      raw"""p$r AS (
+           |  SELECT t[gs] || ' ' || t[gs + 1] AS pair, CAST(SUM(wc) AS BIGINT) AS n
+           |  FROM (SELECT string_split(substr(ws, 2, greatest(length(ws) - 2, 0)), chr(2) || chr(1)) AS t, wc
+           |        FROM seq${r - 1}) s,
+           |       UNNEST(generate_series(1, len(t) - 1)) AS u(gs)
+           |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+           |seq$r AS (
+           |  SELECT replace(ws, (SELECT $encA || $encB FROM p$r),
+           |                     (SELECT chr(1) || replace(pair, ' ', '') || chr(2) FROM p$r)) AS ws, wc
+           |  FROM seq${r - 1})""".stripMargin
+    }
+    val unions = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS round, pair, n FROM p$r").mkString("\nUNION ALL\n")
+    s"WITH ${(base +: rounds).mkString(",\n")}\n$unions\nORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_vocab_learn" -> bpeVocabLearn _,
     "bpe_pair_counts" -> bpePairCounts _,
     "top_ngrams" -> topNgrams _,
     "text_token_count" -> textTokenCount _,
@@ -289,6 +382,7 @@ object TextAnalysis {
     "text_perplexity" -> textPerplexity _,
   )
   val oracles: Map[String, String] = Map(
+    "bpe_vocab_learn" -> bpeVocabLearnSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "top_ngrams" -> topNgramsSql,
     "text_token_count" -> textTokenCountSql,
