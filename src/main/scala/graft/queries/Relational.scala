@@ -532,17 +532,16 @@ object Relational {
 
   // ---------------------------------------------------------------- q29
   /** Gap-based sessionization with windows (lag -> gap flag -> running
-    * sum = session id -> per-session aggregate). ts is epoch-nanos long;
-    * both sides work in microseconds (DuckDB reads nanos parquet at
-    * micro precision), all exact integer arithmetic. */
+    * sum = session id -> per-session aggregate). Both sides work in
+    * microseconds ([[Tables.tsUs]] — the engines' common precision),
+    * all exact integer arithmetic. */
   def q29Sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val gapUs = 30L * 60 * 1000000L // 30 min in micros
-    val tsUs = expr("ts div 1000")
     val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .withColumn("ts_us", tsUs)
+    val ev = Tables.events(s, d)
+    ev.withColumn("ts_us", Tables.tsUs(ev))
       .withColumn("prev_ts", lag($"ts_us", 1).over(w))
       .withColumn("new_session",
         when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1L).otherwise(0L))

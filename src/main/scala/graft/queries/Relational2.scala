@@ -23,10 +23,11 @@ object Relational2 {
   private def dec(c: Column): Column = c.cast(D)
   type Q = (SparkSession, String) => DataFrame
 
-  /** events.ts is parquet TIMESTAMP(NANOS) read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong); DuckDB reads the same file at
-    * micro precision, so all event-time arithmetic happens in micros. */
-  private val tsUs = expr("ts div 1000")
+  /** All event-time arithmetic happens in microseconds — the engines'
+    * common precision. [[Tables.tsUs]] dispatches on the fixture
+    * generation (timestamp[us] today, epoch-nanos long historically). */
+  private def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", Tables.tsUs(df))
 
   // ---------------------------------------------------------------- q33
   /** Exact discrete percentiles (SQL-standard percentile_disc semantics,
@@ -67,7 +68,7 @@ object Relational2 {
     * purchase without any range join. */
   def q34AsofJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).withColumn("ts_us", tsUs)
+    val ev = withTsUs(Tables.events(s, d))
     val views = ev.filter($"event_type" === "view")
       .groupBy($"user_id", $"ts_us").agg(max($"event_id").as("v_event_id"))
       .select($"user_id", $"ts_us", lit(0).as("side"),
@@ -109,7 +110,7 @@ object Relational2 {
   def q35RangeJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bucketUs = 5L * 60 * 1000000L // 5 min
-    val ev = Tables.events(s, d).withColumn("ts_us", tsUs)
+    val ev = withTsUs(Tables.events(s, d))
     val errors = ev.filter($"event_type" === "error")
       .select($"user_id", $"ts_us".as("e_ts"), $"event_id".as("e_id"),
         expr(s"ts_us div $bucketUs").as("bucket"))
@@ -566,10 +567,11 @@ object Relational2 {
     * hash agg (map-side combined); the step joins are user-level frames
     * meeting on the user key — the raw events table is never joined to
     * itself. All event-time arithmetic in micros (the engines' common
-    * precision; see [[tsUs]]). */
+    * precision; see [[Tables.tsUs]]). */
   def q56Funnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select($"user_id", $"event_type", tsUs.as("us"))
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.select($"user_id", $"event_type", Tables.tsUs(ev0).as("us"))
     val s1 = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"us").as("t1"))
     val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")

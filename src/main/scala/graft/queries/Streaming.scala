@@ -40,10 +40,21 @@ object Streaming {
     * streamed bytes are bit-identical to the source table's). */
   private val CUTOFF = 2000L
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Matches the current fixture generation: events.ts is parquet
+    * timestamp[us] (TIMESTAMP_NTZ), so the staged re-write carries the
+    * same physical type and the stream schema must declare it — r12's
+    * LongType declaration silently read the micros as longs and every
+    * event-time collapsed 1000x. Event-time columns derive via
+    * [[Streaming.eventTs]] (UTC session zone makes the NTZ->TZ cast the
+    * identity on the stored micros). */
+  private[queries] val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streamed `ts` as a watermarkable TimestampType column (exact: UTC
+    * session zone pinned by every entry point). */
+  private[queries] def eventTs = col("ts").cast(TimestampType)
 
   /** Write the events subset as N parquet files, announce them on a fresh
     * queue, and run the source to completion; returns the sink table name.
@@ -141,8 +152,9 @@ object Streaming {
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     val ev = Tables.events(s, dir).filter(col("event_id") < CUTOFF)
     ev.repartition(2, col("event_id")).write.mode("overwrite").parquet(stage)
-    // sentinel: one event in year 2100 (ts is epoch nanos as long)
-    val sentinelTs = 4102444800L * 1000000000L
+    // sentinel: one event in year 2100 (LocalDateTime encodes as
+    // TIMESTAMP_NTZ, matching the staged events files' physical type)
+    val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
     Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$stage-sentinel")
@@ -163,7 +175,7 @@ object Streaming {
       .option("maxFilesPerTrigger", "2")
       .option("sortBatchByTimestamp", "true")
       .load()
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_ts", eventTs)
       .withWatermark("event_ts", "1 minute")
       .groupBy(window(col("event_ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),

@@ -24,10 +24,9 @@ object Streaming2 {
     * a 30 min gap would make every session a singleton and test nothing. */
   private val GapHours = 12
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Same fixture-generation contract as [[Streaming.eventsSchema]]:
+    * events.ts is parquet timestamp[us] / TIMESTAMP_NTZ. */
+  private val eventsSchema = Streaming.eventsSchema
 
   private def stageAndAnnounce(s: SparkSession, dir: String, runId: String,
       nFiles: Int, tsMs: Long = 1000L): Unit = {
@@ -59,8 +58,9 @@ object Streaming2 {
     import s.implicits._
     val runId = s"sesswin${seq.incrementAndGet()}_${System.nanoTime()}"
     stageAndAnnounce(s, dir, runId, nFiles = 2)
-    // sentinel: year 2100, its own later micro-batch (timestampMs orders it)
-    val sentinelTs = 4102444800L * 1000000000L
+    // sentinel: year 2100, its own later micro-batch (timestampMs orders
+    // it); LocalDateTime encodes as TIMESTAMP_NTZ like the staged files
+    val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
     val sentStage = Files.createTempDirectory(s"graft-$runId-sent").toString
     Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -74,7 +74,7 @@ object Streaming2 {
     val query = reader(s, runId)
       .option("maxFilesPerTrigger", "2").option("sortBatchByTimestamp", "true")
       .load()
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", Streaming.eventTs)
       .withWatermark("event_ts", "1 minute")
       .groupBy($"user_id", session_window($"event_ts", s"$GapHours hours"))
       .agg(count(lit(1)).as("n"))
@@ -125,12 +125,12 @@ object Streaming2 {
     val purchases = reader(s, runA).load()
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("p_id"),
-        timestamp_micros(expr("ts div 1000")).as("p_ts"))
+        Streaming.eventTs.as("p_ts"))
       .withWatermark("p_ts", "1 minute")
     val clicks = reader(s, runB).load()
       .filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("c_id"),
-        timestamp_micros(expr("ts div 1000")).as("c_ts"))
+        Streaming.eventTs.as("c_ts"))
       .withWatermark("c_ts", "1 minute")
     val sinkName = s"sink_$runA"
     val query = purchases.join(clicks,
@@ -184,7 +184,7 @@ object Streaming2 {
     }
     val sinkName = s"sink_$runId"
     val query = reader(s, runId).load()
-      .select($"event_id", expr("ts div 1000").as("ts_us"), $"user_id")
+      .select($"event_id", unix_micros(Streaming.eventTs).as("ts_us"), $"user_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(sessionize)
