@@ -233,9 +233,13 @@ object Clustering {
     books
   }
 
-  /** Content key for the trained PQ codebooks of data dir `d`. */
+  /** Input key for the trained PQ codebooks of data dir `d`: path +
+    * hyperparams + a fingerprint of the embeddings files themselves, so
+    * regenerated data under the same path retrains instead of serving a
+    * stale book. */
   private[operators] def pqBooksKey(d: String): String =
-    s"pq-books|$d|M=$PqM,K=$PqK,sub=$PqSub,iters=$PqIters"
+    s"pq-books|$d|M=$PqM,K=$PqK,sub=$PqSub,iters=$PqIters" +
+      s"|in=${Models.inputFingerprint(s"$d/embeddings.parquet")}"
 
   /** The trained codebooks for `d`, through the train-once store:
     * first call runs [[trainPqBooks]] and commits the M·K codewords as

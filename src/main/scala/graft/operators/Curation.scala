@@ -347,18 +347,20 @@ object Curation {
   private[graft] val CascadePunctMax  = 0.10
   private[graft] val CascadeStopMin   = 0.03
 
-  /** The per-document cascade verdict as ONE Column over a raw
-    * documents frame ("pass" or the first failing stage) — the codegen'd
-    * scored expression the report aggregate, the streaming spelling, and
-    * the composed pipeline ([[PipelineOps.pipelineEndToEnd]]) all share. */
-  private[operators] def cascadeRule: Column = {
-    val toks = tokens(col("text"))
+  /** The per-document cascade verdict as ONE Column ("pass" or the
+    * first failing stage) — the codegen'd scored expression both the
+    * batch report aggregate and the streaming spelling share (each
+    * through [[cascadeVerdictAgg]]). `toks` must be a PROJECTED
+    * tokens(text) column, not an inline call: with two uses behind an
+    * alias, CollapseProject keeps the single evaluation (the repo's
+    * fusion-trap guidance) instead of re-running the tokenizer in every
+    * when-branch. */
+  private[operators] def cascadeRule(toks: Column): Column =
     when(size(toks) < CascadeMinTokens, "too_short")
       .when(length(col("text")) > CascadeMaxChars, "too_long")
       .when(punctRatio(col("text")) > CascadePunctMax, "high_punct")
       .when(col("lang") === "en" && stopwordRatio(toks) < CascadeStopMin, "low_stopword")
       .otherwise("pass")
-  }
 
   /** Per-rule cascade aggregates over any documents frame. This is the
     * per-micro-batch unit of the streaming spelling: a document's verdict
@@ -367,7 +369,8 @@ object Curation {
   private[graft] def cascadeVerdictAgg(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.withColumn("rule", cascadeRule)
+    docs.withColumn("toks", tokens($"text"))
+      .withColumn("rule", cascadeRule($"toks"))
       .groupBy($"rule")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
         min($"doc_id").as("first_doc"))

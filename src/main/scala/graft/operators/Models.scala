@@ -14,8 +14,11 @@ import java.util.concurrent.ConcurrentHashMap
   * production shape. This store gives every trained structure the
   * layout-cache discipline of [[graft.queries.Layout]] (Layout.scala:41):
   *
-  *  - keys are CONTENT-derived (data dir + model + hyperparams), never
-  *    session identity — any session in the JVM may reuse an artifact;
+  *  - keys are input-derived (data dir + an [[inputFingerprint]] over the
+  *    source files' names/sizes/mtimes + model + hyperparams), never
+  *    session identity — any session in the JVM may reuse an artifact,
+  *    and a regenerated fixture under the SAME path changes the key, so
+  *    a stale model is never silently served across a data swap;
   *  - artifacts are WRITTEN ONCE as parquet into a tracked temp root
   *    (in production the root would be a durable object-store prefix —
   *    the `_SUCCESS`-committed parquet dir is exactly what that write
@@ -46,6 +49,37 @@ private[graft] object Models {
   private def committed(dir: String): Boolean =
     Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  /** One lock object per key: builds of DIFFERENT keys proceed fully in
+    * parallel, and the long Spark train+write never runs inside a
+    * ConcurrentHashMap.compute (which would serialize unrelated keys
+    * sharing a hash bin and throw on any reentrant Models call from
+    * within `write`). */
+  private val keyLocks = new ConcurrentHashMap[String, Object]()
+
+  /** A cheap content proxy for the inputs a model was trained on: the
+    * sorted (path, size, mtime) listing of every file under each given
+    * path, hashed. Folded into cache keys so regenerating data UNDER THE
+    * SAME PATH (the driver does this between rounds) changes the key
+    * instead of serving a stale artifact. */
+  private[graft] def inputFingerprint(paths: String*): String = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try {
+          walk.iterator().asScala
+            .filter(Files.isRegularFile(_))
+            .map(f => s"$f|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}")
+            .toSeq.sorted
+            .foreach(line => md.update(line.getBytes("UTF-8")))
+        } finally walk.close()
+      } else md.update(s"missing:$p".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The committed parquet dir for `key`, building it with `write`
     * (which must commit parquet into the passed dir) on first use or
     * after the previous artifact was lost/torn. */
@@ -53,7 +87,8 @@ private[graft] object Models {
     def ok(v: String) = v != null && committed(v)
     val hit = roots.get(key)
     if (ok(hit)) hit
-    else roots.compute(key, (_, cur) =>
+    else keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur = roots.get(key)
       if (ok(cur)) cur
       else {
         val dir = Files.createTempDirectory("graft-model").toString
@@ -61,8 +96,10 @@ private[graft] object Models {
         write(dir)
         built.merge(key, 1, (a, b) => a + b)
         mem.remove(key) // a deserialized copy of the LOST artifact, if any
+        roots.put(key, dir)
         dir
-      })
+      }
+    }
   }
 
   /** The deserialized structure for `key`: trains+writes once, reads

@@ -21,12 +21,32 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 private[graft] object Par {
   /** Threshold: spread only when the input can't occupy the session's
-    * cores. `df.rdd.getNumPartitions` plans the frame (driver-side,
-    * no job) and reports the true split count — file count alone would
-    * misread one large splittable file.
+    * cores.
+    *
+    * Shuffle-bearing inputs pass through untouched BEFORE any `.rdd`
+    * call: under AQE, materializing the RDD of a shuffle-bearing plan
+    * eagerly executes its upstream query stages (real jobs), so the
+    * split-count probe is only safe — "driver-side, no job" — on
+    * shuffle-free plans. A plan that already shuffles redistributes by
+    * construction and needs no spread anyway. For the shuffle-free
+    * case, `df.rdd.getNumPartitions` plans the scan and reports the
+    * true split count — file count alone would misread one large
+    * splittable file.
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(key) else df
+    // shuffle-inducing operators in the OPTIMIZED LOGICAL plan (physical
+    // exchanges are only inserted by EnsureRequirements, after the
+    // sparkPlan snapshot — and walking the logical plan runs no jobs)
+    val wide = df.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct |
+           _: Deduplicate | _: GlobalLimit | _: RepartitionByExpression => true
+      case r: Repartition => r.shuffle // coalesce() is a narrow repartition
+      case _ => false
+    }
+    if (wide) df
+    else if (df.rdd.getNumPartitions < want) df.repartition(key)
+    else df
   }
 }

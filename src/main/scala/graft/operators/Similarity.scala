@@ -315,7 +315,8 @@ object Similarity {
     // one corpus-wide pass, so it goes through the train-once store:
     // first call commits the k rows as parquet, later calls reload them
     // without touching the corpus (ModelsSpec pins the law).
-    val centDir = Models.root(s"ivf-centroids|$d|k=$k") { dir =>
+    val centDir = Models.root(s"ivf-centroids|$d|k=$k" +
+        s"|in=${Models.inputFingerprint(s"$d/embeddings.parquet")}") { dir =>
       emb.orderBy(conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"),
           $"vec_id").limit(k)
         .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn"))

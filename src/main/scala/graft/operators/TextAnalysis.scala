@@ -319,9 +319,15 @@ object TextAnalysis {
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
       var cur: DataFrame = words
-      for (r <- 1 to BpeMerges) {
+      var r = 1
+      var exhausted = false
+      while (r <= BpeMerges && !exhausted) {
         val toks = split($"ws".substr(lit(2), greatest(length($"ws") - 2, lit(0))), s"$TokR$TokL")
-        val top = cur
+        // Option, not (0): a corpus whose words all collapse to single
+        // tokens before BpeMerges rounds has zero adjacent pairs left —
+        // emit only the realized rounds instead of throwing on an empty
+        // top-1 (the oracle degrades the same way via its HAVING guard)
+        cur
           .select($"wc", when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
               i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
@@ -329,12 +335,16 @@ object TextAnalysis {
           .select($"wc", explode($"ps").as("pair"))
           .groupBy($"pair").agg(sum($"wc").as("n"))
           .orderBy($"n".desc, $"pair").limit(1)
-          .collect()(0)
-        val pair = top.getString(0)
-        merges += ((r, pair, top.getLong(1)))
-        val Array(a, b) = pair.split(" ", 2)
-        cur = cur.withColumn("ws",
-          replace($"ws", lit(s"$TokL$a$TokR$TokL$b$TokR"), lit(s"$TokL$a$b$TokR")))
+          .collect().headOption match {
+          case None => exhausted = true
+          case Some(top) =>
+            val pair = top.getString(0)
+            merges += ((r, pair, top.getLong(1)))
+            val Array(a, b) = pair.split(" ", 2)
+            cur = cur.withColumn("ws",
+              replace($"ws", lit(s"$TokL$a$TokR$TokL$b$TokR"), lit(s"$TokL$a$b$TokR")))
+            r += 1
+        }
       }
       s.createDataFrame(merges.toSeq).toDF("round", "pair", "n")
     } finally words.unpersist()

@@ -162,18 +162,24 @@ object Streaming {
     val queue = InMemoryQueueRegistry.queue(runId)
     def filesOf(d: String) = new java.io.File(d).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val nReal = filesOf(stage).length
     filesOf(stage).foreach(f =>
       queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
     filesOf(s"$stage-sentinel").foreach(f =>
       queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
 
     val sinkName = s"sink_$runId"
+    // deterministic batching: wait for ALL announced files (real +
+    // sentinel), then cut batch 1 = the oldest-timestamped real files and
+    // batch 2 = the sentinel — a timing-dependent split would let the
+    // sentinel advance the watermark past real rows still in flight
     val streamed = s.readStream.format("graft-files").schema(eventsSchema)
       .option("fileFormat", "parquet").option("queueName", runId)
       .option("queueFetchWaitTimeoutSeconds", "10")
       // real data first, sentinel in a later micro-batch, oldest-first
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", nReal.toString)
       .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", (nReal + 1).toString)
       .load()
       .withColumn("event_ts", eventTs)
       .withWatermark("event_ts", "1 minute")

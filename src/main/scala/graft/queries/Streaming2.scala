@@ -28,17 +28,20 @@ object Streaming2 {
     * events.ts is parquet timestamp[us] / TIMESTAMP_NTZ. */
   private val eventsSchema = Streaming.eventsSchema
 
+  /** Returns the number of files announced, so callers can pin the
+    * deterministic-first-batch gate (minFilesForFirstBatch) to it. */
   private def stageAndAnnounce(s: SparkSession, dir: String, runId: String,
-      nFiles: Int, tsMs: Long = 1000L): Unit = {
+      nFiles: Int, tsMs: Long = 1000L): Int = {
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     Tables.events(s, dir).filter(col("event_id") < CUTOFF)
       .repartition(nFiles, col("event_id"))
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)
-    new java.io.File(stage).listFiles()
+    val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .foreach(f => queue.send(
-        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":$tsMs"""  + "}"))
+    files.foreach(f => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":$tsMs"""  + "}"))
+    files.length
   }
 
   private def reader(s: SparkSession, runId: String) =
@@ -57,7 +60,7 @@ object Streaming2 {
       Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"sesswin${seq.incrementAndGet()}_${System.nanoTime()}"
-    stageAndAnnounce(s, dir, runId, nFiles = 2)
+    val nReal = stageAndAnnounce(s, dir, runId, nFiles = 2)
     // sentinel: year 2100, its own later micro-batch (timestampMs orders
     // it); LocalDateTime encodes as TIMESTAMP_NTZ like the staged files
     val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
@@ -71,8 +74,14 @@ object Streaming2 {
         s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
 
     val sinkName = s"sink_$runId"
+    // gate on ALL announced files (real + sentinel): batch 1 is then
+    // exactly the oldest-timestamped real files, batch 2 the sentinel —
+    // no queue-timing window where a late real file lands after the
+    // sentinel has advanced the watermark (the r12 flake)
     val query = reader(s, runId)
-      .option("maxFilesPerTrigger", "2").option("sortBatchByTimestamp", "true")
+      .option("maxFilesPerTrigger", nReal.toString)
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", (nReal + 1).toString)
       .load()
       .withColumn("event_ts", Streaming.eventTs)
       .withWatermark("event_ts", "1 minute")
@@ -120,14 +129,18 @@ object Streaming2 {
     import s.implicits._
     val runA = s"ssjA${seq.incrementAndGet()}_${System.nanoTime()}"
     val runB = s"ssjB${seq.incrementAndGet()}_${System.nanoTime()}"
-    stageAndAnnounce(s, dir, runA, nFiles = 2)
-    stageAndAnnounce(s, dir, runB, nFiles = 2)
-    val purchases = reader(s, runA).load()
+    val nA = stageAndAnnounce(s, dir, runA, nFiles = 2)
+    val nB = stageAndAnnounce(s, dir, runB, nFiles = 2)
+    // each side admits its whole announced set in batch 1, so neither
+    // watermark can advance past rows still in flight on the other side
+    val purchases = reader(s, runA)
+      .option("minFilesForFirstBatch", nA.toString).load()
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("p_id"),
         Streaming.eventTs.as("p_ts"))
       .withWatermark("p_ts", "1 minute")
-    val clicks = reader(s, runB).load()
+    val clicks = reader(s, runB)
+      .option("minFilesForFirstBatch", nB.toString).load()
       .filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("c_id"),
         Streaming.eventTs.as("c_ts"))
@@ -165,7 +178,7 @@ object Streaming2 {
       Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"mgws${seq.incrementAndGet()}_${System.nanoTime()}"
-    stageAndAnnounce(s, dir, runId, nFiles = 2)
+    val nReal = stageAndAnnounce(s, dir, runId, nFiles = 2)
     val gapUs = GapHours.toLong * 3600L * 1000000L
     val sessionize = (user: Long, it: Iterator[(Long, Long, Long)],
         state: GroupState[Long]) => {
@@ -183,7 +196,10 @@ object Streaming2 {
       out.iterator
     }
     val sinkName = s"sink_$runId"
-    val query = reader(s, runId).load()
+    // the per-batch sessionizer needs every event in ONE batch — gate the
+    // first batch on the full announced set (deterministic, not timing)
+    val query = reader(s, runId)
+      .option("minFilesForFirstBatch", nReal.toString).load()
       .select($"event_id", unix_micros(Streaming.eventTs).as("ts_us"), $"user_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._3)

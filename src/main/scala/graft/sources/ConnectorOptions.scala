@@ -32,6 +32,7 @@ final case class ConnectorOptions(
     reprocessEndBatchId: Option[Long],
     reprocessDryRun: Boolean,
     sortBatchByTimestamp: Boolean,
+    minFilesForFirstBatch: Option[Int],
     metadataLogBackend: String,
     fetchErrorBudget: Int,
     region: String,
@@ -87,6 +88,7 @@ object ConnectorOptions {
   val REPROCESS_END_BATCH_ID = "reprocessendbatchid"
   val REPROCESS_DRY_RUN = "reprocessdryrun"
   val SORT_BATCH_BY_TIMESTAMP = "sortbatchbytimestamp"
+  val MIN_FILES_FOR_FIRST_BATCH = "minfilesforfirstbatch"
   val METADATA_LOG = "metadatalog" // "file" (default) | "rocksdb"
   val FETCH_ERROR_BUDGET = "queue.fetcherrorbudget"
   val REGION = "queue.region"
@@ -181,7 +183,7 @@ object ConnectorOptions {
       QUEUE_FETCH_WAIT_TIMEOUT_SECONDS, LONG_POLL_WAIT_SECONDS, MAX_CONCURRENCY,
       VISIBILITY_TIMEOUT_SECONDS, KEEP_MESSAGE_ON_CONSUMER_ERROR,
       REPROCESS_START_BATCH_ID, REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
-      SORT_BATCH_BY_TIMESTAMP, METADATA_LOG, FETCH_ERROR_BUDGET,
+      SORT_BATCH_BY_TIMESTAMP, MIN_FILES_FOR_FIRST_BATCH, METADATA_LOG, FETCH_ERROR_BUDGET,
       REGION, ACCESS_KEY_ID, SECRET_ACCESS_KEY, SESSION_TOKEN)
     val formatOptions = params.filterNot { case (k, _) => ownKeys.contains(k) }
 
@@ -205,6 +207,11 @@ object ConnectorOptions {
       reprocessEndBatchId = reEnd,
       reprocessDryRun = get(REPROCESS_DRY_RUN).forall(_.trim.equalsIgnoreCase("true")),
       sortBatchByTimestamp = get(SORT_BATCH_BY_TIMESTAMP).exists(_.trim.equalsIgnoreCase("true")),
+      minFilesForFirstBatch = get(MIN_FILES_FOR_FIRST_BATCH).map { v =>
+        val n = v.trim.toInt
+        require(n > 0, s"$MIN_FILES_FOR_FIRST_BATCH must be positive, got $n")
+        n
+      },
       metadataLogBackend = {
         val b = get(METADATA_LOG).getOrElse(METADATA_LOG_FILE).toLowerCase(Locale.ROOT)
         require(b == METADATA_LOG_FILE || b == METADATA_LOG_ROCKSDB,

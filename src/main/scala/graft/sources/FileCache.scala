@@ -25,6 +25,12 @@ final class FileCache(maxAgeMs: Long) {
 
   private val cache = new ConcurrentHashMap[String, QueueMessageDesc]()
   private val latest = new AtomicLong(-1L)
+  private val admitted = new AtomicLong(0L)
+
+  /** Cumulative count of distinct files ever admitted (insertions, not
+    * current size — markProcessed/purge don't decrement). Backs the
+    * source's deterministic-first-batch gate. */
+  def totalAdmitted: Long = admitted.get()
 
   /** Monotonically advance the event-time high-water mark. */
   private def observe(timestampMs: Long): Unit = {
@@ -42,7 +48,7 @@ final class FileCache(maxAgeMs: Long) {
   def isExpired(timestampMs: Long): Boolean = timestampMs < lastPurgeTimestamp
 
   def add(path: String, desc: QueueMessageDesc): Unit = {
-    cache.put(path, desc)
+    if (cache.put(path, desc) == null) admitted.incrementAndGet()
     observe(desc.timestampMs)
   }
 
@@ -50,6 +56,7 @@ final class FileCache(maxAgeMs: Long) {
   def addIfAbsent(path: String, desc: QueueMessageDesc): Boolean = {
     val prev = cache.putIfAbsent(path, desc)
     observe(desc.timestampMs)
+    if (prev == null) admitted.incrementAndGet()
     prev == null
   }
 

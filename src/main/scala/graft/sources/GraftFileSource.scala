@@ -190,6 +190,31 @@ class GraftFileSource(
       // from completed background rounds surfaces here, on the trigger thread
       failIfReceiveBudgetExhausted("queue fetch")
       queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds)
+      // Deterministic first batch: when a known prefix of files was
+      // announced before the query started, refuse to cut offset 0 until
+      // all of them are admitted — otherwise the first batch's composition
+      // depends on queue-consumption timing, and with event-time operators
+      // downstream a racy split drops late rows below the watermark (the
+      // r12 gate flake: 150 / 688 / 1092 rows from the same binary). Only
+      // the FIRST batch gates; restarts resume from the persisted offset.
+      options.minFilesForFirstBatch.foreach { n =>
+        if (metadataLogCurrentOffset < 0 && fileCache.totalAdmitted < n) {
+          val deadline =
+            System.nanoTime() + options.drainRoundTimeoutSeconds * 1000000000L
+          while (fileCache.totalAdmitted < n && System.nanoTime() < deadline) {
+            failIfReceiveBudgetExhausted("first-batch admission wait")
+            queueClient.asyncFetch(options.queueFetchWaitTimeoutSeconds)
+            Thread.sleep(10L)
+          }
+          if (fileCache.totalAdmitted < n) {
+            throw new GraftSourceException(
+              s"first-batch admission wait: only ${fileCache.totalAdmitted} of $n " +
+                s"announced files admitted within ${options.drainRoundTimeoutSeconds}s " +
+                s"on queue '${options.queueName}' — failing loudly instead of emitting " +
+                "a nondeterministic first batch")
+          }
+        }
+      }
     }
     val files =
       fileCache.getUnprocessedFiles(options.maxFilesPerTrigger, options.sortBatchByTimestamp)

@@ -75,12 +75,24 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ann_topk_ivf samples its coarse centroids once, then reloads them") {
-    val key = s"ivf-centroids|$sf|k=16"
+    val key = s"ivf-centroids|$sf|k=16" +
+      s"|in=${Models.inputFingerprint(s"$sf/embeddings.parquet")}"
     val first = Similarity.annTopKIvf(spark, sf).collect().toSeq
     assert(Models.builds(key) === 1)
     val second = Similarity.annTopKIvf(spark, sf).collect().toSeq
     assert(Models.builds(key) === 1, "second invocation re-sampled the corpus")
     assert(second === first)
+  }
+
+  test("regenerating data under the same path changes the cache key") {
+    val dir = Files.createTempDirectory("graft-fp").toString
+    Files.write(Paths.get(dir, "part-0.parquet"), Array[Byte](1, 2, 3))
+    val fp1 = Models.inputFingerprint(dir)
+    assert(fp1 === Models.inputFingerprint(dir), "fingerprint must be stable")
+    // same path, different bytes + size — the driver's fixture regeneration
+    Files.write(Paths.get(dir, "part-0.parquet"), Array[Byte](9, 9, 9, 9))
+    assert(Models.inputFingerprint(dir) !== fp1,
+      "regenerated data under the same path must change the fingerprint")
   }
 
   test("a torn artifact (missing _SUCCESS) retrains instead of being served") {

@@ -49,6 +49,17 @@ class ParSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out eq many, "spread shuffled many-split input")
   }
 
+  test("shuffle-bearing input passes through untouched, before any .rdd probe") {
+    import spark.implicits._
+    // a grouped frame already redistributes; spread must return it
+    // eq-identical WITHOUT touching .rdd (which under AQE would eagerly
+    // materialize the upstream shuffle stage as real jobs)
+    val grouped = spark.range(0, 1000).toDF("doc_id")
+      .groupBy($"doc_id" % 7).count()
+    val out = Par.spread(grouped, $"count")
+    assert(out eq grouped, "spread touched a shuffle-bearing frame")
+  }
+
   test("spread hash-spreads few-split input up to the shuffle width") {
     import spark.implicits._
     val one = spark.range(0, 1000).coalesce(1).toDF("doc_id")

@@ -51,4 +51,18 @@ class FileCacheSpec extends AnyFunSuite {
     assert(c.purge() == 2)
     assert(c.size == 1)
   }
+
+  test("totalAdmitted counts distinct insertions, never decrements") {
+    val c = new FileCache(100L)
+    assert(c.totalAdmitted == 0L)
+    c.add("a", desc(1))
+    c.add("a", desc(2))            // overwrite, not a new admission
+    assert(c.totalAdmitted == 1L)
+    assert(c.addIfAbsent("b", desc(3)))
+    assert(!c.addIfAbsent("b", desc(4))) // lost CAS: no count
+    assert(c.totalAdmitted == 2L)
+    c.markProcessed("a")
+    c.add("far", desc(100000)); c.purge() // expiry must not decrement
+    assert(c.totalAdmitted >= 3L)
+  }
 }
