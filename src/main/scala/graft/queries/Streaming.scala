@@ -56,6 +56,17 @@ object Streaming {
     * session zone pinned by every entry point). */
   private[queries] def eventTs = col("ts").cast(TimestampType)
 
+  /** The events table with `ts` NORMALIZED to TIMESTAMP_NTZ micros at
+    * the stage boundary, whatever generation the fixture is
+    * ([[Tables.tsUs]] dispatches) — so the staged parquet always matches
+    * [[eventsSchema]] and a future fixture regeneration cannot silently
+    * desynchronize the streaming gates again. For the current
+    * timestamp[us] fixtures the cast chain is the identity. */
+  private[queries] def eventsNtz(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.withColumn("ts", timestamp_micros(Tables.tsUs(ev)).cast(TimestampNTZType))
+  }
+
   /** Write the events subset as N parquet files, announce them on a fresh
     * queue, and run the source to completion; returns the sink table name.
     * `gateName` keys the micro-batch plan captured for [[StreamPlans]]. */
@@ -63,7 +74,7 @@ object Streaming {
       transform: DataFrame => DataFrame, extraOptions: Map[String, String] = Map.empty): String = {
     val runId = s"stream${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.events(s, dir)
+    eventsNtz(s, dir)
       .filter(col("event_id") < CUTOFF)
       .repartition(nFiles, col("event_id"))
       .write.mode("overwrite").parquet(stage)
@@ -112,7 +123,7 @@ object Streaming {
   def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
     val runId = s"dedup${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+    eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
       .repartition(3, col("event_id"))
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)
@@ -150,7 +161,7 @@ object Streaming {
     import s.implicits._
     val runId = s"winagg${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
-    val ev = Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+    val ev = eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
     ev.repartition(2, col("event_id")).write.mode("overwrite").parquet(stage)
     // sentinel: one event in year 2100 (LocalDateTime encodes as
     // TIMESTAMP_NTZ, matching the staged events files' physical type)
@@ -214,7 +225,7 @@ object Streaming {
     val runId = s"dropdup${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
     val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString
-    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+    val ev = eventsNtz(s, dir).filter(col("event_id") < 500)
     ev.coalesce(1).write.mode("overwrite").parquet(stage1)
     ev.coalesce(1).write.mode("overwrite").parquet(stage2) // same rows again
     val queue = InMemoryQueueRegistry.queue(runId)
@@ -249,7 +260,7 @@ object Streaming {
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val runId = s"ssjoin${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.events(s, dir).filter(col("event_id") < 1000)
+    eventsNtz(s, dir).filter(col("event_id") < 1000)
       .repartition(2, col("event_id"))
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)

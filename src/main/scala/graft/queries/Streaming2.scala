@@ -33,7 +33,7 @@ object Streaming2 {
   private def stageAndAnnounce(s: SparkSession, dir: String, runId: String,
       nFiles: Int, tsMs: Long = 1000L): Int = {
     val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.events(s, dir).filter(col("event_id") < CUTOFF)
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
       .repartition(nFiles, col("event_id"))
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)

@@ -46,6 +46,22 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("drift"), e.getMessage)
   }
 
+  test("streaming stage normalization yields NTZ micros from a legacy-long fixture") {
+    val s = spark
+    import s.implicits._
+    val us = 1709618828123456L
+    val dir = Files.createTempDirectory("graft-legacy-events").toString
+    Seq((1L, us * 1000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val norm = Streaming.eventsNtz(s, dir)
+    assert(norm.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+      s"stage frame must carry TIMESTAMP_NTZ, got ${norm.schema("ts").dataType}")
+    val got = norm.select(org.apache.spark.sql.functions.unix_micros(
+      norm("ts").cast("timestamp"))).head().getLong(0)
+    assert(got == us, s"normalized micros drifted: $got != $us")
+  }
+
   test("tsUs dispatches on both fixture generations and agrees exactly") {
     val s = spark
     import s.implicits._
