@@ -335,6 +335,90 @@ object Streaming2 {
        |WHERE doc.doc_id % 5 = 0 AND doc.doc_id < $DocCutoff
        |ORDER BY doc.doc_id""".stripMargin
 
+  // ---------------------------------------------- novelty at ingest
+  /** Streaming n-gram novelty: NEW documents arrive through the
+    * connector and each micro-batch scores its documents' novelty —
+    * the fraction of a document's distinct shingles absent from the
+    * STANDING corpus's shingle index — the data-ordering signal
+    * ([[graft.operators.Curation3.ngramNovelty]] is the whole-corpus
+    * batch form) computed where it is actually needed: at ingest, per
+    * arriving document, against the index that already exists.
+    *
+    * A document's score depends only on (document, standing index), so
+    * micro-batch slicing cannot change the result set (the
+    * [[streamIncrementalDedup]] batch-invariance discipline;
+    * maxFilesPerTrigger=2 forces a genuinely multi-batch run), and the
+    * gate hash-compares the streamed scores against batch oracle SQL
+    * over the same slice. At 100 TB this is the steady-state shape: the
+    * standing index is a materialized table, only the arriving delta
+    * re-shingles. */
+  def streamNgramNovelty(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 8) {
+    import s.implicits._
+    val runId = s"novelty${seq.incrementAndGet()}_${System.nanoTime()}"
+    val corpus = Tables.documents(s, dir).filter($"doc_id" < DocCutoff)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    corpus.filter($"doc_id" % 5 === 0)
+      .repartition(4, $"doc_id")
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+
+    // standing-corpus shingle index: distinct hashed shingles, built once
+    // behind the cache boundary (Dedup2.shingleSets discipline)
+    val baseSets = graft.operators.Dedup2.shingleSets(
+        corpus.filter($"doc_id" % 5 =!= 0))
+      .persist()
+    baseSets.count()
+    val baseShingles = graft.operators.Dedup2.explodeSets(baseSets)
+      .select($"s").distinct().withColumn("known", lit(1))
+
+    val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
+    val query = s.readStream.format("graft-files").schema(docsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val deltaSets = graft.operators.Dedup2.shingleSets(batch).persist()
+        try {
+          deltaSets.count()
+          val scored = graft.operators.Dedup2.explodeSets(deltaSets)
+            .join(baseShingles, Seq("s"), "left")
+            .groupBy(col("doc_id"))
+            .agg(
+              (sum(when(col("known").isNull, 1L).otherwise(0L)).cast("double")
+                / count(lit(1))).as("novelty"),
+              count(lit(1)).as("n_shingles"))
+          StreamPlans.capturePlan("stream_ngram_novelty", scored)
+          scored.write.mode("append").parquet(outDir)
+        } finally deltaSets.unpersist()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    baseSets.unpersist()
+    s.read.parquet(outDir).orderBy($"doc_id")
+  }
+  /** Batch oracle over the same slice: delta docs' shingles LEFT-joined
+    * against the standing corpus's distinct shingle set. */
+  val streamNgramNoveltySql: String =
+    s"""WITH ${graft.operators.Dedup.shingleCteSql(s"doc_id < $DocCutoff")},
+       |base AS (SELECT DISTINCT s FROM ex WHERE doc_id % 5 <> 0)
+       |SELECT e.doc_id,
+       |  CAST(SUM(CASE WHEN b.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS novelty,
+       |  COUNT(*) AS n_shingles
+       |FROM ex e LEFT JOIN base b ON e.s = b.s
+       |WHERE e.doc_id % 5 = 0
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   // ---------------------------------------------------- chunk at ingest
   private val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -442,6 +526,7 @@ object Streaming2 {
     "stream_stream_join" -> streamStreamJoin _,
     "stream_mgws_session" -> streamMgwsSession _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
+    "stream_ngram_novelty" -> streamNgramNovelty _,
     "stream_chunk_documents" -> streamChunkDocuments _,
     "stream_filter_cascade" -> streamFilterCascade _,
   )
@@ -450,6 +535,7 @@ object Streaming2 {
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_mgws_session" -> streamMgwsSessionSql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
+    "stream_ngram_novelty" -> streamNgramNoveltySql,
     // stateless parity: the stream must land exactly the batch chunker's
     // rows, so it shares chunk_documents' oracle verbatim
     "stream_chunk_documents" -> graft.operators.PipelineOps.chunkDocumentsSql,
