@@ -227,8 +227,9 @@ object PerfHarness {
     (1 to sessions).foreach { si =>
       val s = if (si == 1) spark else spark.newSession()
       // a churned session starts from SparkConf defaults, not the parent
-      // session's conf — carry the one reader setting the driver tables
-      // need (events.parquet stores TIMESTAMP(NANOS))
+      // session's conf — carry the one reader setting a LEGACY-generation
+      // fixture would need (pre-Aug-2026 events.parquet stored
+      // TIMESTAMP(NANOS); harmless on the current timestamp[us] files)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       for (n <- names; r <- 1 to rounds) {
         val t0 = System.nanoTime()

@@ -15,7 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (epoch nanos)
+      // legacy-generation compatibility only: current fixtures carry
+      // timestamp[us] (unaffected); pre-Aug-2026 fixtures stored
+      // TIMESTAMP(NANOS), which this conf reads as epoch-nanos longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
