@@ -255,6 +255,58 @@ object Streaming {
     """SELECT event_id, user_id, value FROM events
       |WHERE event_id < 500 ORDER BY event_id""".stripMargin
 
+  /** Row-level streaming dedup with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the production form of
+    * [[streamDropDuplicates]]: plain `dropDuplicates` keeps every key
+    * seen FOREVER (state grows with the corpus — unrunnable at 100 TB),
+    * while the within-watermark variant evicts state once the watermark
+    * passes a key's event time, so state size tracks the out-of-orderness
+    * window, not history. Duplicates here arrive in LATER micro-batches
+    * (maxFilesPerTrigger=1) inside a wide watermark, so only the dedup
+    * state — not late-row drop — removes them; output rows emit on first
+    * sight (append mode), so the result is the distinct set regardless
+    * of batch slicing. */
+  def streamDedupWithinWatermark(s: SparkSession, dir: String): DataFrame =
+      withStateShuffle(s, 4) {
+    val runId = s"dedupww${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
+    val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString
+    val ev = eventsNtz(s, dir).filter(col("event_id") < 500)
+    ev.coalesce(1).write.mode("overwrite").parquet(stage1)
+    ev.coalesce(1).write.mode("overwrite").parquet(stage2) // same rows again
+    val queue = InMemoryQueueRegistry.queue(runId)
+    Seq(stage1, stage2).foreach { st =>
+      new java.io.File(st).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => queue.send(
+          s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${f.lastModified()}}"""))
+    }
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1") // duplicates arrive in a later batch
+      .load()
+      .withColumn("event_ts", eventTs)
+      // wide enough that the fixture's whole event-time span stays inside
+      // one watermark window: nothing is "late", so removal is genuinely
+      // the dedup state's doing (the tight-watermark eviction path is
+      // pinned in GraftStatefulStreamingSpec)
+      .withWatermark("event_ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_dedup_within_watermark", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+  val streamDedupWithinWatermarkSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   /** Stream-static join: streamed events enriched against the static
     * customer dim inside the micro-batch plan (broadcast per batch). */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
@@ -295,6 +347,7 @@ object Streaming {
     "stream_exactly_once" -> streamExactlyOnce _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_drop_duplicates" -> streamDropDuplicates _,
+    "stream_dedup_within_watermark" -> streamDedupWithinWatermark _,
   )
   val oracles: Map[String, String] = Map(
     "stream_static_join" -> streamStaticJoinSql,
@@ -302,5 +355,6 @@ object Streaming {
     "stream_exactly_once" -> streamExactlyOnceSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_drop_duplicates" -> streamDropDuplicatesSql,
+    "stream_dedup_within_watermark" -> streamDedupWithinWatermarkSql,
   )
 }

@@ -110,4 +110,51 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // with post-restart rows (3) instead of starting over
     assert(got == Map(0L -> 5L, 1L -> 6L, 2L -> 3L), s"got $got")
   }
+
+  test("dropDuplicatesWithinWatermark evicts state once the watermark passes") {
+    import org.apache.spark.sql.functions._
+    val qn = s"dedupww-${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(qn)
+    val dir = Files.createTempDirectory("dedupww")
+    def put(name: String, rows: Seq[(Long, String)]): String = {
+      val f = dir.resolve(name)
+      val body = rows.map { case (id, ts) => s"""{"id":$id,"ts":"$ts"}""" }.mkString("\n")
+      Files.write(f, body.getBytes)
+      "file:" + f
+    }
+    // batch 1: keys 1,2 at t0; batch 2: far-future sentinel advances the
+    // watermark past t0 + 1h; batch 3: DUPLICATES of 1,2 at t0 — by now
+    // their state is evicted and the rows are below the watermark
+    queue.send(s"""{"path":"${put("b1.json", Seq(1L -> "2024-01-01T00:00:00.000Z", 2L -> "2024-01-01T00:00:00.000Z"))}","timestampMs":1000}""")
+    queue.send(s"""{"path":"${put("b2.json", Seq(99L -> "2024-02-01T00:00:00.000Z"))}","timestampMs":2000}""")
+    queue.send(s"""{"path":"${put("b3.json", Seq(1L -> "2024-01-01T00:00:00.000Z", 2L -> "2024-01-01T00:00:00.000Z"))}","timestampMs":3000}""")
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val sink = s"dwwout${System.nanoTime()}"
+    val q = spark.readStream.format("graft-files").schema(schema)
+      .option("fileFormat", "json").option("queueName", qn)
+      .option("maxFilesPerTrigger", "1").option("sortBatchByTimestamp", "true")
+      .option("queueFetchWaitTimeoutSeconds", "5")
+      .load()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    val finalState = try {
+      q.processAllAvailable()
+      q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty => p.stateOperators.head.numRowsTotal
+      }
+    } finally q.stop()
+
+    // each key emitted exactly once — the batch-3 duplicates were removed
+    // (as evicted-state late rows, the same visible result dedup gives)
+    val got = spark.table(sink).select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 99L), s"got $got")
+    // the BOUNDED-state claim: keys 1,2 (event time below the advanced
+    // watermark) are evicted; only the sentinel's state row remains
+    assert(finalState.contains(1L),
+      s"state not bounded by the watermark: numRowsTotal=$finalState (want 1)")
+  }
 }
