@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** K-minimum-values (KMV) sketches over per-source shingle sets:
+  * distinct-count estimation and pairwise overlap — the mergeable
+  * alternative to exact distinct aggregation when the corpus no longer
+  * fits a COUNT(DISTINCT) shuffle budget.
+  *
+  * Unlike the HLL rows (q42: engine-specific registers, permanently
+  * `no_oracle`), KMV is hash-gate-exact across engines: the sketch IS
+  * the K smallest 32-bit md5-prefix hashes of the shingle strings, and
+  * both Spark and DuckDB compute identical md5 bytes — so the DuckDB
+  * oracle replays the whole sketch bit-for-bit (the same replayability
+  * trick as [[graft.functions.SimHash]]'s md5-prefix token hash). All
+  * estimator arithmetic is 64-bit integer (floor division, ppm units):
+  * no float drift anywhere.
+  *
+  * Scale notes: the per-source K-smallest pass is a window over the
+  * DISTINCT (source, hash) dictionary — the same cost class as the
+  * first-owner aggregates ([[Curation3.ngramNovelty]]); at 100 TB the
+  * production form is a partial-aggregating KMV (merge = K smallest of
+  * the union, associative/commutative — exactly what the pair-overlap
+  * query demonstrates on the merged sketches). Everything downstream of
+  * the dictionary operates on ≤ K × #sources rows, bounded by
+  * construction.
+  */
+object Sketches {
+  /** Sketch size: estimator std error ≈ 1/√(K−2) ≈ 12.7%. */
+  private[graft] val K = 64
+
+  /** Distinct (source, h) dictionary; h = first 8 md5 hex chars of the
+    * shingle string, an integer in [0, 2^32). Engine-identical. */
+  private def sourceHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // same plan-keyed cache discipline as Curation3.shingleEx: the
+    // shingle-set frame is shared with every other shingle operator
+    val sets = Dedup2.shingleSets(docs).persist()
+    sets.count()
+    sets.select($"doc_id", explode($"sh").as("sg"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", conv(substring(md5($"sg"), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+  }
+
+  /** The ≤K smallest distinct hashes per source. */
+  private def kmvSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"h")
+    sourceHashes(s, d).withColumn("rk", row_number().over(w)).filter($"rk" <= K)
+  }
+
+  // --------------------------------------------- per-source distinct
+  /** Per-source distinct-shingle estimate from the K-th smallest hash:
+    * est = (K−1)·2³² / h₍K₎ (floor), exact count carried alongside so
+    * the row itself reports its error in ppm. Sources with fewer than K
+    * distinct hashes are exact by definition. */
+  def sourceKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"h")
+    sourceHashes(s, d).withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("exact_distinct"),
+        max(when($"rk" === K, $"h")).as("kth"))
+      .withColumn("est_distinct",
+        when($"exact_distinct" >= K, expr(s"(${K - 1} * 4294967296) div kth"))
+          .otherwise($"exact_distinct"))
+      .withColumn("err_ppm",
+        expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct"))
+      .select($"source", $"exact_distinct", $"est_distinct", $"err_ppm")
+      .orderBy($"source")
+  }
+  val sourceKmvDistinctSql: String =
+    s"""WITH ${Dedup.ShingleCteSql},
+       |sh32 AS (
+       |  SELECT DISTINCT d.source, CAST(concat('0x', substring(md5(e.s), 1, 8)) AS BIGINT) AS h
+       |  FROM ex e JOIN documents d ON e.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM sh32),
+       |st AS (
+       |  SELECT source, COUNT(*) AS exact_distinct,
+       |    MAX(CASE WHEN rk = $K THEN h END) AS kth
+       |  FROM rk GROUP BY source),
+       |est AS (
+       |  SELECT source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |    CAST(CASE WHEN exact_distinct >= $K THEN (${K - 1} * 4294967296) // kth
+       |         ELSE exact_distinct END AS BIGINT) AS est_distinct
+       |  FROM st)
+       |SELECT source, exact_distinct, est_distinct,
+       |  (ABS(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
+       |FROM est ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ pairwise overlap
+  /** Pairwise source overlap from MERGED sketches: for each source pair,
+    * merge the two KMV sets (K smallest of the union — the associative
+    * sketch merge), count how many of the merged values appear in BOTH
+    * input sketches, and report jaccard in exact ppm. This is the
+    * O(#sources² · K) replacement for the O(dictionary) exact pairwise
+    * overlap — the pair stage never touches the corpus.
+    *
+    * Plan shape: two equi-joins attach each pair's sketches (no
+    * non-equi predicate, so no nested-loop join), then one aggregate
+    * per (pair, hash) and one windowed merge over ≤ 2K rows per pair. */
+  def sourceOverlapKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kmv = kmvSketch(s, d).select($"source", $"h").persist()
+    val srcs = kmv.select($"source").distinct()
+    val pairs = srcs.select($"source".as("sa"))
+      .join(srcs.select($"source".as("sb")), $"sa" < $"sb")
+    val withA = pairs.join(kmv.select($"source".as("sa"), $"h"), "sa")
+      .select($"sa", $"sb", $"h", lit(1L).as("ina"), lit(0L).as("inb"))
+    val withB = pairs.join(kmv.select($"source".as("sb"), $"h"), "sb")
+      .select($"sa", $"sb", $"h", lit(0L).as("ina"), lit(1L).as("inb"))
+    val un = withA.union(withB)
+      .groupBy($"sa", $"sb", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+    val w = Window.partitionBy($"sa", $"sb").orderBy($"h")
+    un.withColumn("rk", row_number().over(w)).filter($"rk" <= K)
+      .groupBy($"sa", $"sb")
+      .agg(sum($"ina" * $"inb").as("matches"),
+        expr("(sum(ina * inb) * 1000000) div count(1)").as("jaccard_ppm"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"), $"matches", $"jaccard_ppm")
+      .orderBy($"source_a", $"source_b")
+  }
+  val sourceOverlapKmvSql: String =
+    s"""WITH ${Dedup.ShingleCteSql},
+       |sh32 AS (
+       |  SELECT DISTINCT d.source, CAST(concat('0x', substring(md5(e.s), 1, 8)) AS BIGINT) AS h
+       |  FROM ex e JOIN documents d ON e.doc_id = d.doc_id),
+       |kmv AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM sh32)
+       |  WHERE rk <= $K),
+       |srcs AS (SELECT DISTINCT source FROM kmv),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b WHERE a.source < b.source),
+       |un AS (
+       |  SELECT p.sa, p.sb, k.h,
+       |    MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN kmv k ON k.source IN (p.sa, p.sb)
+       |  GROUP BY p.sa, p.sb, k.h),
+       |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM un)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(SUM(ina * inb) AS BIGINT) AS matches,
+       |  (CAST(SUM(ina * inb) AS BIGINT) * 1000000) // COUNT(*) AS jaccard_ppm
+       |FROM rk2 WHERE rk <= $K
+       |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_kmv_distinct" -> sourceKmvDistinct _,
+    "source_overlap_kmv" -> sourceOverlapKmv _,
+  )
+  val oracles: Map[String, String] = Map(
+    "source_kmv_distinct" -> sourceKmvDistinctSql,
+    "source_overlap_kmv" -> sourceOverlapKmvSql,
+  )
+}
