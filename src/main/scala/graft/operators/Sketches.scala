@@ -110,8 +110,12 @@ object Sketches {
     import s.implicits._
     val kmv = kmvSketch(s, d).select($"source", $"h").persist()
     val srcs = kmv.select($"source").distinct()
+    // source-dimension self pair-up: both sides are the distinct-source
+    // dimension (corpus-size-independent), so the non-equi `<` join is a
+    // broadcast nested loop over a constant-ish frame, never a
+    // corpus-sized cartesian (PlanLawSpec whitelists it with this bound)
     val pairs = srcs.select($"source".as("sa"))
-      .join(srcs.select($"source".as("sb")), $"sa" < $"sb")
+      .join(broadcast(srcs.select($"source".as("sb"))), $"sa" < $"sb")
     val withA = pairs.join(kmv.select($"source".as("sa"), $"h"), "sa")
       .select($"sa", $"sb", $"h", lit(1L).as("ina"), lit(0L).as("inb"))
     val withB = pairs.join(kmv.select($"source".as("sb"), $"h"), "sb")

@@ -502,8 +502,58 @@ object Layout {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Standing shingle index persisted as a table bucketed on the 64-bit
+    * shingle hash: the one-time ingest investment that makes every
+    * subsequent incremental-dedup probe batch join WITHOUT shuffling
+    * the index side. The index is corpus-dictionary-sized; at 100 TB
+    * re-shuffling it per ingest batch is the dominant cost of
+    * [[graft.operators.Dedup2.dedupIncremental]]'s recompute-everything
+    * shape — bucketing moves that shuffle to write time, once. */
+  private[graft] def shingleIndexTable(s: SparkSession, d: String): String = {
+    val it = s"graft_bucketed_shingle_index_${suffix(d)}"
+    preparedRoot(s"$d|shingle_index",
+      root => Seq(s"$root/index"), _ => s.catalog.tableExists(it)) {
+      val root = newTempRoot("graft-layout-shidx")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 5 =!= 0)
+      val sets = graft.operators.Dedup2.shingleSets(base).persist()
+      sets.count() // cache boundary: see Dedup2.shingleSets scaladoc
+      graft.operators.Dedup2.explodeSets(sets)
+        .write.mode("overwrite")
+        .bucketBy(16, "s").sortBy("s")
+        .option("path", s"$root/index").saveAsTable(it)
+      root
+    }
+    it
+  }
+
+  /** Incremental dedup against the PERSISTED index: same verdicts as
+    * `dedup_incremental` (the oracle is shared, so the gate proves the
+    * layout lossless), but the standing-corpus side reads straight from
+    * its buckets — the probe batch is the only join input that
+    * shuffles. The merge hint keeps the strategy at sort-merge, where
+    * the bucket metadata satisfies the index side's distribution
+    * requirement from the scan (broadcast at toy scale would hide
+    * exactly the shuffle this layout deletes; LayoutSpec asserts the
+    * one-sided exchange). */
+  def q58DedupIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val it = shingleIndexTable(s, d)
+    val index = s.table(it).hint("merge")
+    val deltaDocs = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+    val deltaSets = graft.operators.Dedup2.shingleSets(deltaDocs).persist()
+    deltaSets.count()
+    val delta = graft.operators.Dedup2.explodeSets(deltaSets)
+      .select($"doc_id".as("d_id"), $"sz".as("sz_d"), $"s")
+    graft.operators.Dedup2.incrementalVerdicts(
+        deltaDocs.select($"doc_id"), delta, index)
+      .orderBy($"doc_id")
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q58_dedup_index" -> q58DedupIndex _,
     "q55_bucketed_window" -> q55BucketedWindow _,
     "q54_bucketed_agg" -> q54BucketedAgg _,
     "q46_bucketed_join" -> q46BucketedJoin _,
@@ -515,6 +565,9 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // shared with dedup_incremental: identical verdict semantics from the
+    // raw table prove the bucketed index layout lossless
+    "q58_dedup_index" -> graft.operators.Dedup2.dedupIncrementalSql,
     "q55_bucketed_window" -> q55Sql,
     "q54_bucketed_agg" -> q54Sql,
     "q46_bucketed_join" -> q46Sql,

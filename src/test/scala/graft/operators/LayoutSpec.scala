@@ -54,6 +54,29 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggShuffles == 1, s"expected exactly the aggregate's shuffle, got $aggShuffles:\n$plan")
   }
 
+  test("q58: the persisted shingle index joins probes with only the probe-side shuffle") {
+    val it = Layout.shingleIndexTable(spark, sf)
+    val s = spark; import s.implicits._
+    // a probe frame NOT bucketed on s — the shape of an arriving batch
+    val probe = Seq((1L, 5L, 123L), (2L, 7L, 456L)).toDF("d_id", "sz_d", "s")
+    val plan = spark.table(it).hint("merge").join(probe, "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected only the probe-side shuffle, got $ex:\n$plan")
+  }
+
+  test("q58 baseline: the same join over a raw (unbucketed) index pays both shuffles") {
+    val s = spark; import s.implicits._
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", org.apache.spark.sql.functions.xxhash64($"text").as("s"))
+    val probe = Seq((1L, 5L, 123L), (2L, 7L, 456L)).toDF("d_id", "sz_d", "s")
+    val plan = raw.hint("merge").join(probe, "s").queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 2, s"expected both join-side shuffles over raw data, got $ex:\n$plan")
+  }
+
   test("q46 baseline: the same join over raw parquet pays both join-side shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -43,6 +43,8 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     * a BNLJ fails the sweep. */
   private val justifiedBnlj: Map[String, String] = Map(
     "ann_topk_brute" -> "broadcast probe set is NProbes=64 rows by construction",
+    "ann_hard_negatives" -> "broadcast probe set is NProbes=64 rows by construction",
+    "source_overlap_kmv" -> "broadcast side is the distinct-source dimension (corpus-size-independent); pair stage input is <= K rows per source by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
     "ann_topk_pq" -> "broadcast probe set is NProbes=64 rows (with M*K-double tables) by construction",
     "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
