@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, Sketches, TextAnalysis}
-import graft.queries.{Layout, Relational, Relational2, Streaming, Streaming2}
+import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, Sketches, TextAnalysis}
+import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
       Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
-      Curation3.queries ++ Curation4.queries ++ Sketches.queries ++ Layout.queries
+      Curation3.queries ++ Curation4.queries ++ Curation5.queries ++
+      Sketches.queries ++ Layout.queries ++ Relational3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
       Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++
-      Curation3.oracles ++ Curation4.oracles ++ Sketches.oracles ++ Layout.oracles
+      Curation3.oracles ++ Curation4.oracles ++ Curation5.oracles ++
+      Sketches.oracles ++ Layout.oracles ++ Relational3.oracles
 }

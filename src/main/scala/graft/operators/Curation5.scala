@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Round-13 pipeline additions, part 3: character-level entropy scoring
+  * and winnowing (MOSS-style) document fingerprints.
+  *
+  * House rules as everywhere: keyed joins only, fingerprints shuffle
+  * instead of text bodies, ln() rounded to integer micro-nats before any
+  * cross-row sum (the [[TextAnalysis.textPerplexity]] discipline), every
+  * query hash-gated against a DuckDB oracle.
+  */
+object Curation5 {
+
+  /** ln(x)·10⁶ rounded to a long — the micro-nat quantization that makes
+    * a sum of logs order-free and engine-exact (see textPerplexity's
+    * parity note; the residual half-ulp risk is shared and acknowledged
+    * there). */
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * 1e6).cast("long")
+
+  /** Exploded character k-grams with their 1-based position: one row per
+    * (doc, position). A pure narrow map (sequence + substr — both
+    * codegen'd built-ins); the per-doc fan-out is `length(text)` rows,
+    * the same cost class as the shingle explodes everywhere else. */
+  private def charGrams(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Par.spread(docs, $"doc_id")
+      .filter(length($"text") >= k)
+      .select($"doc_id", $"text", explode(sequence(lit(1), length($"text") - (k - 1))).as("pos"))
+      .select($"doc_id", $"pos", $"text".substr($"pos", lit(k)).as("g"))
+  }
+
+  // -------------------------------------------------- character entropy
+  /** Per-document character-level Shannon entropy — the cheapest
+    * gibberish/boilerplate signal there is: near-zero entropy is one
+    * repeated character (padding, ASCII art, base64 walls score HIGH),
+    * and natural language sits in a narrow band (~3 nats for English),
+    * so both tails are filter candidates. Gopher/CCNet-class pipelines
+    * run exactly this class of per-doc scan statistic at full corpus
+    * width.
+    *
+    * Definition: H = ln(n) − (Σ cnt·ln(cnt))/n over the doc's character
+    * histogram, computed entirely in integer micro-nats:
+    * `ent_micro = (n·lnμ(n) − Σ cnt·lnμ(cnt)) div n` — one integer
+    * division at the end, no float aggregate anywhere.
+    *
+    * Scale shape: char explode is a narrow map; the histogram is a
+    * (doc, char)-keyed hash aggregate (map-side combined — at most
+    * alphabet-size rows survive per doc per partition); the per-doc
+    * reduction is a second keyed aggregate. Text bodies never shuffle —
+    * only (doc_id, char, cnt) triples. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    charGrams(Tables.documents(s, d), 1)
+      .groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_chars_seen"),
+        count(lit(1)).as("distinct_chars"),
+        sum($"cnt" * lnMicro($"cnt")).as("s_cnt"))
+      .withColumn("ent_micro",
+        expr("(n_chars_seen * cast(round(ln(cast(n_chars_seen as double)) * 1e6) as bigint) - s_cnt) div n_chars_seen"))
+      .select($"doc_id", $"n_chars_seen", $"distinct_chars", $"ent_micro")
+      .orderBy($"doc_id")
+  }
+  val textEntropySql: String =
+    raw"""WITH ch AS (
+         |  SELECT doc_id, substring(text, gs, 1) AS g
+         |  FROM documents, UNNEST(generate_series(1, length(text))) AS u(gs)
+         |  WHERE length(text) >= 1
+         |), hist AS (
+         |  SELECT doc_id, g, COUNT(*) AS cnt FROM ch GROUP BY doc_id, g
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars_seen,
+         |    COUNT(*) AS distinct_chars,
+         |    CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_cnt
+         |  FROM hist GROUP BY doc_id)
+         |SELECT doc_id, n_chars_seen, distinct_chars,
+         |  (n_chars_seen * CAST(round(ln(CAST(n_chars_seen AS DOUBLE)) * 1000000.0) AS BIGINT) - s_cnt)
+         |    // n_chars_seen AS ent_micro
+         |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- winnowing fingerprints
+  /** Winnowing window: fingerprints are the per-window minima over
+    * [[WinnowW]] consecutive k-gram hashes — the guarantee (Schleimer,
+    * Wilkerson, Aiken, SIGMOD'03 §3) is that any match of length
+    * ≥ k + w − 1 shares at least one selected fingerprint, at an
+    * expected density of 2/(w+1). */
+  private[graft] val WinnowK = 8
+  private[graft] val WinnowW = 4
+
+  /** MOSS-style winnowing fingerprints + cross-document overlap: each
+    * document is reduced to the distinct minima of its k-gram hash
+    * windows, and a fingerprint is `shared` when ≥2 documents selected
+    * it. Reordering-robust plagiarism/near-dup detection at a density
+    * the shingle-df schemes can't reach: ~2/(w+1) of the gram count per
+    * doc, position-independent.
+    *
+    * Engine parity: the gram hash is a 60-bit md5 prefix (the
+    * [[Sketches]] replay trick), so DuckDB rebuilds identical hashes;
+    * the window min over a pinned ROWS frame is set-deterministic.
+    * Only FULL windows select (pos ≤ L − k − w + 2), matching the
+    * published definition — short docs (< k + w − 1 chars) have no full
+    * window and report nothing, identically on both engines.
+    *
+    * Scale shape: gram hashing + window minima are per-doc narrow work
+    * (one shuffle on doc_id for the window sort); the only corpus-wide
+    * stage is the fingerprint document-frequency aggregate — a
+    * dictionary-sized hash agg at ~2/(w+1) gram density — and a keyed
+    * join back. Text never shuffles; 8-byte fingerprints do. */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // full-window bound npos − (w−1) comes straight off length(text)
+    // BEFORE the explode — no second window pass over the gram rows
+    val grams = Par.spread(Tables.documents(s, d), $"doc_id")
+      .filter(length($"text") >= WinnowK)
+      .select($"doc_id", $"text",
+        (length($"text") - (WinnowK - 1)).as("npos"),
+        explode(sequence(lit(1), length($"text") - (WinnowK - 1))).as("pos"))
+      .select($"doc_id", $"npos", $"pos",
+        conv(substring(md5($"text".substr($"pos", lit(WinnowK))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val fw = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, WinnowW - 1)
+    // persisted: fps feeds BOTH the fingerprint-df aggregate and the
+    // join back — without the cache boundary the whole gram+window
+    // pipeline executes twice (the documented unpersist-trap class;
+    // plan-keyed corpus artifact, so it stays cached — see BENCH_NOTES
+    // round-13 shakedown)
+    val fps = grams
+      .withColumn("wmin", min($"h").over(fw))
+      .filter($"pos" <= $"npos" - (WinnowW - 1))
+      .select($"doc_id", $"wmin").distinct()
+      .persist()
+    fps.count()
+    val df = fps.groupBy($"wmin").agg(count(lit(1)).as("ndocs"))
+    fps.join(df, "wmin")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("(n_shared * 1000000) div n_fp"))
+      .orderBy($"doc_id")
+  }
+  val winnowFingerprintSql: String = {
+    val k = WinnowK; val w = WinnowW
+    raw"""WITH grams AS (
+         |  SELECT doc_id, gs AS pos,
+         |    CAST(concat('0x', substring(md5(substring(text, gs, $k)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents, UNNEST(generate_series(1, length(text) - ${k - 1})) AS u(gs)
+         |  WHERE length(text) >= $k
+         |), winmin AS (
+         |  SELECT doc_id, pos,
+         |    MAX(pos) OVER (PARTITION BY doc_id) AS npos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+         |  FROM grams
+         |), fps AS (
+         |  SELECT DISTINCT doc_id, wmin FROM winmin WHERE pos <= npos - ${w - 1}
+         |), fdf AS (
+         |  SELECT wmin, COUNT(*) AS ndocs FROM fps GROUP BY wmin)
+         |SELECT f.doc_id, COUNT(*) AS n_fp,
+         |  CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  (CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS shared_ppm
+         |FROM fps f JOIN fdf d ON f.wmin = d.wmin
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> textEntropy _,
+    "winnow_fingerprint" -> winnowFingerprint _,
+  )
+  val oracles: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
+    "winnow_fingerprint" -> winnowFingerprintSql,
+  )
+}

@@ -381,8 +381,103 @@ object TextAnalysis {
     s"WITH ${(base +: rounds).mkString(",\n")}\n$unions\nORDER BY round"
   }
 
+  // -------------------------------------------------- BPE encode (apply)
+  /** Apply a learned BPE merge table to the corpus — the inference half
+    * of the tokenizer whose training half is [[bpeVocabLearn]]: per
+    * document, the character-unit count before merging and the token
+    * count after all merges, with the compression in exact ppm. The
+    * per-doc token count is the #1 bookkeeping quantity of a training
+    * pipeline (sequence packing, token budgets, mixture weights all key
+    * off it), and this is how it's actually produced: a TRAINED
+    * tokenizer applied corpus-wide.
+    *
+    * Train-once discipline: the merge table comes from the [[Models]]
+    * store keyed by an input fingerprint + hyperparams — the first call
+    * in a JVM runs the learn loop and commits the table as parquet,
+    * every later call (and every other operator that wants the
+    * tokenizer) reloads it with ZERO training jobs, exactly like the PQ
+    * codebooks ([[Clustering]]).
+    *
+    * Execution shape: the merge table is a driver-side constant (≤
+    * [[BpeMerges]] rows), so encoding compiles to a chain of literal
+    * `replace` calls over the sentinel-wrapped text — one codegen'd
+    * narrow projection over the corpus, no shuffle, no UDF. The
+    * sentinel spelling makes each merge the same leftmost-first
+    * non-overlapping `replace` on both engines (see [[bpeVocabLearn]]'s
+    * representation note); whitespace stays unwrapped, so a merge can
+    * never span a word boundary — identical to the learn loop's
+    * word-local view. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = s"bpe:${Models.inputFingerprint(d)}:m$BpeMerges"
+    val merges: Seq[String] = Models.artifact[Seq[String]](key) { dir =>
+      bpeVocabLearn(s, d).write.mode("overwrite").parquet(dir)
+    } { dir =>
+      s.read.parquet(dir).orderBy($"round").collect()
+        .map(_.getAs[String]("pair")).toSeq
+    }
+    val enc0 = regexp_replace($"text", "(\\S)", s"$TokL$$1$TokR")
+    val encN = merges.foldLeft(enc0) { (c, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(c, lit(s"$TokL$a$TokR$TokL$b$TokR"), lit(s"$TokL$a$b$TokR"))
+    }
+    def units(c: Column): Column =
+      (length(c) - length(replace(c, lit(TokL), lit("")))).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", units(enc0).as("n_char_units"), units(encN).as("n_bpe_units"))
+      .withColumn("saved_ppm",
+        expr("case when n_char_units = 0 then 0 else ((n_char_units - n_bpe_units) * 1000000) div n_char_units end"))
+      .orderBy($"doc_id")
+  }
+  /** DuckDB replica: the learn chain's CTEs (shared with
+    * [[bpeVocabLearnSql]]) feed per-round scalar subqueries into a chain
+    * of document-side `replace` steps; COALESCE to a never-matching
+    * sentinel makes an unrealized round (empty p_r) a no-op, exactly as
+    * the Spark fold over only the realized merges. */
+  val bpeEncodeSql: String = {
+    val base =
+      raw"""words AS (
+           |  SELECT w, COUNT(*) AS wc
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+           |  GROUP BY w),
+           |seq0 AS (
+           |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS ws, wc FROM words)""".stripMargin
+    val rounds = (1 to BpeMerges).map { r =>
+      raw"""p$r AS (
+           |  SELECT t[gs] || ' ' || t[gs + 1] AS pair, CAST(SUM(wc) AS BIGINT) AS n
+           |  FROM (SELECT string_split(substr(ws, 2, greatest(length(ws) - 2, 0)), chr(2) || chr(1)) AS t, wc
+           |        FROM seq${r - 1}) s,
+           |       UNNEST(generate_series(1, len(t) - 1)) AS u(gs)
+           |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+           |seq$r AS (
+           |  SELECT replace(ws, (SELECT chr(1) || string_split(pair, ' ')[1] || chr(2) || chr(1) || string_split(pair, ' ')[2] || chr(2) FROM p$r),
+           |                     (SELECT chr(1) || replace(pair, ' ', '') || chr(2) FROM p$r)) AS ws, wc
+           |  FROM seq${r - 1})""".stripMargin
+    }
+    val docRounds = (1 to BpeMerges).map { r =>
+      raw"""e$r AS (
+           |  SELECT doc_id,
+           |    replace(e, COALESCE((SELECT chr(1) || string_split(pair, ' ')[1] || chr(2) || chr(1) || string_split(pair, ' ')[2] || chr(2) FROM p$r), chr(3)),
+           |               COALESCE((SELECT chr(1) || replace(pair, ' ', '') || chr(2) FROM p$r), chr(3))) AS e,
+           |    n_char_units
+           |  FROM e${r - 1})""".stripMargin
+    }
+    val doc0 =
+      raw"""e0 AS (
+           |  SELECT doc_id, regexp_replace(text, '(\S)', chr(1) || '\1' || chr(2), 'g') AS e,
+           |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_char_units
+           |  FROM documents)""".stripMargin
+    s"""WITH ${(base +: rounds).mkString(",\n")},\n${(doc0 +: docRounds).mkString(",\n")}
+       |SELECT doc_id, n_char_units,
+       |  CAST(length(e) - length(replace(e, chr(1), '')) AS BIGINT) AS n_bpe_units,
+       |  CASE WHEN n_char_units = 0 THEN 0
+       |       ELSE ((n_char_units - (length(e) - length(replace(e, chr(1), '')))) * 1000000) // n_char_units END AS saved_ppm
+       |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_vocab_learn" -> bpeVocabLearn _,
+    "bpe_encode" -> bpeEncode _,
     "bpe_pair_counts" -> bpePairCounts _,
     "top_ngrams" -> topNgrams _,
     "text_token_count" -> textTokenCount _,
@@ -393,6 +488,7 @@ object TextAnalysis {
   )
   val oracles: Map[String, String] = Map(
     "bpe_vocab_learn" -> bpeVocabLearnSql,
+    "bpe_encode" -> bpeEncodeSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "top_ngrams" -> topNgramsSql,
     "text_token_count" -> textTokenCountSql,

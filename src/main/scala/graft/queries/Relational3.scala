@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 relational additions, part 3: interval algebra over event
+  * time. Same contract as [[Relational]]/[[Relational2]]: every query is
+  * a declarative DataFrame plan with a DuckDB oracle, event time derived
+  * once via [[Tables.tsUs]] (exact epoch micros, both fixture
+  * generations).
+  */
+object Relational3 {
+
+  /** Activity interval length attributed to each event. */
+  private[graft] val IntervalUs: Long = 30L * 60 * 1000000
+
+  /** Per-user interval-union coverage (q59): each event opens a 30-minute
+    * activity interval; report, per user, the total time covered by the
+    * UNION of those intervals (overlaps counted once), the number of
+    * disjoint activity islands, and the raw event count. The classic
+    * sweep-line/gaps-and-islands computation — utilization, uptime, and
+    * "active hours" metrics are all this query.
+    *
+    * Why this shape scales: the naive formulation self-joins events on
+    * range overlap (quadratic in the hot key). This plan never joins —
+    * ONE shuffle on user_id, then per-partition sorted windows:
+    * `pmax` = running max of interval ends over all PRECEDING rows (a
+    * pinned ROWS frame, so the value depends only on the preceding SET,
+    * deterministic under the (start, event_id) sort), each row's novel
+    * contribution is `end − max(start, pmax)` clamped at 0, and an
+    * island opens where `start > pmax`. Integer micros throughout —
+    * both engines sum identical longs. */
+  def q59IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val base = ev.select($"user_id", $"event_id", Tables.tsUs(ev).as("st"))
+      .withColumn("en", $"st" + IntervalUs)
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("pmax", max($"en").over(w))
+      .withColumn("contrib",
+        greatest($"en" - greatest($"st", coalesce($"pmax", lit(Long.MinValue))), lit(0L)))
+      .withColumn("island",
+        when($"pmax".isNull || $"st" > $"pmax", 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"island").as("n_islands"),
+        sum($"contrib").as("covered_us"))
+      .orderBy($"user_id")
+  }
+  val q59IntervalUnionSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS st,
+       |    epoch_us(ts) + $IntervalUs AS en
+       |  FROM events
+       |), sweep AS (
+       |  SELECT user_id, st, en,
+       |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+       |  CAST(SUM(GREATEST(en - GREATEST(st, COALESCE(pmax, ${Long.MinValue})), 0)) AS BIGINT) AS covered_us
+       |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_interval_union" -> q59IntervalUnion _,
+  )
+  val oracles: Map[String, String] = Map(
+    "q59_interval_union" -> q59IntervalUnionSql,
+  )
+}

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -521,7 +522,100 @@ object Streaming2 {
     graft.operators.Curation.cascadeReport(merged)
   }
 
+  // ------------------------------------------ mergeable sketch at ingest
+  /** Streaming KMV distinct-estimation: documents arrive through the
+    * push source (3 staged files, 1 per trigger ⇒ 3 micro-batches), each
+    * micro-batch reduces its slice to per-source KMV sketches (≤ K rows
+    * per source — the [[graft.operators.Sketches]] sketch), and the
+    * final estimate comes from the MERGED sketch. This is the live form
+    * of cardinality accounting a 100 TB ingest keeps: per-batch state is
+    * bounded at K×#sources rows regardless of corpus size, and the merge
+    * (K smallest of the distinct union) is associative, commutative AND
+    * idempotent — so micro-batch slicing cannot change the result (the
+    * batch-invariance law every streaming gate here pins), and a retried
+    * batch's re-appended sketch dedupes away instead of corrupting the
+    * estimate. The oracle replays the same sketch over the whole corpus
+    * in DuckDB, bit-for-bit (md5-prefix hashes — the Sketches trick). */
+  def streamKmvDistinct(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 8) {
+    import s.implicits._
+    import graft.operators.{Dedup2, Sketches}
+    val runId = s"kmv${seq.incrementAndGet()}_${System.nanoTime()}"
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.documents(s, dir).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
+    val K = Sketches.K
+    val query = s.readStream.format("graft-files").schema(documentsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sets = Dedup2.shingleSets(batch).persist()
+        try {
+          sets.count()
+          // md5-prefix 32-bit hash of the shingle STRING — must match
+          // Sketches.sourceHashes so the merged sketch replays in DuckDB
+          val hashed = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
+            .join(batch.select(col("doc_id"), col("source")), "doc_id")
+            .select(col("source"),
+              conv(substring(md5(col("sg")), 1, 8), 16, 10).cast("long").as("h"))
+            .distinct()
+          val w = Window.partitionBy(col("source")).orderBy(col("h"))
+          val sketch = hashed.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= K).select(col("source"), col("h"))
+          StreamPlans.capturePlan("stream_kmv_distinct", sketch)
+          sketch.write.mode("append").parquet(outDir)
+        } finally sets.unpersist()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    // merge: K smallest of the distinct union of the per-batch sketches
+    val w = Window.partitionBy($"source").orderBy($"h")
+    s.read.parquet(outDir).distinct()
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= K)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("sketch_n"),
+        max(when($"rk" === K, $"h")).as("kth"))
+      .withColumn("est_distinct",
+        when($"sketch_n" >= K, expr(s"(${K - 1} * 4294967296) div kth"))
+          .otherwise($"sketch_n"))
+      .select($"source", $"sketch_n", $"est_distinct")
+      .orderBy($"source")
+  }
+  /** Batch replay: the same K-smallest sketch per source over the whole
+    * corpus — equal to the streamed merge because KMV merge is exactly
+    * "K smallest of the distinct union". */
+  val streamKmvDistinctSql: String = {
+    val K = graft.operators.Sketches.K
+    s"""WITH ${graft.operators.Dedup.shingleCteSql("")},
+       |sh32 AS (
+       |  SELECT DISTINCT d.source, CAST(concat('0x', substring(md5(e.s), 1, 8)) AS BIGINT) AS h
+       |  FROM ex e JOIN documents d ON e.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM sh32),
+       |st AS (
+       |  SELECT source, COUNT(*) FILTER (WHERE rk <= $K) AS sketch_n,
+       |    MAX(CASE WHEN rk = $K THEN h END) AS kth
+       |  FROM rk GROUP BY source)
+       |SELECT source, CAST(sketch_n AS BIGINT) AS sketch_n,
+       |  CAST(CASE WHEN sketch_n >= $K THEN (${K - 1} * 4294967296) // kth
+       |       ELSE sketch_n END AS BIGINT) AS est_distinct
+       |FROM st ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kmv_distinct" -> streamKmvDistinct _,
     "stream_session_window" -> streamSessionWindow _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_mgws_session" -> streamMgwsSession _,
@@ -531,6 +625,7 @@ object Streaming2 {
     "stream_filter_cascade" -> streamFilterCascade _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_kmv_distinct" -> streamKmvDistinctSql,
     "stream_session_window" -> streamSessionWindowSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_mgws_session" -> streamMgwsSessionSql,
