@@ -170,12 +170,126 @@ object Curation5 {
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- per-source calibration
+  /** Per-source rank calibration of a quality score — the step that
+    * makes quality comparable ACROSS sources before any global
+    * selection: raw quality distributions differ per source (a median
+    * web page and a median reference article score very differently),
+    * so global thresholding on the raw score silently starves whole
+    * sources. Calibrated rank = percent-rank WITHIN the source, in
+    * exact ppm: `(rk−1)·10⁶ div (n_src−1)` (single-doc sources pin 0).
+    *
+    * The raw score is the lexical-diversity ratio in exact ppm
+    * (distinct tokens / tokens — integer arithmetic, so ranks are
+    * engine-exact; ties break on doc_id).
+    *
+    * Scale shape: one narrow scoring pass, one shuffle on source, a
+    * per-source sort window. Sources are many and individually bounded
+    * in practice; if one source dominates the corpus, the rank moves to
+    * the salted two-phase discipline ([[PipelineOps.stratifiedSample]],
+    * budget_select's range-partition prefix sum) rather than one
+    * window partition. */
+  def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val scored = Tables.documents(s, d)
+      .withColumn("dsz", size(array_distinct(toks)).cast("long"))
+      .withColumn("tsz", size(toks).cast("long"))
+      .select($"doc_id", $"source", expr("(dsz * 1000000) div tsz").as("score_ppm"))
+    val w = Window.partitionBy($"source").orderBy($"score_ppm", $"doc_id")
+    val n = Window.partitionBy($"source")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nsrc", count(lit(1)).over(n))
+      .withColumn("cal_ppm",
+        when($"nsrc" === 1, 0L)
+          .otherwise(expr("((rk - 1) * 1000000) div (nsrc - 1)")))
+      .select($"doc_id", $"source", $"score_ppm", $"cal_ppm")
+      .orderBy($"doc_id")
+  }
+  val qualityCalibrateSql: String =
+    raw"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) * 1000000)
+         |      // len(string_split_regex(trim(text), '\s+')) AS score_ppm
+         |  FROM documents
+         |), rk AS (
+         |  SELECT doc_id, source, score_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_ppm, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS nsrc
+         |  FROM scored)
+         |SELECT doc_id, source, score_ppm,
+         |  CASE WHEN nsrc = 1 THEN 0 ELSE ((rk - 1) * 1000000) // (nsrc - 1) END AS cal_ppm
+         |FROM rk ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- source KL divergence
+  /** Per-source unigram KL divergence against the corpus language model
+    * — the drift detector for ingest monitoring: a source whose token
+    * distribution moves away from the corpus (format change, spam
+    * injection, language shift upstream) shows up as a KL jump between
+    * snapshots, long before any per-doc filter fires.
+    *
+    * D(source ‖ corpus) = Σ_w p_s(w)·(ln p_s(w) − ln p_c(w)), computed
+    * as `Σ_w cnt_s·(lnμ(cnt_s/tot_s) − lnμ(cnt_c/tot_c)) div tot_s` —
+    * each ln rounded to integer micro-nats before the sum (the
+    * [[TextAnalysis.textPerplexity]] parity discipline), one integer
+    * division at the end.
+    *
+    * Scale shape: everything is vocabulary-sized after the first hash
+    * aggregate — per-(source, token) counts, a vocab-keyed equi-join to
+    * the corpus counts, one per-source reduction. The corpus total is a
+    * driver scalar (one count job, the Lloyd-coordination class). Text
+    * never shuffles. */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+    val srcCnt = toks.groupBy($"source", $"w").agg(count(lit(1)).as("cs")).persist()
+    srcCnt.count()
+    val corpusCnt = srcCnt.groupBy($"w").agg(sum($"cs").as("cc"))
+    val srcTot = srcCnt.groupBy($"source").agg(sum($"cs").as("ts"))
+    val totC = srcCnt.agg(sum($"cs")).collect()(0).getLong(0)
+    srcCnt
+      .join(corpusCnt, "w")
+      .join(srcTot, "source")
+      .withColumn("term", $"cs" *
+        (round(log($"cs".cast("double") / $"ts".cast("double")) * 1e6).cast("long") -
+         round(log($"cc".cast("double") / lit(totC.toDouble)) * 1e6).cast("long")))
+      .groupBy($"source")
+      .agg(max($"ts").as("n_tokens"), expr("sum(term) div max(ts)").as("kl_micro"))
+      .select($"source", $"n_tokens", $"kl_micro")
+      .orderBy($"source")
+  }
+  val sourceDivergenceSql: String =
+    raw"""WITH toks AS (
+         |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+         |), sc AS (
+         |  SELECT source, w, COUNT(*) AS cs FROM toks GROUP BY source, w
+         |), cc AS (
+         |  SELECT w, CAST(SUM(cs) AS BIGINT) AS cc FROM sc GROUP BY w
+         |), st AS (
+         |  SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM sc GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(SUM(cs) AS BIGINT) AS tc FROM sc
+         |), terms AS (
+         |  SELECT s.source, st.ts,
+         |    s.cs * (CAST(round(ln(CAST(s.cs AS DOUBLE) / CAST(st.ts AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          - CAST(round(ln(CAST(c.cc AS DOUBLE) / CAST((SELECT tc FROM tot) AS DOUBLE)) * 1000000.0) AS BIGINT)) AS term
+         |  FROM sc s JOIN cc c ON s.w = c.w JOIN st ON s.source = st.source)
+         |SELECT source, MAX(ts) AS n_tokens,
+         |  CAST(SUM(term) AS BIGINT) // MAX(ts) AS kl_micro
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> textEntropy _,
     "winnow_fingerprint" -> winnowFingerprint _,
+    "quality_calibrate" -> qualityCalibrate _,
+    "source_divergence" -> sourceDivergence _,
   )
   val oracles: Map[String, String] = Map(
     "text_entropy" -> textEntropySql,
     "winnow_fingerprint" -> winnowFingerprintSql,
+    "quality_calibrate" -> qualityCalibrateSql,
+    "source_divergence" -> sourceDivergenceSql,
   )
 }

@@ -64,10 +64,56 @@ object Relational3 {
        |  CAST(SUM(GREATEST(en - GREATEST(st, COALESCE(pmax, ${Long.MinValue})), 0)) AS BIGINT) AS covered_us
        |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Latest-record compaction (q60): the newest event per
+    * (user_id, event_type) — the upsert/merge-on-read materialization
+    * every CDC lake and feature store runs constantly ("current value
+    * per key").
+    *
+    * Why this shape scales: the textbook spelling is a row_number
+    * window, which SHUFFLES the entire history (every version of every
+    * key crosses the network) and sorts it per key. This plan instead
+    * reduces each key with an aggregate — `max` over a struct ordered
+    * (ts, event_id, …): lexicographic struct comparison picks the
+    * latest row with a deterministic event_id tie-break, and map-side
+    * partial aggregation collapses history BEFORE the exchange, so
+    * shuffle volume is O(live keys), not O(history) — the difference
+    * that matters at CDC scale. (The struct buffer isn't
+    * hash-aggregable, so the physical plan is SortAggregate: a local,
+    * spillable group-key sort on each side of the collapsed exchange —
+    * plan-checked in `Curation5Spec`, partial-before-shuffle pinned.)
+    * The DuckDB oracle deliberately uses the window spelling — two
+    * independent formulations agreeing is a stronger check than one
+    * replayed. */
+  def q60LatestByKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    ev.select($"user_id", $"event_type", Tables.tsUs(ev).as("ts_us"),
+        $"event_id", $"value")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct($"ts_us", $"event_id", $"value")).as("last"))
+      .select($"user_id", $"event_type", $"n_versions",
+        $"last.ts_us".as("last_ts_us"), $"last.event_id".as("last_event_id"),
+        $"last.value".as("last_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+  val q60LatestByKeySql: String =
+    s"""WITH rk AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+       |  FROM events)
+       |SELECT user_id, event_type, CAST(n_versions AS BIGINT) AS n_versions,
+       |  ts_us AS last_ts_us, event_id AS last_event_id, value AS last_value
+       |FROM rk WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_interval_union" -> q59IntervalUnion _,
+    "q60_latest_by_key" -> q60LatestByKey _,
   )
   val oracles: Map[String, String] = Map(
     "q59_interval_union" -> q59IntervalUnionSql,
+    "q60_latest_by_key" -> q60LatestByKeySql,
   )
 }

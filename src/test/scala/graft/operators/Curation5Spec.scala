@@ -83,6 +83,73 @@ class Curation5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"merge table must train exactly once per JVM, trained ${Models.builds(key)} times")
   }
 
+  test("quality_calibrate: per-source ranks span [0, 1e6], singleton source pins 0") {
+    val dir = stageDocs(Seq(
+      (1L, "w w w w", "big"),            // diversity 1/4
+      (2L, "w x w x", "big"),            // diversity 2/4
+      (3L, "w x y z", "big"),            // diversity 4/4
+      (4L, "anything at all here", "solo")))
+    val got = Curation5.qualityCalibrate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 0L && got(2L) == 500000L && got(3L) == 1000000L,
+      s"big-source calibrated ranks: $got")
+    assert(got(4L) == 0L, s"singleton source must pin 0: ${got(4L)}")
+  }
+
+  test("source_divergence: mirrored skew scores the hand-computed KL exactly") {
+    val dir = stageDocs(Seq(
+      (1L, "a a a b", "srcA"),
+      (2L, "b b b a", "srcB")))
+    val got = Curation5.sourceDivergence(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // p_s = (3/4, 1/4) vs corpus (1/2, 1/2), symmetric:
+    // (3*(lnu(3/4)-lnu(1/2)) + (lnu(1/4)-lnu(1/2))) div 4 = 130812
+    assert(got("srcA") == ((4L, 130812L)), s"srcA: ${got("srcA")}")
+    assert(got("srcB") == ((4L, 130812L)), s"srcB: ${got("srcB")}")
+  }
+
+  test("q60_latest_by_key: newest version wins, ts ties break on event_id") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c5q60").toString
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    Seq(
+      (1L, t0, 1L, "a", 10.0), (2L, t0.plusHours(1), 1L, "a", 20.0),
+      (3L, t0, 2L, "b", 30.0), (4L, t0, 2L, "b", 40.0)) // ts tie -> id 4 wins
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.q60LatestByKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((1L, "a")) == ((2L, 2L, 20.0)), s"user 1: ${got((1L, "a"))}")
+    assert(got((2L, "b")) == ((2L, 4L, 40.0)), s"user 2 tie-break: ${got((2L, "b"))}")
+  }
+
+  test("q60_latest_by_key plan law: partial aggregation collapses history before the shuffle, no window") {
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.Relational3
+      .q60LatestByKey(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    def flat(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(flat)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case _ => Seq.empty
+      })
+    val nodes = flat(plan)
+    assert(nodes.collectFirst { case w: WindowExec => w }.isEmpty,
+      "latest-by-key must not plan a window over the history")
+    // a partial SortAggregate must sit BELOW the hash exchange (map-side
+    // collapse), the final one above it
+    val aggs = nodes.collect { case a: SortAggregateExec => a }
+    assert(aggs.size >= 2, s"expected partial+final aggregates, got ${aggs.size}")
+    val hashEx = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(hashEx.nonEmpty, "expected the collapsed hash exchange")
+    val belowExchange = hashEx.flatMap(e => flat(e.child)).collect { case a: SortAggregateExec => a }
+    assert(belowExchange.nonEmpty, "partial aggregate must run before the shuffle")
+  }
+
   test("q59_interval_union: overlapping intervals merge, disjoint intervals open islands") {
     val s = spark
     import s.implicits._
