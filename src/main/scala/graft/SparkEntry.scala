@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Dedup, Dedup2, Multimodal, PipelineOps, Similarity, Sketches, TextAnalysis}
-import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2}
+import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2, Streaming3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++
-      Streaming.queries ++ Streaming2.queries ++
+      Streaming.queries ++ Streaming2.queries ++ Streaming3.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
       Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
@@ -39,7 +39,7 @@ object SparkEntry {
     * a gap. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++
-      Streaming.oracles ++ Streaming2.oracles ++
+      Streaming.oracles ++ Streaming2.oracles ++ Streaming3.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
       Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++

@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.sources.InMemoryQueueRegistry
+
+/** Spark-4-native arbitrary state: the `transformWithState` API (the
+  * successor to map/flatMapGroupsWithState) over the `graft-files`
+  * source — typed per-key state cells (ValueState + MapState), real
+  * event-time timers, RocksDB state store. Same gate discipline as
+  * [[Streaming2]]: a real micro-batch pipeline whose accumulated sink
+  * must hash-equal batch SQL over the same slice.
+  */
+object Streaming3 {
+  private val seq = new AtomicInteger(0)
+  private val CUTOFF = 2000L
+
+  /** Event-time flush point: after every real event (fixtures live
+    * around 2026), before the year-2100 sentinel that advances the
+    * watermark past it. */
+  private val FlushAtMs: Long =
+    java.time.Instant.parse("2090-01-01T00:00:00Z").toEpochMilli
+
+  /** Per-user profile accumulated ACROSS micro-batches in typed state
+    * cells: event count / first / last in a ValueState, per-type counts
+    * in a MapState (the state-cell decomposition is the point of the
+    * new API — each cell reads/writes independently in RocksDB instead
+    * of one opaque blob per key, so a hot key's map grows without
+    * rewriting the scalar cell). Every batch registers the same
+    * far-future event-time timer (idempotent — timers key on (user,
+    * expiry)); when the sentinel pushes the watermark past it,
+    * handleExpiredTimer emits the final profile row and clears state.
+    * Emission therefore depends only on the accumulated state, never on
+    * micro-batch slicing — the batch-invariance law of every gate here.
+    */
+  private class UserProfileProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long, Long)] {
+    @transient private var profile: ValueState[(Long, Long, Long)] = _
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      profile = getHandle.getValueState("profile",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      types = getHandle.getMapState("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, String)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      var (n, first, last) =
+        if (profile.exists()) profile.get() else (0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { case (_, tsUs, _, typ) =>
+        n += 1
+        if (tsUs < first) first = tsUs
+        if (tsUs > last) last = tsUs
+        types.updateValue(typ,
+          (if (types.containsKey(typ)) types.getValue(typ) else 0L) + 1L)
+      }
+      profile.update((n, first, last))
+      getHandle.registerTimer(FlushAtMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
+      val (n, first, last) = profile.get()
+      val nTypes = types.keys().size.toLong
+      profile.clear(); types.clear()
+      Iterator.single((user, n, nTypes, first, last))
+    }
+  }
+
+  /** Cross-batch user profiling via `transformWithState`
+    * (stream_tws_profile): events arrive over THREE deterministic
+    * micro-batches (two real files announced at increasing queue
+    * timestamps + the sentinel, 1 file/trigger, first batch gated on
+    * the full announced set), per-user state accumulates across all of
+    * them, and the year-2100 sentinel fires the event-time timers that
+    * flush every profile. The result must hash-equal one batch
+    * aggregate of the same slice.
+    *
+    * At 100 TB this is the always-on entity-profile maintainer: state
+    * is per-key scalars + a bounded type map in RocksDB (incremental
+    * checkpoint to the store — the same SST-upload-once discipline as
+    * [[graft.sources.RocksDBMetadataLog]]), and emission is
+    * timer-driven, so downstream sees each profile exactly once. */
+  def streamTwsProfile(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(ProviderKey)
+    // transformWithState requires the RocksDB provider; scoped to this
+    // query start and restored after (the conf is read at query start)
+    s.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runId = s"tws${seq.incrementAndGet()}_${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(runId)
+      // two real files announced at increasing timestamps -> with
+      // sortBatchByTimestamp and 1 file/trigger the batch sequence is
+      // deterministic: fileA, fileB, sentinel — genuine cross-batch
+      // accumulation, no timing window
+      val stage = Files.createTempDirectory(s"graft-$runId").toString
+      Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").parquet(stage)
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+      val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
+      val sentStage = Files.createTempDirectory(s"graft-$runId-sent").toString
+      Seq((999999L, sentinelTs, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(sentStage)
+      new java.io.File(sentStage).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => queue.send(
+          s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
+
+      val sinkName = s"sink_$runId"
+      val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+        .option("fileFormat", "parquet").option("queueName", runId)
+        .option("queueFetchWaitTimeoutSeconds", "10")
+        .option("maxFilesPerTrigger", "1")
+        .option("sortBatchByTimestamp", "true")
+        .option("minFilesForFirstBatch", (files.length + 1).toString)
+        .load()
+        .withColumn("event_ts", Streaming.eventTs)
+        .withWatermark("event_ts", "1 minute")
+        .select($"event_id", unix_micros($"event_ts").as("ts_us"),
+          $"user_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._3)
+        .transformWithState(new UserProfileProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events", "n_types", "first_us", "last_us")
+        .filter($"user_id" =!= -1) // the sentinel's own key (fixture user_ids start at 0)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        StreamPlans.capture("stream_tws_profile", query)
+      } finally query.stop()
+      InMemoryQueueRegistry.remove(runId)
+      s.table(sinkName).orderBy($"user_id")
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+  val streamTwsProfileSql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+       |FROM events WHERE event_id < $CUTOFF
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tws_profile" -> streamTwsProfile _,
+  )
+  val oracles: Map[String, String] = Map(
+    "stream_tws_profile" -> streamTwsProfileSql,
+  )
+}
