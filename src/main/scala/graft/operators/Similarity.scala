@@ -385,6 +385,82 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------ IVF index maintenance
+  /** Incremental IVF maintenance (`ann_ivf_append`): a delta batch of
+    * vectors (vec_id % 10 == 3 — "tonight's new embeddings") is folded
+    * into a STANDING inverted-file index whose coarse centroids were
+    * derived from the base corpus only, and the report shows each
+    * cluster's base/delta population and how the delta skews it. This is
+    * the production path the one-shot `ann_topk_ivf` build implies: the
+    * index trains once per epoch, every ingest after that pays only
+    * O(delta × K) assignment — never a corpus re-pass, never retraining.
+    *
+    * The centroid set goes through the [[Models]] train-once store keyed
+    * on the BASE slice, so a second append in the JVM reloads it with
+    * zero corpus jobs; the delta assignment is a broadcast-centroids
+    * argmax over delta rows only. The oracle replays centroid sample +
+    * both assignments in DuckDB (same md5-ranked sample and 6dp-rounded
+    * argmax as `ann_topk_ivf`), proving the standing index is exactly
+    * what a from-scratch build over the base would produce. */
+  def annIvfAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
+      .withColumn("vn", norm($"embedding"))
+    val base = emb.filter($"vec_id" % 10 =!= 3)
+    val delta = emb.filter($"vec_id" % 10 === 3)
+    val centDir = Models.root(s"ivf-centroids-base|$d|k=$k" +
+        s"|in=${Models.inputFingerprint(s"$d/embeddings.parquet")}") { dir =>
+      base.orderBy(conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"),
+          $"vec_id").limit(k)
+        .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val centroids = broadcast(s.read.parquet(centDir))
+    def assign(df: DataFrame): DataFrame =
+      df.crossJoin(centroids)
+        .withColumn("csim", round(dot($"embedding", $"cv") / ($"vn" * $"cn"), 6))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+        .filter($"crank" === 1)
+        .select($"cid", $"vec_id")
+    assign(base).groupBy($"cid").agg(count(lit(1)).as("n_base"))
+      .join(assign(delta).groupBy($"cid").agg(count(lit(1)).as("n_delta")), Seq("cid"), "left")
+      .withColumn("n_delta", coalesce($"n_delta", lit(0L)))
+      .withColumn("growth_ppm", expr("(n_delta * 1000000) div n_base"))
+      .select($"cid", $"n_base", $"n_delta", $"growth_ppm")
+      .orderBy($"cid")
+  }
+  /** DuckDB replica: base-only md5-ranked centroid sample, 6dp argmax
+    * assignment of base and delta, per-cluster populations. */
+  val annIvfAppendSql: String = {
+    def dotSql(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |      k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)))""".stripMargin
+    def nrmSql(a: String) = s"sqrt(${dotSql(a, a)})"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, ${nrmSql("embedding")} AS vn FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv, vn AS cn FROM emb
+       |  WHERE vec_id % 10 <> 3
+       |  ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+       |  LIMIT 16
+       |), assigned AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+       |  FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROUND(${dotSql("e.embedding", "c.cv")} / (e.vn * c.cn), 6) AS csim
+       |    FROM emb e CROSS JOIN cent c)
+       |), a1 AS (SELECT vec_id, cid FROM assigned WHERE crank = 1)
+       |SELECT b.cid, b.n_base, COALESCE(d.n_delta, 0) AS n_delta,
+       |  (COALESCE(d.n_delta, 0) * 1000000) // b.n_base AS growth_ppm
+       |FROM      (SELECT cid, COUNT(*) AS n_base  FROM a1 WHERE vec_id % 10 <> 3 GROUP BY cid) b
+       |LEFT JOIN (SELECT cid, COUNT(*) AS n_delta FROM a1 WHERE vec_id % 10 =  3 GROUP BY cid) d
+       |  ON b.cid = d.cid
+       |ORDER BY b.cid""".stripMargin
+  }
+
   // ------------------------------------------ embedding decontamination
   /** Embedding-space eval-set leakage report: for every held-out eval
     * vector (vec_id % 10 == 7 — the same held-out convention as the
@@ -474,6 +550,7 @@ object Similarity {
     "dedup_embedding_cosine_gate" -> dedupEmbeddingCosineGate _,
     "ann_topk_lsh" -> annTopKLsh _,
     "ann_topk_ivf" -> annTopKIvf _,
+    "ann_ivf_append" -> annIvfAppend _,
   )
   val oracles: Map[String, String] = Map(
     "decontaminate_emb" -> decontaminateEmbSql,
@@ -481,6 +558,7 @@ object Similarity {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_cosine_gate" -> dedupEmbeddingCosineGateSql,
     "ann_topk_ivf" -> annTopKIvfSql,
+    "ann_ivf_append" -> annIvfAppendSql,
     "ann_topk_lsh" -> annTopKLshSql,
   )
 }

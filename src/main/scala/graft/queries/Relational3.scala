@@ -108,12 +108,97 @@ object Relational3 {
        |  ts_us AS last_ts_us, event_id AS last_event_id, value AS last_value
        |FROM rk WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Nearest-match window for [[q61AsofNearest]]. */
+  private[graft] val NearestUs: Long = 3600L * 1000000
+
+  /** Bidirectional nearest-event join (q61): every `purchase` finds the
+    * same user's nearest `click` in EITHER direction within ±1 h —
+    * attribution's "closest touchpoint" join, where the plain as-of
+    * (q34, backward-only) mis-attributes a purchase that happened just
+    * before its click burst. Signed `delta_us` reports direction
+    * (negative = click preceded purchase); ties prefer the earlier
+    * click.
+    *
+    * Why this shape scales: the naive spelling is a range self-join
+    * (quadratic in the hot user). This is the q34 union trick doubled —
+    * ONE shuffle on user_id, a union of tagged rows sorted once per
+    * user, then `last(click, ignoreNulls)` over the preceding frame and
+    * `first(click, ignoreNulls)` over the following frame. The paired
+    * (ts, id) columns use the same ignore-nulls windows, so both fields
+    * come from the same click row by construction (click ts/id are null
+    * on exactly the same rows). Clicks sort before purchases at equal
+    * ts (tag asc), so a same-instant click is the preceding candidate
+    * at distance 0. */
+  def q61AsofNearest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val base = ev.select($"user_id", $"event_id", $"event_type", Tables.tsUs(ev).as("ts_us"))
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
+      .withColumn("c_ts", when($"tag" === 0, $"ts_us"))
+      .withColumn("c_id", when($"tag" === 0, $"event_id"))
+    val order = Seq($"ts_us", $"tag", $"event_id")
+    val back = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("p_ts", last($"c_ts", ignoreNulls = true).over(back))
+      .withColumn("p_id", last($"c_id", ignoreNulls = true).over(back))
+      .withColumn("n_ts", first($"c_ts", ignoreNulls = true).over(fwd))
+      .withColumn("n_id", first($"c_id", ignoreNulls = true).over(fwd))
+      .filter($"tag" === 1)
+      .withColumn("pd", when($"p_ts".isNotNull, $"ts_us" - $"p_ts"))
+      .withColumn("nd", when($"n_ts".isNotNull, $"n_ts" - $"ts_us"))
+      .withColumn("use_prev",
+        $"pd".isNotNull && $"pd" <= NearestUs &&
+          ($"nd".isNull || $"nd" > NearestUs || $"pd" <= $"nd"))
+      .withColumn("use_next",
+        !$"use_prev" && $"nd".isNotNull && $"nd" <= NearestUs)
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us",
+        when($"use_prev", $"p_id").when($"use_next", $"n_id").as("nearest_click_id"),
+        when($"use_prev", -$"pd").when($"use_next", $"nd").as("delta_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+  val q61AsofNearestSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+       |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts,
+       |    CASE WHEN event_type = 'click' THEN event_id END AS c_id
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |), win AS (
+       |  SELECT *,
+       |    LAST_VALUE(c_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_ts,
+       |    LAST_VALUE(c_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_id,
+       |    FIRST_VALUE(c_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_ts,
+       |    FIRST_VALUE(c_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_id
+       |  FROM base
+       |), d AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    ts_us - p_ts AS pd, n_ts - ts_us AS nd, p_id, n_id,
+       |    (p_ts IS NOT NULL AND ts_us - p_ts <= $NearestUs AND
+       |     (n_ts IS NULL OR n_ts - ts_us > $NearestUs OR ts_us - p_ts <= n_ts - ts_us)) AS use_prev
+       |  FROM win WHERE tag = 1)
+       |SELECT user_id, event_id AS purchase_id, ts_us,
+       |  CASE WHEN use_prev THEN p_id
+       |       WHEN nd IS NOT NULL AND nd <= $NearestUs THEN n_id END AS nearest_click_id,
+       |  CASE WHEN use_prev THEN -pd
+       |       WHEN nd IS NOT NULL AND nd <= $NearestUs THEN nd END AS delta_us
+       |FROM d ORDER BY user_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_interval_union" -> q59IntervalUnion _,
     "q60_latest_by_key" -> q60LatestByKey _,
+    "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
     "q59_interval_union" -> q59IntervalUnionSql,
     "q60_latest_by_key" -> q60LatestByKeySql,
+    "q61_asof_nearest" -> q61AsofNearestSql,
   )
 }

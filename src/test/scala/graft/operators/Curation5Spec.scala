@@ -150,6 +150,57 @@ class Curation5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(belowExchange.nonEmpty, "partial aggregate must run before the shuffle")
   }
 
+  test("ann_ivf_append: delta assigns to the standing base index, centroids train once") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c5ivf").toString
+    // 20 base vectors (ids skip %10==3) along distinct directions + 2
+    // delta vectors exactly collinear with known base vectors
+    def unit(i: Int): Seq[Float] = (0 until 8).map(k => if (k == i % 8) 1.0f else 0.001f * i)
+    val base = (0 until 24).map(_.toLong).filter(_ % 10 != 3).map(i => (i, unit(i.toInt), 0))
+    val delta = Seq((3L, unit(0), 0), (13L, unit(1), 0)) // collinear with vec 0 / vec 1
+    (base ++ delta).toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = Similarity.annIvfAppend(spark, dir).collect()
+    val second = Similarity.annIvfAppend(spark, dir).collect()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq,
+      "append must be deterministic across calls")
+    assert(first.map(_.getLong(2)).sum == 2L,
+      s"both delta vectors must land in some standing cluster: ${first.mkString("; ")}")
+    val built = Models.builds(s"ivf-centroids-base|$dir|k=16" +
+      s"|in=${Models.inputFingerprint(s"$dir/embeddings.parquet")}")
+    assert(built == 1, s"centroids must train exactly once, trained $built times")
+  }
+
+  test("q61_asof_nearest: picks the closer click in either direction, honors the 1h bound") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c5q61").toString
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 12, 0, 0)
+    Seq(
+      // user 1: click 10 min BEFORE beats click 50 min after
+      (10L, t0.minusMinutes(10), 1L, "click"), (11L, t0, 1L, "purchase"),
+      (12L, t0.plusMinutes(50), 1L, "click"),
+      // user 2: only a click AFTER within the hour
+      (20L, t0, 2L, "purchase"), (21L, t0.plusMinutes(20), 2L, "click"),
+      // user 3: clicks exist but both outside +-1h
+      (30L, t0.minusHours(2), 3L, "click"), (31L, t0, 3L, "purchase"),
+      (32L, t0.plusHours(2), 3L, "click"),
+      // user 4: equidistant clicks -> earlier (preceding) wins
+      (40L, t0.minusMinutes(15), 4L, "click"), (41L, t0, 4L, "purchase"),
+      (42L, t0.plusMinutes(15), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.q61AsofNearest(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(11L) == ((Some(10L), Some(-600000000L))), s"user 1: ${got(11L)}")
+    assert(got(20L) == ((Some(21L), Some(1200000000L))), s"user 2: ${got(20L)}")
+    assert(got(31L) == ((None, None)), s"user 3 outside bound: ${got(31L)}")
+    assert(got(41L) == ((Some(40L), Some(-900000000L))), s"user 4 tie: ${got(41L)}")
+  }
+
   test("q59_interval_union: overlapping intervals merge, disjoint intervals open islands") {
     val s = spark
     import s.implicits._
