@@ -183,7 +183,111 @@ object Multimodal {
       |  FROM documents GROUP BY fmt, h)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  // ---------------------------------------------- perceptual-hash dedup
+  /** aHash bit width (60, not 64: the hash stays positive in a signed
+    * 64-bit int on both engines, so shifts and bands never touch the
+    * sign bit). */
+  private[graft] val PhashBits = 60
+  private val PhashChunks = 4 // 15-bit bands
+
+  /** Average-hash over payload bytes — the perceptual-hash family's
+    * shape with the DCT left to a real codec, like [[StubDecoder]]:
+    * bit b = (mean of block b) > (global mean), compared by exact
+    * integer cross-multiplication (`blocksum·n > total·blocklen`) so no
+    * division ever rounds. */
+  private[graft] def aHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    var tot = 0L; var i = 0
+    while (i < n) { tot += payload(i) & 0xFF; i += 1 }
+    var h = 0L; var b = 0
+    while (b < PhashBits) {
+      val lo = (b.toLong * n / PhashBits).toInt
+      val hi = ((b + 1).toLong * n / PhashBits).toInt
+      var s = 0L; var j = lo
+      while (j < hi) { s += payload(j) & 0xFF; j += 1 }
+      if (s * n > tot * (hi - lo)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** Perceptual near-dup detection for media payloads
+    * (`mm_phash_dedup`): every asset reduces to a [[PhashBits]]-bit
+    * average hash (computed in the same per-partition decoder lifecycle
+    * as [[mmDecodeFeatures]]); candidate pairs come from 15-bit hamming
+    * bands (the [[Dedup.dedupSimhash]] banding discipline — any pair
+    * within hamming 3 shares a band by pigeonhole, and the fixture's
+    * near-dup bar is well inside that); the report is per-asset:
+    * its hash, how many banding candidates it met, and the best
+    * (minimum) hamming distance among them. The image-near-dup step of
+    * a multimodal curation pipeline, runnable today on the stub and on
+    * real pHashes the moment a codec lands.
+    *
+    * Scale shape: hashing is one narrow mapPartitions pass (payloads
+    * never shuffle — 8-byte hashes do); banding is an equi-join on
+    * (chunk, value) over the hash dictionary; the verify + per-asset
+    * aggregate touch candidate pairs only. The DuckDB oracle replays
+    * the byte walk via hex slicing and the same integer
+    * cross-multiplied bits — hash-exact. */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .filter(r => r._2.length >= PhashBits) // every block non-empty
+    val hashed = payloads.mapPartitions { iter =>
+      // real pHash decodes first (the per-partition codec lifecycle of
+      // mmDecodeFeatures); the stub hashes the raw bytes directly
+      iter.map { case (id, bytes) => (id, aHash(bytes)) }
+    }.toDF("doc_id", "phash").persist()
+    hashed.count()
+    val chunks = hashed.select($"doc_id", $"phash",
+      explode(sequence(lit(0), lit(PhashChunks - 1))).as("c"))
+      .withColumn("v", expr("(phash >> (c * 15)) & 32767"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        $"a.c" === $"b.c" && $"a.v" === $"b.v" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"a.phash".as("pa"),
+        $"b.doc_id".as("b_id"), $"b.phash".as("pb"))
+      .distinct()
+      .withColumn("ham", expr("bit_count(pa ^ pb)").cast("long"))
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_cand"), min($"ham").as("best_ham"))
+    hashed.join(cand, $"doc_id" === $"a_id", "left")
+      .select($"doc_id", $"phash",
+        coalesce($"n_cand", lit(0L)).as("n_cand"), $"best_ham")
+      .orderBy($"doc_id")
+  }
+  val mmPhashDedupSql: String = {
+    val B = PhashBits
+    s"""WITH bytes AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |    list_transform(range(0, octet_length(encode(text))),
+       |      i -> CAST(concat('0x', substring(hex(encode(text)), i*2+1, 2)) AS BIGINT)) AS bl
+       |  FROM documents WHERE octet_length(encode(text)) >= $B
+       |), ph AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, $B), b ->
+       |      CASE WHEN list_sum(bl[(b*n//$B)+1 : ((b+1)*n)//$B]) * n
+       |                > list_sum(bl) * (((b+1)*n)//$B - (b*n)//$B)
+       |           THEN (1::BIGINT << b) ELSE 0 END)) AS phash
+       |  FROM bytes
+       |), ck AS (
+       |  SELECT doc_id, phash, c, (phash >> (c * 15)) & 32767 AS v
+       |  FROM ph, UNNEST(range(0, $PhashChunks)) AS u(c)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, a.phash AS pa, b.doc_id AS b_id, b.phash AS pb
+       |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.doc_id <> b.doc_id
+       |), agg AS (
+       |  SELECT a_id, COUNT(*) AS n_cand, MIN(bit_count(xor(pa, pb))) AS best_ham
+       |  FROM cand GROUP BY a_id)
+       |SELECT p.doc_id, CAST(p.phash AS BIGINT) AS phash,
+       |  COALESCE(a.n_cand, 0) AS n_cand, CAST(a.best_ham AS BIGINT) AS best_ham
+       |FROM ph p LEFT JOIN agg a ON p.doc_id = a.a_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> mmPhashDedup _,
     "mm_manifest" -> mmManifest _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_features" -> mmDecodeFeatures _,
@@ -191,6 +295,7 @@ object Multimodal {
     "mm_dedup_payload" -> mmDedupPayload _,
   )
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_manifest" -> mmManifestSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize" -> mmResizeSql,

@@ -201,6 +201,21 @@ class Curation5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(41L) == ((Some(40L), Some(-900000000L))), s"user 4 tie: ${got(41L)}")
   }
 
+  test("mm_phash_dedup: a one-byte edit stays within banding distance, constant payload hashes 0") {
+    assert(Multimodal.aHash(Array.fill[Byte](200)(42)) == 0L,
+      "constant payload: no block mean exceeds the global mean")
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val edited = base.updated(90, 'X').toString
+    val other = ("zz9 qq8 ww7 ee6 rr5 tt4 yy3 uu2 ii1 oo0 pp aa ss dd ff gg hh jj kk ll " * 3).trim
+    val dir = stageDocs(Seq((1L, base, "s"), (2L, edited, "s"), (3L, other, "s")))
+    val got = Multimodal.mmPhashDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L)._1 >= 1 && got(1L)._2.exists(_ <= 6),
+      s"near-identical payloads must band together at small hamming: ${got(1L)}")
+    assert(got(2L)._1 >= 1, s"edited copy must see its original: ${got(2L)}")
+    assert(got(3L)._2.forall(_ > 6), s"unrelated payload must not verify: ${got(3L)}")
+  }
+
   test("q59_interval_union: overlapping intervals merge, disjoint intervals open islands") {
     val s = spark
     import s.implicits._
