@@ -46,6 +46,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_hard_negatives" -> "broadcast probe set is NProbes=64 rows by construction",
     "source_overlap_kmv" -> "broadcast side is the distinct-source dimension (corpus-size-independent); pair stage input is <= K rows per source by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
+    "ann_ivf_append" -> "broadcast standing-centroid table is k=16 rows by construction",
     "ann_topk_pq" -> "broadcast probe set is NProbes=64 rows (with M*K-double tables) by construction",
     "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
     "decontaminate_emb" -> "broadcast eval slice is <= 100 rows by construction (vec_id % 10 == 7 AND vec_id < 1000)",
