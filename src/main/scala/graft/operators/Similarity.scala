@@ -303,18 +303,25 @@ object Similarity {
     * md5-prefix ints and 6dp-rounded cosines — so the operator is fully
     * SQL-expressible and hash-gated against DuckDB, unusual for an ANN
     * operator. */
-  def annTopKIvf(s: SparkSession, d: String): DataFrame = {
+  /** Normed embeddings `(vec_id, embedding, vn)`. */
+  private[graft] def normedEmb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = 16     // coarse clusters
-    val nprobe = 4 // clusters searched per query
-    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
+    Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
       .withColumn("vn", norm($"embedding"))
-    // deterministic centroid sample: the k smallest by md5-hashed id
-    // (md5, not xxhash64: both engines can compute it, so the oracle can
-    // reproduce the centroid set exactly). The sample is the index's
-    // one corpus-wide pass, so it goes through the train-once store:
-    // first call commits the k rows as parquet, later calls reload them
-    // without touching the corpus (ModelsSpec pins the law).
+  }
+
+  /** The broadcast IVF coarse-centroid table `(cid, cv, cn)` —
+    * deterministic centroid sample: the k smallest by md5-hashed id
+    * (md5, not xxhash64: both engines can compute it, so the oracle can
+    * reproduce the centroid set exactly). The sample is the index's one
+    * corpus-wide pass, so it goes through the train-once store: first
+    * call commits the k rows as parquet, later calls reload them
+    * without touching the corpus (ModelsSpec pins the law). Shared by
+    * [[annTopKIvf]] and the cluster-partitioned layout
+    * ([[graft.queries.Layout]] q62). */
+  private[graft] def ivfCentroids(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    import s.implicits._
+    val emb = normedEmb(s, d)
     val centDir = Models.root(s"ivf-centroids|$d|k=$k" +
         s"|in=${Models.inputFingerprint(s"$d/embeddings.parquet")}") { dir =>
       emb.orderBy(conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"),
@@ -322,19 +329,36 @@ object Similarity {
         .select($"vec_id".as("cid"), $"embedding".as("cv"), $"vn".as("cn"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
     }
-    val centroids = broadcast(s.read.parquet(centDir))
-    def assign(df: DataFrame, idCol: String, top: Int): DataFrame =
-      df.crossJoin(centroids)
-        // 6dp-rounded before ranking: assignment must not depend on
-        // engine-specific last-ulp accumulation
-        .withColumn("csim", round(dot($"embedding", $"cv") / ($"vn" * $"cn"), 6))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy($"csim".desc, $"cid")))
-        .filter($"crank" <= top)
-    val corpus = assign(emb, "vec_id", 1)
-      .select($"cid", $"vec_id", $"embedding", $"vn")
-    val probes = assign(probeSet(emb), "vec_id", nprobe)
+    broadcast(s.read.parquet(centDir))
+  }
+
+  /** Nearest-`top` centroid assignment of a normed frame. 6dp-rounded
+    * before ranking: assignment must not depend on engine-specific
+    * last-ulp accumulation. */
+  private[graft] def ivfAssign(centroids: DataFrame, df: DataFrame,
+      idCol: String, top: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.crossJoin(centroids)
+      .withColumn("csim", round(dot($"embedding", $"cv") / ($"vn" * $"cn"), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy($"csim".desc, $"cid")))
+      .filter($"crank" <= top)
+  }
+
+  /** The canonical IVF probe frame `(cid, query_id, qv, qn)` at
+    * nprobe=4, shared with the q62 layout so both spell the same
+    * search. */
+  private[graft] def ivfProbes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ivfAssign(ivfCentroids(s, d), probeSet(normedEmb(s, d)), "vec_id", 4)
       .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qv"), $"vn".as("qn"))
+  }
+
+  /** Exact rank of probe-vs-candidate pairs `(cid, vec_id, embedding,
+    * vn)` × `(cid, query_id, qv, qn)` — the verify stage both IVF
+    * spellings share. */
+  private[graft] def ivfRank(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
     corpus.join(probes, "cid") // the IVF probe: equi-join on cluster id
       .filter($"vec_id" =!= $"query_id")
@@ -344,6 +368,14 @@ object Similarity {
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"query_id", $"rank")
+  }
+
+  def annTopKIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val centroids = ivfCentroids(s, d)
+    val corpus = ivfAssign(centroids, normedEmb(s, d), "vec_id", 1)
+      .select($"cid", $"vec_id", $"embedding", $"vn")
+    ivfRank(corpus, ivfProbes(s, d))
   }
   /** DuckDB replica of [[annTopKIvf]]: same md5-ranked centroid sample,
     * same 6dp-rounded argmax assignment, same nprobe equi-join. `dot`/

@@ -551,8 +551,49 @@ object Layout {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Embeddings persisted PARTITIONED BY their IVF coarse-cluster id —
+    * the inverted file made literal as a storage layout: at 100 TB "a
+    * probe searches nprobe/K of the data" only becomes IO truth when
+    * the cluster id is a partition directory the scan can prune, which
+    * is exactly what `ann_topk_ivf`'s scaladoc promises this layout
+    * delivers. The one-time write assigns each vector to its nearest
+    * standing centroid ([[graft.operators.Similarity.ivfCentroids]],
+    * the Models train-once table) and writes `partitionBy(cid)`. */
+  private[graft] def ivfLayoutDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = preparedRoot(s"$d|emb_ivf", r => Seq(s"$r/emb_by_cluster")) {
+      val r = newTempRoot("graft-layout-ivf")
+      val centroids = graft.operators.Similarity.ivfCentroids(s, d)
+      graft.operators.Similarity
+        .ivfAssign(centroids, graft.operators.Similarity.normedEmb(s, d), "vec_id", 1)
+        .select($"cid", $"vec_id", $"embedding", $"vn")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$r/emb_by_cluster")
+      r
+    }
+    s"$root/emb_by_cluster"
+  }
+
+  /** IVF search against the PARTITIONED layout (q62): the probes'
+    * nprobe cluster ids collect to a literal IN filter (≤ K=16 values —
+    * driver-bounded by the centroid count, the Lloyd-coordination
+    * class), so the scan's PartitionFilters prune to those directories
+    * BEFORE any row is read; the verify stage is the same exact rank as
+    * `ann_topk_ivf`, whose oracle this row shares — the gate proves the
+    * layout lossless and the pruned search complete. */
+  def q62IvfLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = graft.operators.Similarity.ivfProbes(s, d).persist()
+    val cids = probes.select($"cid").distinct().collect().map(_.getLong(0))
+    val corpus = s.read.parquet(ivfLayoutDir(s, d))
+      .withColumn("cid", $"cid".cast("long"))
+      .filter($"cid".isin(cids.toIndexedSeq: _*))
+    graft.operators.Similarity.ivfRank(corpus, probes)
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q62_ivf_layout" -> q62IvfLayout _,
     "q58_dedup_index" -> q58DedupIndex _,
     "q55_bucketed_window" -> q55BucketedWindow _,
     "q54_bucketed_agg" -> q54BucketedAgg _,
@@ -565,6 +606,10 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // shared with ann_topk_ivf: identical neighbors from the raw table
+    // prove the cluster-partitioned layout lossless + the pruned search
+    // complete
+    "q62_ivf_layout" -> graft.operators.Similarity.annTopKIvfSql,
     // shared with dedup_incremental: identical verdict semantics from the
     // raw table prove the bucketed index layout lossless
     "q58_dedup_index" -> graft.operators.Dedup2.dedupIncrementalSql,

@@ -47,6 +47,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "source_overlap_kmv" -> "broadcast side is the distinct-source dimension (corpus-size-independent); pair stage input is <= K rows per source by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
     "ann_ivf_append" -> "broadcast standing-centroid table is k=16 rows by construction",
+    "q62_ivf_layout" -> "probe assignment broadcasts the k=16 centroid table by construction",
     "ann_topk_pq" -> "broadcast probe set is NProbes=64 rows (with M*K-double tables) by construction",
     "dsir_resample" -> "broadcast ratio table is 1024 hash buckets by construction",
     "decontaminate_emb" -> "broadcast eval slice is <= 100 rows by construction (vec_id % 10 == 7 AND vec_id < 1000)",
@@ -104,6 +105,8 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       !_.contains("Window")),
     ("q52_dpp_prune", "fact scan partition-pruned at RUNTIME (DynamicPruningExpression)",
       _.toLowerCase.contains("dynamicpruning")),
+    ("q62_ivf_layout", "probe scan prunes cluster-partition dirs (PartitionFilters on cid)",
+      p => "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined),
     ("q39_bloom_semi", "fact pre-filtered by a codegen might_contain probe, not a per-row UDF",
       p => p.contains("might_contain") && !p.contains("UDF(")),
     ("chunk_documents", "chunking is a narrow map: no hash exchange anywhere",
