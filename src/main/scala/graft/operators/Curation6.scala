@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Round-13 pipeline additions, part 4: one-pass table profiling and the
+  * deletion-neighborhood fuzzy join.
+  *
+  * House rules as everywhere: keyed joins only, integer arithmetic across
+  * the engine boundary, every query hash-gated against a DuckDB oracle.
+  */
+object Curation6 {
+
+  // ------------------------------------------------- column profiling
+  /** One-pass data profiling of the documents table — the "what landed"
+    * report every ingest job posts before anything downstream trusts the
+    * batch: per column, row count, null count, exact distinct count, and
+    * lexicographic min/max.
+    *
+    * Why this shape scales: the naive spelling runs one aggregation JOB
+    * per column (N scans of a 100 TB table). This plan unpivots with
+    * `stack` — a pure narrow map, no shuffle — to (col_name, value) rows
+    * and profiles every column in ONE aggregation over ONE scan. The
+    * exact-distinct makes the shuffle O(distinct values); map-side
+    * partial aggregation collapses repeats before the exchange. (At the
+    * far end of scale the exact count would swap for the HLL estimate the
+    * q42 sketch row already ships; exact is kept here because the gate
+    * hash-compares counts.) All values profile through their string form
+    * so one schema fits every column; both engines compare strings
+    * binary-lexicographically, so min/max agree.
+    */
+  def profileColumns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Par.spread(Tables.documents(s, d), $"doc_id")
+      .select(expr(
+        """stack(5,
+          |  'doc_id', cast(doc_id as string),
+          |  'text', text,
+          |  'lang', lang,
+          |  'source', source,
+          |  'n_chars', cast(n_chars as string)) as (col_name, v)""".stripMargin))
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_val"),
+        max($"v").as("max_val"))
+      .orderBy($"col_name")
+  }
+  /** DuckDB replica: the classic per-column UNION ALL spelling — an
+    * independent formulation (5 scans) agreeing with the single-pass
+    * unpivot is a stronger check than a replay. */
+  val profileColumnsSql: String = {
+    def one(name: String, value: String): String =
+      s"""SELECT '$name' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $value) AS BIGINT) AS n_distinct,
+         |  MIN($value) AS min_val, MAX($value) AS max_val
+         |FROM documents""".stripMargin
+    Seq(
+      one("doc_id", "CAST(doc_id AS VARCHAR)"),
+      one("text", "text"),
+      one("lang", "lang"),
+      one("source", "source"),
+      one("n_chars", "CAST(n_chars AS VARCHAR)"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+
+  // --------------------------------- deletion-neighborhood fuzzy join
+  /** Hamming-1 self-join over a fixed-width key column (customer names,
+    * `Customer#%09d`): every pair of records whose keys differ in exactly
+    * one character — the record-linkage primitive for typo'd ids, SKUs,
+    * and hash-like keys, where "one wrong digit" is the dominant error.
+    *
+    * Why this shape scales: the naive spelling is an O(n²) cross join
+    * with a levenshtein filter — dead at any scale. Token blocking
+    * doesn't apply (the keys share one giant "token"). This plan uses the
+    * deletion/wildcard-neighborhood technique (the SymSpell family): each
+    * key explodes into `length` variants, one per position, with that
+    * position masked out; two fixed-width keys are Hamming-1 iff they
+    * share a (position, masked) variant, so an EQUI-join on the variant
+    * key finds every pair — a plain distributed hash join on short
+    * strings, O(n·L) rows shuffled instead of O(n²) compared. A pair
+    * differing at exactly one position matches at exactly one mask, so
+    * the join emits no duplicates and needs no distinct (law pinned in
+    * `Curation6Spec`). The levenshtein verify stage is belt-and-braces
+    * (it can only see 1 by construction) and is the one place the full
+    * names are compared — over candidate pairs, never the cross product.
+    */
+  def fuzzyJoinWildcard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Par.spread(Tables.customer(s, d).select($"c_custkey", $"c_name"), $"c_custkey")
+    val variants = c
+      .select($"c_custkey", $"c_name",
+        explode(sequence(lit(1), length($"c_name"))).as("pos"))
+      .withColumn("masked", concat(
+        $"c_name".substr(lit(1), $"pos" - 1),
+        $"c_name".substr($"pos" + 1, length($"c_name"))))
+      .select($"pos", $"masked", $"c_custkey", $"c_name")
+    val a = variants.toDF("pos", "masked", "a_key", "a_name")
+    val b = variants.toDF("pos", "masked", "b_key", "b_name")
+    a.join(b, Seq("pos", "masked"))
+      .filter($"a_key" < $"b_key")
+      .withColumn("dist", levenshtein($"a_name", $"b_name"))
+      .filter($"dist" <= 1)
+      .select($"a_key", $"b_key", $"a_name", $"b_name", $"dist".cast("long").as("dist"))
+      .orderBy($"a_key", $"b_key")
+  }
+  /** DuckDB replica — deliberately the NAIVE cross-join spelling the
+    * Spark plan exists to avoid: two independent formulations agreeing
+    * proves the neighborhood blocking complete (no pair missed) and
+    * sound (no duplicate emitted). */
+  val fuzzyJoinWildcardSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |  a.c_name AS a_name, b.c_name AS b_name,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> profileColumns _,
+    "fuzzy_join_wildcard" -> fuzzyJoinWildcard _,
+  )
+  val oracles: Map[String, String] = Map(
+    "profile_columns" -> profileColumnsSql,
+    "fuzzy_join_wildcard" -> fuzzyJoinWildcardSql,
+  )
+}

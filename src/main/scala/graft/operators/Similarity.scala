@@ -572,7 +572,39 @@ object Similarity {
        |  CAST(round(max_sim * 1e6) AS BIGINT) * 8589934592 - max_k AS nearest_train_id
        |FROM agg ORDER BY eval_id""".stripMargin
 
+  // ------------------------------------------------------- ANN recall
+  /** Recall@5 of the IVF index vs brute-force ground truth, per probe —
+    * the quality dial every ANN deployment watches: an index change
+    * (nprobe, K, centroid refresh) ships only if this number holds. Both
+    * result sets are NProbes×5 rows by construction, so the comparison
+    * join is a broadcast over driver-bounded frames; the real work is the
+    * two underlying searches, each already scale-shaped (brute: one
+    * corpus pass, no big-side shuffle; IVF: pruned probe). Integer ppm
+    * (floor div) keeps the hash engine-exact. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = annTopKBrute(s, d).select($"query_id", $"neighbor_id")
+    val approx = annTopKIvf(s, d).select($"query_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy($"query_id")
+  }
+  /** DuckDB replica: the two published oracle pipelines composed. */
+  val annRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annTopKBruteSql)),
+       |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($annTopKIvfSql))
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |  CAST((SUM(COALESCE(a.hit, 0)) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> annRecall _,
     "decontaminate_emb" -> decontaminateEmb _,
     "ann_topk_brute" -> annTopKBrute _,
     // production operator, corpus-faithful (empty on the raw fixture —
@@ -585,6 +617,7 @@ object Similarity {
     "ann_ivf_append" -> annIvfAppend _,
   )
   val oracles: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "decontaminate_emb" -> decontaminateEmbSql,
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

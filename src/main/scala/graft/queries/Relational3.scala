@@ -191,12 +191,58 @@ object Relational3 {
        |       WHEN nd IS NOT NULL AND nd <= $NearestUs THEN nd END AS delta_us
        |FROM d ORDER BY user_id, purchase_id""".stripMargin
 
+  /** Microseconds per day. */
+  private[graft] val DayUs: Long = 86400L * 1000000
+
+  /** Rolling engagement (q63): per active day, the distinct users active
+    * that day (DAU) and the distinct users active in the trailing 7-day
+    * window (WAU) — the retention dashboard every event pipeline feeds.
+    *
+    * Why this shape scales: a window `COUNT(DISTINCT)` doesn't exist
+    * (distinct isn't decomposable over sliding frames) and the naive
+    * days×events range join re-scans the event history once per day. This
+    * plan compacts FIRST — `(user_id, day)` distinct is one map-side-
+    * combinable aggregation that collapses the 100 TB history to
+    * O(users × active days) — then every later stage runs on the compact
+    * frame: DAU is a count per day, and WAU attributes each (user, day)
+    * to the 7 window-ends it can serve via a 7× `sequence` explode (a
+    * narrow map) and counts distinct users per window-end. Integer day
+    * numbers (floor-div of epoch micros) keep both engines exact; windows
+    * whose end-day had no activity are inner-joined away, matching the
+    * dashboard convention of reporting only observed days. */
+  def q63RollingActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val ud = ev.select($"user_id", Tables.tsUs(ev).as("ts_us"))
+      .selectExpr("user_id", s"ts_us div $DayUs as day") // integer div: exact, engine-parity
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud.select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau")
+      .orderBy($"day")
+  }
+  /** DuckDB replica — deliberately the independent correlated-range
+    * spelling (per-day re-scan) the Spark plan avoids. */
+  val q63RollingActiveSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+       |), days AS (SELECT DISTINCT day FROM ud)
+       |SELECT d.day,
+       |  CAST((SELECT COUNT(*) FROM ud u WHERE u.day = d.day) AS BIGINT) AS dau,
+       |  CAST((SELECT COUNT(DISTINCT user_id) FROM ud u
+       |        WHERE u.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau
+       |FROM days d ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_rolling_active" -> q63RollingActive _,
     "q59_interval_union" -> q59IntervalUnion _,
     "q60_latest_by_key" -> q60LatestByKey _,
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "q63_rolling_active" -> q63RollingActiveSql,
     "q59_interval_union" -> q59IntervalUnionSql,
     "q60_latest_by_key" -> q60LatestByKeySql,
     "q61_asof_nearest" -> q61AsofNearestSql,

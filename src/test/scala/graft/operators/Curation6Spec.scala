@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-scenario laws for the Curation6 operators, q63, and the ANN
+  * recall row: profiling must count nulls/distincts exactly off ONE scan,
+  * the wildcard join must be complete AND duplicate-free on a planted
+  * Hamming-1/Hamming-2 mix, rolling WAU must honor the 7-day bound, and
+  * ann_recall must equal an independently computed set intersection.
+  */
+class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.codegen.maxFields", "256")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("profile_columns: exact null/distinct/min/max off a planted frame") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6prof").toString
+    Seq((1L, "b", "en", "s1", 1L), (2L, "a", "en", "s2", 1L),
+      (3L, null.asInstanceOf[String], "en", "s1", 0L), (4L, "a", "de", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation6.profileColumns(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("text") == ((4L, 1L, 2L, "a", "b")), s"text: ${got("text")}")
+    assert(got("lang") == ((4L, 0L, 2L, "de", "en")), s"lang: ${got("lang")}")
+    assert(got("doc_id") == ((4L, 0L, 4L, "1", "4")), s"doc_id: ${got("doc_id")}")
+  }
+
+  test("profile_columns plan law: ONE scan profiles every column (unpivot, not per-column jobs)") {
+    val plan = Curation6.profileColumns(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+  }
+
+  test("fuzzy_join_wildcard: complete on Hamming-1, silent on Hamming-2, no duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6fuzzy").toString
+    Seq((1L, "ABCD"), (2L, "ABCE"), (3L, "ABFF"), (4L, "XBCD"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Curation6.fuzzyJoinWildcard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // (1,2) differ at pos 4, (1,4) at pos 1; every other pair is Hamming-2.
+    // A pair matching at exactly one mask appears exactly once — the
+    // no-duplicate law that lets the operator skip a distinct.
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 1L)), s"got: ${got.mkString(", ")}")
+  }
+
+  test("fuzzy_join_wildcard plan law: equi-join on the masked key, no cartesian/BNLJ") {
+    val plan = Curation6.fuzzyJoinWildcard(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q63_rolling_active: WAU honors the trailing 7-day bound") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6q63").toString
+    val t0 = java.time.LocalDateTime.of(2026, 3, 1, 12, 0, 0)
+    Seq(
+      (1L, t0, 1L), (2L, t0, 2L),              // day d0: u1, u2
+      (3L, t0.plusDays(2), 1L),                // day d0+2: u1
+      (4L, t0.plusDays(10), 3L))               // day d0+10: u3 only (d0 aged out)
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.Relational3.q63RollingActive(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = rows.head._1
+    assert(rows.toSeq == Seq(
+      (d0, 2L, 2L),        // dau {u1,u2}; wau window [d0-6,d0] = {u1,u2}
+      (d0 + 2, 1L, 2L),    // dau {u1}; wau window covers d0 -> {u1,u2}
+      (d0 + 10, 1L, 1L)),  // d0/d0+2 are 8+ days back: only u3 — the bound
+      s"got: ${rows.mkString(", ")}")
+  }
+
+  test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.annTopKBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.annTopKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length == Similarity.NProbes, s"expected ${Similarity.NProbes} probes, got ${got.length}")
+    got.foreach { case (q, (nExact, nHit, ppm)) =>
+      val want = exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(nExact == exact(q).size.toLong, s"q=$q n_exact")
+      assert(nHit == want, s"q=$q: n_hit=$nHit, independent intersection=$want")
+      assert(ppm == nHit * 1000000L / nExact, s"q=$q ppm")
+    }
+  }
+}

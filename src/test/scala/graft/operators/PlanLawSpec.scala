@@ -43,6 +43,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     * a BNLJ fails the sweep. */
   private val justifiedBnlj: Map[String, String] = Map(
     "ann_topk_brute" -> "broadcast probe set is NProbes=64 rows by construction",
+    "ann_recall" -> "composes ann_topk_brute + ann_topk_ivf; every broadcast is their NProbes=64 / k=16 bounded frames",
     "ann_hard_negatives" -> "broadcast probe set is NProbes=64 rows by construction",
     "source_overlap_kmv" -> "broadcast side is the distinct-source dimension (corpus-size-independent); pair stage input is <= K rows per source by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
@@ -176,13 +177,18 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       cur.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     }
+    // Queries whose full-width read IS the semantics, not an oversight.
+    val justifiedFullRead = Set(
+      "profile_columns" // a table profiler reports on every column by definition
+    )
     val offenders = batchPlans.flatMap { case (name, plan) =>
       scansOf(plan)
         .flatMap { scan =>
           val table = scan.relation.location.rootPaths.headOption
             .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
           fullWidth.get(table).collect {
-            case w if scan.requiredSchema.size >= w => s"$name reads all $w cols of $table"
+            case w if scan.requiredSchema.size >= w && !justifiedFullRead(name) =>
+              s"$name reads all $w cols of $table"
           }
         }
     }
