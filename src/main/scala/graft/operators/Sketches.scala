@@ -155,11 +155,88 @@ object Sketches {
        |FROM rk2 WHERE rk <= $K
        |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
 
+  // ------------------------------------------------- heavy hitters
+  /** Heavy-hitter threshold: a term is heavy iff freq · HhK > N (strict),
+    * i.e. frequency above 1/200 of the token stream. The per-partition
+    * Misra-Gries capacity is HhK − 1, which makes the candidate union a
+    * guaranteed superset of every heavy term (see below). */
+  private[graft] val HhK = 200
+
+  /** One partition's Misra-Gries pass: a summary of ≤ cap (term, count)
+    * entries plus the partition's total token count. The classic bounded-
+    * memory stream kernel: increment a tracked term, insert while there
+    * is room, otherwise decrement ALL tracked counters by one (dropping
+    * zeros) and discard the arrival. Invariant: any term with
+    * freq > n/(cap+1) in the stream survives in the summary. */
+  private[graft] def misraGries(it: Iterator[String], cap: Int): (Long, Map[String, Long]) = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    it.foreach { t =>
+      n += 1
+      m.get(t) match {
+        case Some(c) => m(t) = c + 1
+        case None if m.size < cap => m(t) = 1L
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+    }
+    (n, m.toMap)
+  }
+
+  /** Exact heavy hitters in two passes with bounded memory — the shape
+    * that replaces the full-shuffle `GROUP BY term` when the term
+    * dictionary itself no longer fits a shuffle budget (100 TB of tokens
+    * is billions of distinct terms; the heavy ones are a handful).
+    *
+    * Pass 1 runs [[misraGries]] per partition (capacity HhK−1, constant
+    * memory) and collects only the summaries — ≤ #partitions · HhK rows,
+    * the K-bounded driver-coordination class. The union of per-partition
+    * candidates provably contains every global heavy term: if
+    * freq(x)·HhK > N then Σᵢ(freqᵢ(x) − nᵢ/HhK) > 0, so some partition
+    * has freqᵢ(x) > nᵢ/HhK and its MG summary kept x. Pass 2 semi-joins
+    * the token stream against the broadcast candidate set (no full
+    * shuffle — only candidate terms reach the exchange) and exact-counts
+    * them; the final strict-threshold filter uses exact counts, so extra
+    * candidates from pass 1 drop out and the OUTPUT is deterministic and
+    * partitioning-independent even though the candidate set is not (the
+    * DeterminismSpec sweep exercises exactly this). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def toks = Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("t"))
+    val summaries = toks.as[String]
+      .mapPartitions(it => Iterator.single(misraGries(it, HhK - 1)))
+      .collect()
+    val total = summaries.map(_._1).sum
+    val candidates = summaries.iterator.flatMap(_._2.keysIterator).toSeq.distinct
+    toks.join(broadcast(candidates.toDF("t")), "t")
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" * HhK > total)
+      .select($"t".as("term"), $"n",
+        expr(s"n * 1000000 div $total").as("freq_ppm")) // integer div: engine-parity
+      .orderBy($"n".desc, $"term")
+  }
+  /** DuckDB replica — the full GROUP BY the two-pass plan avoids. */
+  val heavyHittersSql: String =
+    raw"""WITH t AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+         |  FROM documents
+         |), tot AS (SELECT COUNT(*) AS total FROM t)
+         |SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST((COUNT(*) * 1000000) // (SELECT total FROM tot) AS BIGINT) AS freq_ppm
+         |FROM t GROUP BY t
+         |HAVING COUNT(*) * $HhK > (SELECT total FROM tot)
+         |ORDER BY n DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> heavyHitters _,
     "source_kmv_distinct" -> sourceKmvDistinct _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
   )
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" -> heavyHittersSql,
     "source_kmv_distinct" -> sourceKmvDistinctSql,
     "source_overlap_kmv" -> sourceOverlapKmvSql,
   )

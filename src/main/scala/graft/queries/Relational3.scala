@@ -235,13 +235,53 @@ object Relational3 {
        |        WHERE u.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau
        |FROM days d ORDER BY d.day""".stripMargin
 
+  /** Retention cohorts (q64): users grouped by first-active day (their
+    * cohort), reporting how many are still active k days later — the
+    * triangle table behind every retention curve.
+    *
+    * Why this shape scales: the textbook spelling computes first-active
+    * per user, then joins it back against the full activity history
+    * (second shuffle of the big side). This plan makes ONE shuffle on
+    * user_id: `collect_set(day)` per user dedups activity in the
+    * aggregate buffer (map-side partial collapses repeats before the
+    * exchange) and min(day) rides the same aggregation; cohort offsets
+    * then explode from the per-user set — a narrow map — and the final
+    * (cohort, offset) rollup counts each user at most once per offset by
+    * construction. The per-user set is bounded by the calendar horizon
+    * (days, not events), so the buffer can't blow up on a hot user. */
+  def q64RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    ev.select($"user_id", Tables.tsUs(ev).as("ts_us"))
+      .selectExpr("user_id", s"ts_us div $DayUs as day")
+      .groupBy($"user_id")
+      .agg(min($"day").as("cohort"), collect_set($"day").as("days"))
+      .select($"cohort", explode($"days").as("day"))
+      .withColumn("day_offset", $"day" - $"cohort")
+      .groupBy($"cohort", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort", $"day_offset")
+  }
+  /** DuckDB replica — deliberately the independent join-back spelling. */
+  val q64RetentionCohortsSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+       |), f AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+       |SELECT f.cohort, u.day - f.cohort AS day_offset,
+       |  CAST(COUNT(*) AS BIGINT) AS n_active
+       |FROM ud u JOIN f ON u.user_id = f.user_id
+       |GROUP BY f.cohort, u.day - f.cohort
+       |ORDER BY cohort, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_retention_cohorts" -> q64RetentionCohorts _,
     "q63_rolling_active" -> q63RollingActive _,
     "q59_interval_union" -> q59IntervalUnion _,
     "q60_latest_by_key" -> q60LatestByKey _,
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "q64_retention_cohorts" -> q64RetentionCohortsSql,
     "q63_rolling_active" -> q63RollingActiveSql,
     "q59_interval_union" -> q59IntervalUnionSql,
     "q60_latest_by_key" -> q60LatestByKeySql,

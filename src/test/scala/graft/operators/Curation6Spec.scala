@@ -91,6 +91,58 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${rows.mkString(", ")}")
   }
 
+  test("q64_retention_cohorts: first-active day defines the cohort; a day counts once per user") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6q64").toString
+    val t0 = java.time.LocalDateTime.of(2026, 3, 1, 8, 0, 0)
+    Seq(
+      (1L, t0, 1L), (2L, t0.plusHours(5), 1L), // u1 twice on d0 -> one count
+      (3L, t0.plusDays(3), 1L),                // u1 back at offset 3
+      (4L, t0.plusDays(1), 2L),                // u2's cohort is d0+1
+      (5L, t0.plusDays(4), 2L))                // u2 at offset 3
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.Relational3.q64RetentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = rows.head._1
+    assert(rows.toSeq == Seq(
+      (d0, 0L, 1L), (d0, 3L, 1L),
+      (d0 + 1, 0L, 1L), (d0 + 1, 3L, 1L)),
+      s"got: ${rows.mkString(", ")}")
+  }
+
+  test("misra-gries kernel: bounded size, superset guarantee on a skewed stream") {
+    val stream = Seq.fill(400)("hot") ++ (1 to 1000).map(i => s"cold$i")
+    val rnd = new scala.util.Random(7)
+    val (n, m) = Sketches.misraGries(rnd.shuffle(stream).iterator, Sketches.HhK - 1)
+    assert(n == 1400L)
+    assert(m.size <= Sketches.HhK - 1, s"summary overflowed: ${m.size}")
+    // freq(hot)=400 > 1400/200 -> MUST survive, whatever the order
+    assert(m.contains("hot"), s"superset guarantee violated: ${m.keys.take(10)}")
+  }
+
+  test("heavy_hitters: strict threshold on a planted near-boundary mix") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6hh").toString
+    // 200 tokens total: 'a' x2 (2*200 > 200: heavy), 'b' x1 (1*200 == 200:
+    // strict -> NOT heavy), 197 distinct fillers
+    val text = (Seq("a", "a", "b") ++ (1 to 197).map(i => s"f$i")).mkString(" ")
+    Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Sketches.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 10000L)), s"got: ${rows.mkString(", ")}")
+  }
+
+  test("heavy_hitters plan law: pass 2 semi-joins the broadcast candidates, no full-dictionary shuffle before the join") {
+    val plan = Sketches.heavyHitters(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate join:\n$plan")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
