@@ -161,10 +161,80 @@ object Streaming3 {
        |FROM events WHERE event_id < $CUTOFF
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming latest-record compaction (stream_latest_by_key): the
+    * always-on CDC materializer — newest event per (user, event_type)
+    * maintained incrementally as files land, the streaming twin of batch
+    * [[Relational3.q60LatestByKey]] (whose `max(struct)` reduction and
+    * column contract it reuses; the DuckDB oracle is the same
+    * independent window spelling over the slice).
+    *
+    * Batch-invariance here is BY CONSTRUCTION of the aggregation mode:
+    * complete-mode output is a pure function of accumulated state, so
+    * micro-batch slicing cannot change the final table (the r12
+    * batch-boundary flake class has no surface). The two-file feed at
+    * 1 file/trigger still forces genuine cross-batch accumulation: a
+    * key's versions straddle the files, so a correct answer REQUIRES
+    * state carried between triggers. At 100 TB the same plan runs in
+    * update mode against a keyed sink (upserts), keeping per-trigger
+    * output O(changed keys); state is O(live keys) — the compaction
+    * point of q60 — not O(history). */
+  def streamLatestByKey(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"slbk${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .withColumn("event_ts", Streaming.eventTs)
+      .select($"user_id", $"event_type",
+        unix_micros($"event_ts").as("ts_us"), $"event_id", $"value")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        max(struct($"ts_us", $"event_id", $"value")).as("last"))
+      .select($"user_id", $"event_type", $"n_versions",
+        $"last.ts_us".as("last_ts_us"), $"last.event_id".as("last_event_id"),
+        $"last.value".as("last_value"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_latest_by_key", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"user_id", $"event_type")
+  }
+  val streamLatestByKeySql: String =
+    s"""WITH rk AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+       |  FROM events WHERE event_id < $CUTOFF)
+       |SELECT user_id, event_type, CAST(n_versions AS BIGINT) AS n_versions,
+       |  ts_us AS last_ts_us, event_id AS last_event_id, value AS last_value
+       |FROM rk WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tws_profile" -> streamTwsProfile _,
+    "stream_latest_by_key" -> streamLatestByKey _,
   )
   val oracles: Map[String, String] = Map(
     "stream_tws_profile" -> streamTwsProfileSql,
+    "stream_latest_by_key" -> streamLatestByKeySql,
   )
 }
