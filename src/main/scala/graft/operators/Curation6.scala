@@ -121,11 +121,107 @@ object Curation6 {
       | AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY a_key, b_key""".stripMargin
 
+  // ------------------------------------------- end-to-end curation run
+  /** The whole curation pipeline as ONE declarative DAG
+    * (`pipeline_e2e`): quality gate → exact dedup (keep-canonical) →
+    * eval-set decontamination → per-source corpus report. This is the
+    * "switch your training-data job to this library" demo row: each
+    * stage is the SAME kernel its standalone query ships
+    * ([[Curation.cascadeRule]], the md5 keep-canonical reduction,
+    * [[Curation]]'s ContamN-gram keys), composed so Catalyst plans one
+    * job — no materialization between stages.
+    *
+    * Scale shape, stage by stage: the verdict is a narrow codegen'd
+    * projection (tokens projected ONCE, the fusion-trap discipline);
+    * dedup groups on the md5 hash, so the exchange carries 16-byte keys
+    * + ids, never text; decontamination joins the corpus's distinct
+    * gram keys against the eval slice's (both sides hashed long keys)
+    * and anti-joins the leaked ids back — the corpus text itself crosses
+    * no shuffle after the verdict projection; the report is a 20-row
+    * per-source aggregate with map-side partials. Eval docs
+    * (doc_id % 10 == 7, the repo's standing eval-slice convention) feed
+    * the gram blocklist unfiltered and never enter the corpus. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = Par.spread(Tables.documents(s, d), $"doc_id")
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("verdict", Curation.cascadeRule($"toks"))
+      .filter($"verdict" === "pass")
+    // keep-canonical: min doc_id per exact text hash; the exchange
+    // carries (hash, id), and the semi-join restores the full row
+    val canonIds = corpus.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val canon = corpus.join(canonIds, "doc_id")
+    def gramKeys(df: DataFrame): DataFrame = df
+      .filter(size($"toks") >= Curation.ContamN)
+      .select($"doc_id", explode(Curation.ngrams($"toks", Curation.ContamN)).as("g"))
+      .select($"doc_id", Curation.gramKey($"g").as("gk"))
+      .distinct()
+    val evalGrams = gramKeys(docs.filter($"doc_id" % 10 === 7)
+      .withColumn("toks", tokens($"text"))).select($"gk").distinct()
+    val leaked = gramKeys(canon).join(evalGrams, "gk").select($"doc_id").distinct()
+    canon.join(leaked, Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks")).cast("long").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source")
+  }
+  /** DuckDB replica: the same four stages spelled independently (IN /
+    * NOT IN subqueries instead of aggregate-join / anti-join). */
+  val pipelineE2eSql: String = {
+    val stops = graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val n = Curation.ContamN
+    raw"""WITH toks AS (
+         |  SELECT doc_id, text, lang, source,
+         |    string_split_regex(trim(text), '\s+') AS t
+         |  FROM documents
+         |), corpus AS (
+         |  SELECT * FROM toks
+         |  WHERE doc_id % 10 <> 7
+         |    AND NOT (len(t) < ${Curation.CascadeMinTokens})
+         |    AND NOT (LENGTH(text) > ${Curation.CascadeMaxChars})
+         |    AND NOT (CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / LENGTH(text) > ${Curation.CascadePunctMax})
+         |    AND NOT (lang = 'en' AND
+         |             CAST(len(list_filter(t, x -> list_contains($stops, x))) AS DOUBLE)
+         |             / len(t) < ${Curation.CascadeStopMin})
+         |), canon AS (
+         |  SELECT * FROM corpus
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM corpus GROUP BY md5(text))
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, ${Curation.gramKeySql("g")} AS gk
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |                 i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+         |        FROM toks WHERE len(t) >= $n AND doc_id % 10 = 7
+         |        UNION ALL
+         |        SELECT doc_id,
+         |          unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |                 i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+         |        FROM canon WHERE len(t) >= $n)
+         |), leaked AS (
+         |  SELECT DISTINCT c.doc_id FROM grams c
+         |  WHERE c.doc_id % 10 <> 7
+         |    AND c.gk IN (SELECT gk FROM grams WHERE doc_id % 10 = 7)
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM canon WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+         |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> pipelineE2e _,
     "profile_columns" -> profileColumns _,
     "fuzzy_join_wildcard" -> fuzzyJoinWildcard _,
   )
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "profile_columns" -> profileColumnsSql,
     "fuzzy_join_wildcard" -> fuzzyJoinWildcardSql,
   )

@@ -143,6 +143,29 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast candidate join:\n$plan")
   }
 
+  test("pipeline_e2e: every stage bites — quality gate, exact dedup, eval decontamination") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6e2e").toString
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val keep1 = words("w", 25)                          // survives, source s1
+    val leakyTail = words("q", 8)
+    val docs = Seq(
+      (1L, keep1, "xx", "s1"),                          // survivor
+      (11L, keep1, "xx", "s1"),                         // exact dup -> deduped (1 wins)
+      (2L, "a b c", "xx", "s1"),                        // too_short -> quality-filtered
+      (3L, words("x", 17) + " " + leakyTail, "xx", "s1"), // shares an 8-gram with eval -> leaked
+      (7L, leakyTail + " " + words("z", 12), "xx", "s1"), // EVAL doc (id%10==7): blocklist only
+      (4L, words("v", 25), "xx", "s2"))                 // survivor, source s2
+    docs.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation6.pipelineE2e(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(("s1", 1L, 25L, 1L, 1L), ("s2", 1L, 25L, 4L, 4L)),
+      s"got: ${rows.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
