@@ -435,7 +435,104 @@ object Clustering {
        |  CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / (COUNT(*) * $Q) AS mean_val
        |FROM x GROUP BY source, pos ORDER BY source, pos""".stripMargin
 
+  // ------------------------------------------------ power iteration
+  /** Power-iteration rounds for [[embTopPc]]. */
+  private[graft] val PcIters = 6
+
+  /** Dominant principal direction of the (uncentered) embedding matrix
+    * via distributed power iteration (`emb_top_pc`) — the top
+    * right-singular vector, the one-vector summary behind whitening,
+    * drift dashboards, and "is one axis eating the variance" checks.
+    * (Centering composes by running it after `emb_standardize`.)
+    *
+    * Each of the [[PcIters]] fixed rounds computes w = Xᵀ(Xv) with NO
+    * per-row state and NO big shuffle: `s = <x, v>` is a narrow
+    * per-row fold (v is a 64-double literal baked into the plan),
+    * `w_j = Σ x_j·s` is a 64-group aggregate with map-side partials,
+    * and the 64-row result collects to the driver (the Lloyd-class
+    * K-bounded coordination every iterative kernel here uses), which
+    * L1-normalizes and bakes the next v. Cost per round = one scan;
+    * the whole operator is PcIters scans — at 100 TB you'd run it on
+    * the standing sample or fold rounds into one pass per epoch.
+    *
+    * Cross-engine exactness (the trick that lets an ITERATIVE spectral
+    * method be hash-gated): every float enters as the same parquet
+    * bits, every multiply is one correctly-rounded IEEE op in an
+    * identical left-to-right order, and every value that crosses rows
+    * is floor-quantized to integer micros FIRST — so all sums are
+    * exact 64-bit adds and no engine ever sees the other's
+    * accumulation order. L1 (not L2) normalization keeps the norm an
+    * exact integer too. Magnitude audit: |x|≤1, |v|≤1 ⇒ s_micro ≤
+    * 64e6, c ≤ 64e6, w ≤ n·64e6 — exact doubles up to n ≈ 1.4e8 rows;
+    * beyond that the units drop to millis (same discipline, documented
+    * here rather than hidden). */
+  def embTopPc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
+    val dim = 64
+    var vm = Array.fill(dim)(1000000L)
+    var l1 = 0L
+    for (_ <- 1 to PcIters) {
+      val v = vm.map(_.toDouble / 1000000.0)
+      val vLit = typedlit(v)
+      // Σ_k floor(x_k · v_k · 1e6): per-element micro quantization, then
+      // an exact long fold — order-free by construction
+      val sm = aggregate(
+        zip_with($"embedding", vLit, (x, y) =>
+          floor(x.cast("double") * y * lit(1000000.0)).cast("long")),
+        lit(0L), (a, c) => a + c)
+      val w = emb
+        .select($"embedding", sm.as("sm"))
+        .select(posexplode($"embedding").as(Seq("j", "x")), $"sm")
+        .select($"j",
+          floor($"x".cast("double") * $"sm".cast("double")).cast("long").as("c"))
+        .groupBy($"j").agg(sum($"c").as("w"))
+        .orderBy($"j").collect()
+      val wv = (0 until dim).map { j => w.find(_.getInt(0) == j).map(_.getLong(1)).getOrElse(0L) }
+      l1 = wv.map(math.abs).sum
+      vm = wv.map(wj => math.floor(wj.toDouble / l1.toDouble * 1000000.0).toLong).toArray
+    }
+    val out = vm.zipWithIndex.map { case (m, j) => (j.toLong, m, l1) }
+    s.createDataset(out.toSeq)
+      .toDF("component", "v_micro", "l1_w")
+      .orderBy($"component")
+  }
+  /** DuckDB replica of [[embTopPc]]: the same [[PcIters]] rounds
+    * unrolled as CTE stages — identical per-op IEEE arithmetic, identical
+    * micro quantization, so the iterative spectral kernel hash-matches. */
+  val embTopPcSql: String = {
+    val dim = 64
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(t.j AS INT) AS j,
+         |    CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+         |  FROM embeddings, range($dim) t(j)
+         |), v0 AS (SELECT CAST(t.j AS INT) AS j, CAST(1000000 AS BIGINT) AS vm
+         |          FROM range($dim) t(j))"""
+    val iters = (1 to PcIters).map { t =>
+      s""",
+         |s$t AS (
+         |  SELECT vec_id,
+         |    SUM(CAST(FLOOR(e.x * (CAST(v.vm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)) AS sm
+         |  FROM e JOIN v${t - 1} v USING (j) GROUP BY vec_id),
+         |w$t AS (
+         |  SELECT e.j, SUM(CAST(FLOOR(e.x * CAST(s.sm AS DOUBLE)) AS BIGINT)) AS w
+         |  FROM e JOIN s$t s USING (vec_id) GROUP BY e.j),
+         |v$t AS (
+         |  SELECT j, CAST(FLOOR((CAST(w AS DOUBLE)
+         |    / CAST((SELECT SUM(ABS(w)) FROM w$t) AS DOUBLE)) * 1000000.0) AS BIGINT) AS vm
+         |  FROM w$t)"""
+    }.mkString
+    val tail =
+      s"""
+         |SELECT CAST(j AS BIGINT) AS component, vm AS v_micro,
+         |  (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w$PcIters) AS l1_w
+         |FROM v$PcIters ORDER BY component"""
+    (head + iters + tail).stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_top_pc" -> embTopPc _,
     "source_centroids" -> sourceCentroids _,
     "emb_kmeans" -> embKmeans _,
     "emb_pq" -> embPq _,
@@ -445,6 +542,7 @@ object Clustering {
     * makes every step a single identical IEEE operation on both engines,
     * so even iterative clustering is hash-gated. */
   val oracles: Map[String, String] = Map(
+    "emb_top_pc" -> embTopPcSql,
     "source_centroids" -> sourceCentroidsSql,
     "emb_kmeans" -> embKmeansSql,
     "emb_pq" -> embPqSql,

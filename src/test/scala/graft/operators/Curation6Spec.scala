@@ -166,6 +166,29 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${rows.mkString(", ")}")
   }
 
+  test("emb_top_pc: exact fixed point on a planted rank-1 matrix") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6pc").toString
+    // rows are multiples of u = (0.5, -0.25, 0.25, 0...): every entry an
+    // exact binary fraction, so the micro quantization is lossless and
+    // the iteration must land on floor(u_j / |u|_1 * 1e6) EXACTLY and
+    // stay there (hand-traced: vm = (500000, -250000, 250000, 0...) from
+    // round 1 on, l1_w = 1875000 for every later round)
+    val u = Array(0.5f, -0.25f, 0.25f) ++ Array.fill(61)(0.0f)
+    Seq((1L, u.map(x => x * 1f)), (2L, u.map(x => x * 2f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Clustering.embTopPc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectVm = Array(500000L, -250000L, 250000L) ++ Array.fill(61)(0L)
+    rows.foreach { case (j, vm, l1) =>
+      assert(vm == expectVm(j.toInt), s"component $j: vm=$vm, want ${expectVm(j.toInt)}")
+      assert(l1 == 1875000L, s"l1_w=$l1")
+    }
+    assert(rows.length == 64)
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
