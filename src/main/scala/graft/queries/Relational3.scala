@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-13 relational additions, part 3: interval algebra over event
   * time. Same contract as [[Relational]]/[[Relational2]]: every query is
@@ -273,7 +274,138 @@ object Relational3 {
        |GROUP BY f.cohort, u.day - f.cohort
        |ORDER BY cohort, day_offset""".stripMargin
 
+  /** Skyline price-bucket width: buckets = price domain / 10k ≤ ~50 —
+    * bounded by the PRICE DOMAIN, not the row count. */
+  private[graft] val SkyBucket = 10000.0
+
+  /** Pareto frontier of orders (q65): orders not dominated on
+    * (totalprice MAX, orderdate MIN) — "the earliest order at every
+    * spend level", the skyline operator of the multi-criteria
+    * literature. Dominance: another order with price ≥ AND date ≤,
+    * strict in at least one.
+    *
+    * Why this shape scales: the textbook spellings are a NOT EXISTS
+    * self-join (quadratic) or one global sort + running min (a
+    * single-task Window.orderBy). This plan exploits 2D structure:
+    * a row is skyline iff its date beats BOTH the min date of all
+    * strictly-higher prices and every earlier same-price date. It
+    * reduces rows per distinct price (shuffle on price, map-side
+    * partials), seeds each price BUCKET with the min date of all
+    * strictly higher buckets (bucket table is domain-bounded ≤ ~50
+    * rows — collected and suffix-min'd on the driver, the K-bounded
+    * coordination class), and refines within each bucket with a
+    * window PARTITIONED BY bucket — every window partition is one
+    * bucket's distinct prices, so no global single-task sort exists
+    * anywhere. Dominance checks use exact integer micros. */
+  def q65Skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+    val rows = ord.select($"o_orderkey", $"o_totalprice",
+      Tables.tsUs(ord, "o_orderdate").as("t_us"))
+    val perPrice = rows.groupBy($"o_totalprice")
+      .agg(min($"t_us").as("dmin"))
+      .withColumn("bucket", floor($"o_totalprice" / SkyBucket).cast("long"))
+    // domain-bounded bucket mins -> exclusive suffix min on the driver
+    val bmins = perPrice.groupBy($"bucket").agg(min($"dmin").as("bmin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val suffix = bmins.scanRight(Long.MaxValue) { case ((_, m), acc) => math.min(m, acc) }
+    val seeds = bmins.map(_._1).zip(suffix.drop(1)) // bucket -> min over HIGHER buckets
+    val seedDf = broadcast(seeds.toSeq.toDF("bucket", "seed"))
+    val wHigher = Window.partitionBy($"bucket").orderBy($"o_totalprice".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perPrice.join(seedDf, "bucket")
+      .withColumn("mh", least(
+        coalesce(min($"dmin").over(wHigher), lit(Long.MaxValue)), $"seed"))
+      .filter($"mh" > $"dmin") // mh <= dmin => dominated by a higher price
+      .select($"o_totalprice", $"dmin", $"mh")
+    rows.join(sky, Seq("o_totalprice"))
+      .filter($"t_us" === $"dmin") // same-price later dates are dominated
+      .select($"o_orderkey", $"o_totalprice", $"t_us")
+      .orderBy($"o_orderkey")
+  }
+  /** DuckDB replica — deliberately the NOT EXISTS dominance spelling. */
+  val q65SkylineSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS t_us
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice, t_us FROM o a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o b
+      |  WHERE b.o_totalprice >= a.o_totalprice AND b.t_us <= a.t_us
+      |    AND (b.o_totalprice > a.o_totalprice OR b.t_us < a.t_us))
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A/B experiment readout (ab_test_report): per event_type, group
+    * sizes, milli-unit means, and the Welch t statistic between the
+    * two user buckets (user_id % 2) — the report every experimentation
+    * platform materializes continuously.
+    *
+    * Scale + parity shape: ONE aggregation over the events scan
+    * (conditional aggregates per bucket, map-side partials; shuffle
+    * carries ≤ #event_types rows). Values quantize to exact integer
+    * millis BEFORE any sum (floor — one correctly-rounded IEEE product
+    * then an exact truncation, identical on both engines); sums of
+    * squares accumulate in DECIMAL(38,0) (exact, overflow-proof at any
+    * n — DuckDB's BIGINT sums land in HUGEINT, same exactness). The
+    * Welch statistic is then a FIXED DAG of correctly-rounded double
+    * ops over exact integers — spelled in the same nesting order in
+    * both engines — and the result quantizes to millis with floor, so
+    * even the final sqrt/divisions are hash-exact. */
+  def abTestReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val vm = floor($"value" * lit(1000.0)).cast("long")
+    val isA = ($"user_id" % 2 === 0)
+    val base = ev.select($"event_type", $"user_id", vm.as("vmil"))
+    val agg = base.groupBy($"event_type").agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isA, $"vmil").otherwise(0L)).as("s_a"),
+      sum(when(!isA, $"vmil").otherwise(0L)).as("s_b"),
+      sum(when(isA, ($"vmil" * $"vmil").cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0)))).as("q_a"),
+      sum(when(!isA, ($"vmil" * $"vmil").cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0)))).as("q_b"))
+    // the Welch DAG: identical op nesting in the oracle SQL
+    val t = expr(
+      """((CAST(s_a AS DOUBLE) / n_a) - (CAST(s_b AS DOUBLE) / n_b)) /
+        |sqrt(
+        |  ((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a) / (n_a - 1)) / n_a +
+        |  ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b) / (n_b - 1)) / n_b)""".stripMargin)
+    agg.select($"event_type", $"n_a", $"n_b",
+        // floor-division via the double DAG: sign-robust and identical
+        // across engines (Spark div truncates, DuckDB // floors)
+        floor(expr("CAST(s_a AS DOUBLE) / n_a")).cast("long").as("mean_a_milli"),
+        floor(expr("CAST(s_b AS DOUBLE) / n_b")).cast("long").as("mean_b_milli"),
+        floor(t * lit(1000.0)).cast("long").as("t_milli"))
+      .orderBy($"event_type")
+  }
+  val abTestReportSql: String =
+    """WITH base AS (
+      |  SELECT event_type, user_id,
+      |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS vmil
+      |  FROM events
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN vmil ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN vmil ELSE 0 END) AS BIGINT) AS s_b,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN vmil * vmil ELSE 0 END) AS q_a,
+      |    SUM(CASE WHEN user_id % 2 <> 0 THEN vmil * vmil ELSE 0 END) AS q_b
+      |  FROM base GROUP BY event_type)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(FLOOR(CAST(s_a AS DOUBLE) / n_a) AS BIGINT) AS mean_a_milli,
+      |  CAST(FLOOR(CAST(s_b AS DOUBLE) / n_b) AS BIGINT) AS mean_b_milli,
+      |  CAST(FLOOR((
+      |    ((CAST(s_a AS DOUBLE) / n_a) - (CAST(s_b AS DOUBLE) / n_b)) /
+      |    sqrt(
+      |      ((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a) / (n_a - 1)) / n_a +
+      |      ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b) / (n_b - 1)) / n_b)
+      |  ) * 1000.0) AS BIGINT) AS t_milli
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_skyline" -> q65Skyline _,
+    "ab_test_report" -> abTestReport _,
     "q64_retention_cohorts" -> q64RetentionCohorts _,
     "q63_rolling_active" -> q63RollingActive _,
     "q59_interval_union" -> q59IntervalUnion _,
@@ -281,6 +413,8 @@ object Relational3 {
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "q65_skyline" -> q65SkylineSql,
+    "ab_test_report" -> abTestReportSql,
     "q64_retention_cohorts" -> q64RetentionCohortsSql,
     "q63_rolling_active" -> q63RollingActiveSql,
     "q59_interval_union" -> q59IntervalUnionSql,

@@ -189,6 +189,48 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 64)
   }
 
+  test("q65_skyline: dominance ties, same-price shadowing, and the cross-bucket seed") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6sky").toString
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0, 0)
+    def ts(min: Int) = t0.plusMinutes(min)
+    Seq(
+      (1L, 100.0, ts(20)),   // dominated by 3 (higher price, earlier)
+      (2L, 300.0, ts(30)),   // skyline: top price in bucket 0
+      (3L, 200.0, ts(10)),   // skyline: earliest date
+      (4L, 200.0, ts(10)),   // exact tie of 3 -> BOTH skyline
+      (5L, 200.0, ts(15)),   // same price as 3, later -> dominated
+      (6L, 300.0, ts(35)),   // same price as 2, later -> dominated
+      (7L, 250.0, ts(30)),   // dominated by 2 (equal date, higher price)
+      (8L, 15000.0, ts(40)), // skyline: top price overall (bucket 1)
+      (9L, 9000.0, ts(39)),  // skyline: nothing >= 9000 is <= ts(39)
+      (10L, 9500.0, ts(41))) // dominated by 8 ACROSS buckets (the seed path)
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.queries.Relational3.q65Skyline(spark, dir).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L, 4L, 8L, 9L), s"got: ${got.mkString(", ")}")
+  }
+
+  test("ab_test_report: hand-computed Welch t on a planted two-bucket frame") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6ab").toString
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0, 0)
+    Seq(
+      (1L, t0, 0L, "t", 1.0), (2L, t0, 0L, "t", 2.0), (3L, t0, 0L, "t", 3.0),
+      (4L, t0, 1L, "t", 2.0), (5L, t0, 1L, "t", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Relational3.abTestReport(spark, dir).collect()
+    assert(r.length == 1)
+    val row = (r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    // means 2000 vs 3000 milli; var_a=1e6, var_b=2e6 (milli^2);
+    // t = -1000/sqrt(1e6/3 + 2e6/2) = -0.8660254 -> floor(milli) = -867
+    assert(row == (("t", 3L, 2L, 2000L, 3000L, -867L)), s"got: $row")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
