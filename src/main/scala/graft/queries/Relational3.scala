@@ -403,7 +403,109 @@ object Relational3 {
       |  ) * 1000.0) AS BIGINT) AS t_milli
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Linear multi-touch attribution (attribution_linear): each purchase
+    * splits its value equally across the same user's clicks in the
+    * trailing hour — the ad-tech workhorse between last-touch (q34) and
+    * nearest-touch (q61).
+    *
+    * Why this shape scales: no click×purchase range join. ONE shuffle
+    * on user_id, then a RANGE-framed window (frame bounds are event-time
+    * offsets, so membership depends only on timestamps, never row
+    * slicing) counts the trailing clicks per purchase; the credit split
+    * is integer micro division. Same-instant clicks are excluded by the
+    * `-1` upper bound (a click must strictly precede its purchase). */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val base = ev.select($"user_id", $"event_id", $"event_type",
+        Tables.tsUs(ev).as("ts_us"), $"value")
+      .filter($"event_type".isin("click", "purchase"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-NearestUs, -1L)
+    base
+      .withColumn("n_touch",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .filter($"event_type" === "purchase" && $"n_touch" > 0)
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us", $"n_touch",
+        expr("CAST(FLOOR(value * 1000000.0) AS BIGINT) div n_touch").as("credit_micro_each"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+  val attributionLinearSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |), win AS (
+       |  SELECT *,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts_us
+       |      RANGE BETWEEN $NearestUs PRECEDING AND 1 PRECEDING) AS n_touch
+       |  FROM base)
+       |SELECT user_id, event_id AS purchase_id, ts_us,
+       |  CAST(n_touch AS BIGINT) AS n_touch,
+       |  CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT)
+       |       // CAST(n_touch AS BIGINT) AS BIGINT) AS credit_micro_each
+       |FROM win WHERE event_type = 'purchase' AND n_touch > 0
+       |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Deletion-request keyspace: customers with c_custkey % 97 == 13 —
+    * a deterministic ~1% "right-to-be-forgotten" batch. */
+  private[graft] val ForgetMod = 97L
+  private[graft] val ForgetRem = 13L
+
+  /** Cascade-delete audit (forget_users): given a deletion batch of
+    * customers, report per table how many rows the cascade removes —
+    * customer → their orders → those orders' lineitems. The compliance
+    * report every data platform files before (and after) executing a
+    * GDPR/CCPA erasure run.
+    *
+    * Why this shape scales: the deletion LIST is broadcast (bounded by
+    * the request batch, not the corpus) for the first hop; the second
+    * hop (lineitems of deleted orders) is a SHUFFLE semi-join — the
+    * deleted-order keyset grows with the data, so broadcasting it would
+    * be the classic cascade-delete OOM; per-table counts are map-side-
+    * combined single-row aggregates unioned at the end. */
+  def forgetUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val delC = Tables.customer(s, d)
+      .filter($"c_custkey" % ForgetMod === ForgetRem).select($"c_custkey")
+    val orders = Tables.orders(s, d)
+    val delO = orders.join(broadcast(delC), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey")
+    val li = Tables.lineitem(s, d)
+    def report(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total")).crossJoin(
+        deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), $"n_total", $"n_deleted",
+          ($"n_total" - $"n_deleted").as("n_kept"))
+    report("customer", Tables.customer(s, d), delC)
+      .unionAll(report("orders", orders, delO))
+      .unionAll(report("lineitem", li,
+        li.join(delO, $"l_orderkey" === delO("o_orderkey"), "left_semi")))
+      .orderBy($"table_name")
+  }
+  val forgetUsersSql: String =
+    s"""WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % $ForgetMod = $ForgetRem),
+       |delo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM delc))
+       |SELECT * FROM (
+       |  SELECT 'customer' AS table_name,
+       |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       |    CAST((SELECT COUNT(*) FROM delc) AS BIGINT) AS n_deleted,
+       |    CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM delc) AS BIGINT) AS n_kept
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       |    CAST((SELECT COUNT(*) FROM delo) AS BIGINT),
+       |    CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'lineitem',
+       |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS BIGINT),
+       |    CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS BIGINT)
+       |) ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_linear" -> attributionLinear _,
+    "forget_users" -> forgetUsers _,
     "q65_skyline" -> q65Skyline _,
     "ab_test_report" -> abTestReport _,
     "q64_retention_cohorts" -> q64RetentionCohorts _,
@@ -413,6 +515,8 @@ object Relational3 {
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "attribution_linear" -> attributionLinearSql,
+    "forget_users" -> forgetUsersSql,
     "q65_skyline" -> q65SkylineSql,
     "ab_test_report" -> abTestReportSql,
     "q64_retention_cohorts" -> q64RetentionCohortsSql,

@@ -231,6 +231,44 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == (("t", 3L, 2L, 2000L, 3000L, -867L)), s"got: $row")
   }
 
+  test("attribution_linear: trailing-hour clicks share credit; same-instant and stale clicks excluded") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6attr").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 1, 12, 0, 0)
+    Seq(
+      (1L, t0.minusMinutes(130), 1L, "click", 0.0),  // outside the hour
+      (2L, t0.minusMinutes(30), 1L, "click", 0.0),   // counts
+      (3L, t0.minusMinutes(10), 1L, "click", 0.0),   // counts
+      (4L, t0, 1L, "click", 0.0),                    // same instant: excluded
+      (5L, t0, 1L, "purchase", 10.0),                // n_touch = 2
+      (6L, t0, 2L, "purchase", 5.0))                 // no clicks: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.Relational3.attributionLinear(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((5L, 2L, 5000000L)), s"got: ${rows.mkString(", ")}")
+  }
+
+  test("forget_users: the cascade reaches orders and lineitems, and only for requested keys") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6forget").toString
+    // 13 % 97 == 13 and 110 % 97 == 13 are requested; 5 is not
+    Seq((13L, "a"), (110L, "b"), (5L, "c")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((101L, 13L), (102L, 5L), (103L, 110L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((101L, 1), (101L, 2), (102L, 1)).toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.Relational3.forgetUsers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("customer", 3L, 2L, 1L),
+      ("lineitem", 3L, 2L, 1L),
+      ("orders", 3L, 2L, 1L)), s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()

@@ -54,6 +54,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "decontaminate_emb" -> "broadcast eval slice is <= 100 rows by construction (vec_id % 10 == 7 AND vec_id < 1000)",
     "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
     "q57_reuse_exchange" -> "broadcast side is the ONE-row grand-total aggregate by construction",
+    "forget_users" -> "per-table report rows are crossJoins of two ONE-row count aggregates by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
