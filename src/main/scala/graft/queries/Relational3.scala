@@ -351,12 +351,17 @@ object Relational3 {
     * ops over exact integers — spelled in the same nesting order in
     * both engines — and the result quantizes to millis with floor, so
     * even the final sqrt/divisions are hash-exact. */
-  def abTestReport(s: SparkSession, d: String): DataFrame = {
+  /** The A/B aggregation + Welch projection over any (event_type,
+    * user_id, value) frame — batch ([[abTestReport]]) and streaming
+    * (`stream_ab_monitor`) share it, so both spell the identical
+    * arithmetic. Count/sum aggregates are associative, so micro-batch
+    * slices merge into exactly the whole-slice answer. */
+  private[graft] def abAgg(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
     import s.implicits._
-    val ev = Tables.events(s, d)
     val vm = floor($"value" * lit(1000.0)).cast("long")
     val isA = ($"user_id" % 2 === 0)
-    val base = ev.select($"event_type", $"user_id", vm.as("vmil"))
+    val base = base0.select($"event_type", $"user_id", vm.as("vmil"))
     val agg = base.groupBy($"event_type").agg(
       sum(when(isA, 1L).otherwise(0L)).as("n_a"),
       sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
@@ -371,12 +376,16 @@ object Relational3 {
         |  ((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a) / (n_a - 1)) / n_a +
         |  ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b) / (n_b - 1)) / n_b)""".stripMargin)
     agg.select($"event_type", $"n_a", $"n_b",
-        // floor-division via the double DAG: sign-robust and identical
-        // across engines (Spark div truncates, DuckDB // floors)
-        floor(expr("CAST(s_a AS DOUBLE) / n_a")).cast("long").as("mean_a_milli"),
-        floor(expr("CAST(s_b AS DOUBLE) / n_b")).cast("long").as("mean_b_milli"),
-        floor(t * lit(1000.0)).cast("long").as("t_milli"))
-      .orderBy($"event_type")
+      // floor-division via the double DAG: sign-robust and identical
+      // across engines (Spark div truncates, DuckDB // floors)
+      floor(expr("CAST(s_a AS DOUBLE) / n_a")).cast("long").as("mean_a_milli"),
+      floor(expr("CAST(s_b AS DOUBLE) / n_b")).cast("long").as("mean_b_milli"),
+      floor(t * lit(1000.0)).cast("long").as("t_milli"))
+  }
+
+  def abTestReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    abAgg(Tables.events(s, d)).orderBy($"event_type")
   }
   val abTestReportSql: String =
     """WITH base AS (

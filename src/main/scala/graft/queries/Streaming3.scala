@@ -229,12 +229,61 @@ object Streaming3 {
        |  ts_us AS last_ts_us, event_id AS last_event_id, value AS last_value
        |FROM rk WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Continuous experimentation (stream_ab_monitor): the Welch A/B
+    * readout maintained incrementally — [[Relational3.abAgg]]'s EXACT
+    * kernel over the graft-files source in complete mode, so the
+    * t-statistic the dashboard shows after any number of micro-batches
+    * equals the batch answer over the same slice (count/sum aggregates
+    * are associative; the Welch projection is a pure function of the
+    * accumulated sums — batch-invariant BY CONSTRUCTION). The two-file
+    * 1-per-trigger feed forces genuine cross-batch accumulation. */
+  def streamAbMonitor(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"sab${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val src = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .select($"event_type", $"user_id", $"value")
+    val query = Relational3.abAgg(src)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_ab_monitor", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"event_type")
+  }
+  val streamAbMonitorSql: String = {
+    // the batch oracle restricted to the streamed slice
+    val inner = Relational3.abTestReportSql
+    inner.replace("FROM events", s"FROM events WHERE event_id < $CUTOFF")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tws_profile" -> streamTwsProfile _,
     "stream_latest_by_key" -> streamLatestByKey _,
+    "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
     "stream_tws_profile" -> streamTwsProfileSql,
     "stream_latest_by_key" -> streamLatestByKeySql,
+    "stream_ab_monitor" -> streamAbMonitorSql,
   )
 }
