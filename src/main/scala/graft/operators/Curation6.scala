@@ -215,12 +215,115 @@ object Curation6 {
          |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ----------------------------------------------- key-skew diagnostics
+  /** Key-skew profile of the events stream (`skew_report`): per
+    * power-of-two frequency bucket, how many user_ids fall there and how
+    * many rows they carry, plus the hottest key's row share in ppm — the
+    * diagnostic run before choosing salting factors or AQE skew
+    * thresholds (the q32/q48 operators this repo already ships).
+    *
+    * Scale + parity shape: per-key counts are ONE map-side-combined
+    * aggregation; the bucket is `length(bin(c)) − 1` — exact integer
+    * floor(log2) via the binary-string length, identical in both engines
+    * (a float log2 would flip at 2^k boundaries on last-ulp differences);
+    * the bucket rollup carries ≤ 64 rows, and the hot-key summary is a
+    * one-row aggregate crossJoined in (BNLJ bounded by construction —
+    * whitelisted with the other report joins). */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perKey = Tables.events(s, d).groupBy($"user_id")
+      .agg(count(lit(1)).as("c"))
+    val tot = perKey.agg(sum($"c").as("total"), max($"c").as("cmax"))
+    perKey.withColumn("bucket", (length(bin($"c")) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select($"bucket", $"n_keys", $"n_rows",
+        expr("cmax * 1000000 div total").as("top_key_share_ppm"))
+      .orderBy($"bucket")
+  }
+  val skewReportSql: String =
+    """WITH pk AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(MAX(c) AS BIGINT) AS cmax FROM pk)
+      |SELECT CAST(LENGTH(bin(c)) - 1 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  (SELECT (cmax * 1000000) // total FROM tot) AS top_key_share_ppm
+      |FROM pk GROUP BY LENGTH(bin(c)) - 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------- incremental aggregate upserts
+  /** Delta boundary for [[aggDeltaMerge]]. */
+  private[graft] val AggBaseCut = 1500L
+  private[graft] val AggDeltaCut = 2000L
+
+  /** Incremental aggregate maintenance (`agg_delta_merge`): a standing
+    * per-(user, event_type) count/sum table absorbs a delta batch and
+    * emits ONLY the changed keys with their new totals — the
+    * merge-on-read upsert view every feature store and reporting mart
+    * maintains (same Δ-processing discipline as `dedup_incremental` /
+    * `ann_ivf_append`).
+    *
+    * Scale shape: the base aggregate is built ONCE per (data, cut) into
+    * the Models train-once store (`_SUCCESS`-guarded parquet; later
+    * calls reload without touching the base slice); each call then pays
+    * O(delta) aggregation + a join against the base keyed table —
+    * emission is O(changed keys), never O(state). At 100 TB the base
+    * table is bucketed on the key (the q58 discipline) so the merge
+    * shuffles only the delta side. Values quantize to exact integer
+    * millis pre-sum (floor — the ab_test_report discipline). */
+  def aggDeltaMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def slice(lo: Long, hi: Long) = {
+      val ev = Tables.events(s, d)
+      ev.filter($"event_id" >= lo && $"event_id" < hi)
+        .select($"user_id", $"event_type",
+          floor($"value" * lit(1000.0)).cast("long").as("vmil"))
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"vmil").as("s_milli"))
+    }
+    val baseDir = Models.root(s"agg-base|$d|cut=$AggBaseCut" +
+        s"|in=${Models.inputFingerprint(s"$d/events.parquet")}") { dir =>
+      slice(Long.MinValue, AggBaseCut).write.mode("overwrite").parquet(dir)
+    }
+    val base = s.read.parquet(baseDir)
+      .select($"user_id", $"event_type", $"n".as("n_b"), $"s_milli".as("s_b"))
+    slice(AggBaseCut, AggDeltaCut)
+      .join(base, Seq("user_id", "event_type"), "left")
+      .select($"user_id", $"event_type",
+        (coalesce($"n_b", lit(0L)) + $"n").as("n_new"),
+        (coalesce($"s_b", lit(0L)) + $"s_milli").as("s_new_milli"),
+        $"n".as("n_delta"))
+      .orderBy($"user_id", $"event_type")
+  }
+  val aggDeltaMergeSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS vmil
+       |  FROM events
+       |), b AS (
+       |  SELECT user_id, event_type, COUNT(*) AS n, SUM(vmil) AS s
+       |  FROM ev WHERE event_id < $AggBaseCut GROUP BY user_id, event_type
+       |), dl AS (
+       |  SELECT user_id, event_type, COUNT(*) AS n, SUM(vmil) AS s
+       |  FROM ev WHERE event_id >= $AggBaseCut AND event_id < $AggDeltaCut
+       |  GROUP BY user_id, event_type)
+       |SELECT dl.user_id, dl.event_type,
+       |  CAST(COALESCE(b.n, 0) + dl.n AS BIGINT) AS n_new,
+       |  CAST(COALESCE(b.s, 0) + dl.s AS BIGINT) AS s_new_milli,
+       |  CAST(dl.n AS BIGINT) AS n_delta
+       |FROM dl LEFT JOIN b USING (user_id, event_type)
+       |ORDER BY dl.user_id, dl.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> skewReport _,
+    "agg_delta_merge" -> aggDeltaMerge _,
     "pipeline_e2e" -> pipelineE2e _,
     "profile_columns" -> profileColumns _,
     "fuzzy_join_wildcard" -> fuzzyJoinWildcard _,
   )
   val oracles: Map[String, String] = Map(
+    "skew_report" -> skewReportSql,
+    "agg_delta_merge" -> aggDeltaMergeSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "profile_columns" -> profileColumnsSql,
     "fuzzy_join_wildcard" -> fuzzyJoinWildcardSql,

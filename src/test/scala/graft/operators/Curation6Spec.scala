@@ -269,6 +269,37 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       ("orders", 3L, 2L, 1L)), s"got: ${got.mkString(", ")}")
   }
 
+  test("skew_report: exact power-of-two buckets and hot-key share on planted skew") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6skew").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 2, 0, 0, 0)
+    val rows = (1 to 8).map(i => (i.toLong, t0, 100L)) ++ // hot key: 8 rows -> bucket 3
+      Seq((9L, t0, 200L), (10L, t0, 300L))                // two singletons -> bucket 0
+    rows.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation6.skewReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 2L, 2L, 800000L), (3L, 1L, 8L, 800000L)),
+      s"got: ${got.mkString(", ")}")
+  }
+
+  test("agg_delta_merge: only delta-touched keys emitted, totals fold base + delta") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6ivm").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 2, 0, 0, 0)
+    Seq(
+      (1L, t0, 1L, "t", 1.0), (2L, t0, 1L, "t", 2.0),  // base u1: n=2, s=3000
+      (3L, t0, 2L, "t", 5.0),                          // base u2 (untouched)
+      (1501L, t0, 1L, "t", 3.0))                       // delta u1
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation6.aggDeltaMerge(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "t", 3L, 6000L, 1L)), s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()

@@ -55,6 +55,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q24_theta_join" -> "genuinely non-equi theta predicate; broadcast side is the 5-row region-band frame",
     "q57_reuse_exchange" -> "broadcast side is the ONE-row grand-total aggregate by construction",
     "forget_users" -> "per-table report rows are crossJoins of two ONE-row count aggregates by construction",
+    "skew_report" -> "broadcast side is the ONE-row total/max aggregate by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
