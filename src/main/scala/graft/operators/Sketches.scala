@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,12 +230,88 @@ object Sketches {
          |HAVING COUNT(*) * $HhK > (SELECT total FROM tot)
          |ORDER BY n DESC, term""".stripMargin
 
+  // --------------------------------------------- count-min sketch
+  /** CMS geometry: depth (independent hash rows) × width (buckets). */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024L
+
+  /** Count-min-sketch frequency estimates audited against exact counts
+    * (`cms_freq_estimate`): the sketch is CmsDepth × CmsWidth counters —
+    * a 4096-row table whatever the corpus size, built by ONE aggregation
+    * over the token stream (explode ×depth is a narrow map; the shuffle
+    * carries ≤ depth·width rows after map-side combine). Estimates for a
+    * fixed probe set (the 30 smallest distinct tokens — TakeOrdered,
+    * bounded by construction) take the MIN over depth rows; the output
+    * carries the exact count alongside, so the row itself exhibits the
+    * CMS guarantee est ≥ exact (`overcount` ≥ 0, law pinned in
+    * `SketchesSpec`-style spec below).
+    *
+    * Like the KMV rows (and unlike HLL's q42), the sketch is
+    * hash-gate-EXACT across engines: bucket = md5-prefix of
+    * "seed:token" mod width — both engines compute identical md5 bytes,
+    * so DuckDB replays the whole counter table bit-for-bit. This is the
+    * mergeable frequency summary (counters add across shards) that
+    * answers point frequency queries when the term dictionary itself is
+    * too large to shuffle — the read-side complement of the
+    * [[heavyHitters]] two-pass writer. */
+  def cmsFreqEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def toks = Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("t"))
+    def bucket(seed: Column, t: Column): Column =
+      conv(substring(md5(concat(seed.cast("string"), lit(":"), t)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val sketch = toks
+      .select($"t", explode(sequence(lit(0), lit(CmsDepth - 1))).as("seed"))
+      .select($"seed", bucket($"seed", $"t").as("bucket"))
+      .groupBy($"seed", $"bucket").agg(count(lit(1)).as("c"))
+    val probes = toks.distinct().orderBy($"t").limit(30)
+    val exact = toks.join(broadcast(probes), "t")
+      .groupBy($"t").agg(count(lit(1)).as("exact_n"))
+    val est = probes
+      .select($"t", explode(sequence(lit(0), lit(CmsDepth - 1))).as("seed"))
+      .select($"t", $"seed", bucket($"seed", $"t").as("bucket"))
+      .join(sketch, Seq("seed", "bucket"))
+      .groupBy($"t").agg(min($"c").as("cms_est"))
+    exact.join(est, "t")
+      .select($"t".as("term"), $"exact_n", $"cms_est",
+        ($"cms_est" - $"exact_n").as("overcount"))
+      .orderBy($"term")
+  }
+  /** DuckDB replica — the identical md5 counter table, replayed. */
+  val cmsFreqEstimateSql: String =
+    raw"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+         |  FROM documents
+         |), seeds AS (SELECT unnest(range($CmsDepth)) AS seed),
+         |sketch AS (
+         |  SELECT seed,
+         |    CAST(concat('0x', substring(md5(seed || ':' || t), 1, 8)) AS BIGINT) % $CmsWidth AS bucket,
+         |    COUNT(*) AS c
+         |  FROM toks, seeds GROUP BY 1, 2
+         |), probes AS (SELECT DISTINCT t FROM toks ORDER BY t LIMIT 30),
+         |exact AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks
+         |  WHERE t IN (SELECT t FROM probes) GROUP BY t
+         |), est AS (
+         |  SELECT p.t, CAST(MIN(s.c) AS BIGINT) AS cms_est
+         |  FROM probes p CROSS JOIN seeds sd
+         |  JOIN sketch s ON s.seed = sd.seed
+         |   AND s.bucket = CAST(concat('0x', substring(md5(sd.seed || ':' || p.t), 1, 8)) AS BIGINT) % $CmsWidth
+         |  GROUP BY p.t)
+         |SELECT e.t AS term, e.exact_n, s.cms_est,
+         |  s.cms_est - e.exact_n AS overcount
+         |FROM exact e JOIN est s ON e.t = s.t
+         |ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_freq_estimate" -> cmsFreqEstimate _,
     "heavy_hitters" -> heavyHitters _,
     "source_kmv_distinct" -> sourceKmvDistinct _,
     "source_overlap_kmv" -> sourceOverlapKmv _,
   )
   val oracles: Map[String, String] = Map(
+    "cms_freq_estimate" -> cmsFreqEstimateSql,
     "heavy_hitters" -> heavyHittersSql,
     "source_kmv_distinct" -> sourceKmvDistinctSql,
     "source_overlap_kmv" -> sourceOverlapKmvSql,

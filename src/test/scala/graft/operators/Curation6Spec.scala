@@ -300,6 +300,16 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, "t", 3L, 6000L, 1L)), s"got: ${got.mkString(", ")}")
   }
 
+  test("cms_freq_estimate: the count-min guarantee holds on every probe (est >= exact)") {
+    val rows = Sketches.cmsFreqEstimate(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 30, s"expected 30 probes, got ${rows.length}")
+    rows.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"CMS guarantee violated for '$t': est=$est < exact=$exact")
+      assert(over == est - exact, s"overcount column inconsistent for '$t'")
+    }
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
