@@ -512,7 +512,101 @@ object Relational3 {
        |    CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS BIGINT)
        |) ORDER BY table_name""".stripMargin
 
+  /** Time-weighted average (twa_value): per user, the average of
+    * `value` weighted by how long each reading was current (value holds
+    * until the next event) — the IoT/finance aggregate where plain AVG
+    * lies whenever sampling is irregular. The last reading has no
+    * holding interval and single-event users have no coverage (dropped).
+    *
+    * Scale + parity: ONE user_id shuffle; `lead` supplies the interval
+    * end, weights are exact micros, values exact millis, and the
+    * value·duration products sum in DECIMAL(38,0) (a per-product bound
+    * of ~1.3e18 would overflow a long SUM immediately at scale). The
+    * final division is one double DAG + floor, identical both engines. */
+  def twaValue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    ev.select($"user_id", $"event_id", Tables.tsUs(ev).as("ts_us"),
+        floor($"value" * lit(1000.0)).cast("long").as("vmil"))
+      .withColumn("dt", lead($"ts_us", 1).over(w) - $"ts_us")
+      .filter($"dt".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dt").as("covered_us"),
+        sum(($"vmil" * $"dt").cast(DecimalType(38, 0))).as("vdt"))
+      .select($"user_id", $"n_intervals", $"covered_us",
+        floor(expr("CAST(vdt AS DOUBLE) / CAST(covered_us AS DOUBLE)"))
+          .cast("long").as("twa_milli"))
+      .orderBy($"user_id")
+  }
+  val twaValueSql: String =
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS vmil,
+      |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      - epoch_us(ts) AS dt
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dt) AS BIGINT) AS covered_us,
+      |  CAST(FLOOR(CAST(SUM(vmil * dt) AS DOUBLE) / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)) AS BIGINT) AS twa_milli
+      |FROM iv WHERE dt IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Calendar densification + forward fill (gap_fill_ffill): each
+    * user's daily last `value`, with missing days filled from the most
+    * recent earlier reading — the report-table shape behind every
+    * "as-of each day" dashboard join.
+    *
+    * Scale shape: daily compaction FIRST (`max(struct)` per (user, day)
+    * — map-side partials, the q60 reduction), THEN the dense calendar
+    * explodes from each user's own [min, max] span (bounded by the
+    * calendar horizon, not the event count) as a narrow map, and ONE
+    * user-partitioned window forward-fills. Values exact millis. */
+  def gapFillFfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val daily = ev.select($"user_id", Tables.tsUs(ev).as("ts_us"), $"event_id",
+        floor($"value" * lit(1000.0)).cast("long").as("vmil"))
+      .selectExpr("user_id", s"ts_us div $DayUs as day", "ts_us", "event_id", "vmil")
+      .groupBy($"user_id", $"day")
+      .agg(max(struct($"ts_us", $"event_id", $"vmil")).as("last"))
+      .select($"user_id", $"day", $"last.vmil".as("vmil"))
+    val dense = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", $"vmil".isNull)
+      .withColumn("value_milli", last($"vmil", ignoreNulls = true).over(w))
+      .select($"user_id", $"day", $"value_milli",
+        when($"filled", 1L).otherwise(0L).as("is_filled"))
+      .orderBy($"user_id", $"day")
+  }
+  val gapFillFfillSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, day, vmil FROM (
+       |    SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |      CAST(FLOOR(value * 1000.0) AS BIGINT) AS vmil,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // $DayUs
+       |                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+       |    FROM events) WHERE rk = 1
+       |), dense AS (
+       |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+       |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id)
+       |)
+       |SELECT d.user_id, d.day,
+       |  LAST_VALUE(x.vmil IGNORE NULLS) OVER (
+       |    PARTITION BY d.user_id ORDER BY d.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_milli,
+       |  CAST(CASE WHEN x.vmil IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+       |FROM dense d LEFT JOIN daily x ON d.user_id = x.user_id AND d.day = x.day
+       |ORDER BY d.user_id, d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "twa_value" -> twaValue _,
+    "gap_fill_ffill" -> gapFillFfill _,
     "attribution_linear" -> attributionLinear _,
     "forget_users" -> forgetUsers _,
     "q65_skyline" -> q65Skyline _,
@@ -524,6 +618,8 @@ object Relational3 {
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "twa_value" -> twaValueSql,
+    "gap_fill_ffill" -> gapFillFfillSql,
     "attribution_linear" -> attributionLinearSql,
     "forget_users" -> forgetUsersSql,
     "q65_skyline" -> q65SkylineSql,

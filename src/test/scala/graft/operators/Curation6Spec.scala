@@ -310,6 +310,42 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("twa_value: irregular sampling weighted by holding time, last reading carries no weight") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6twa").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 3, 0, 0, 0)
+    Seq(
+      (1L, t0, 1L, 1.0),                 // holds 10 s
+      (2L, t0.plusSeconds(10), 1L, 3.0), // holds 30 s
+      (3L, t0.plusSeconds(40), 1L, 9.0), // last: no interval
+      (4L, t0, 2L, 5.0))                 // single event: dropped
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.twaValue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (1000*10e6 + 3000*30e6) / 40e6 = 2500 milli (plain AVG would say 4333)
+    assert(got.toSeq == Seq((1L, 2L, 40000000L, 2500L)), s"got: ${got.mkString(", ")}")
+  }
+
+  test("gap_fill_ffill: missing days inherit the latest earlier reading; daily last wins") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6gap").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 3, 8, 0, 0)
+    Seq(
+      (1L, t0, 1L, 1.0),                // day 0, superseded same day
+      (2L, t0.plusHours(2), 1L, 2.0),   // day 0 last -> 2000
+      (3L, t0.plusDays(2), 1L, 4.0))    // day 2; day 1 is a gap
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.gapFillFfill(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d0 = got.head._1
+    assert(got.toSeq == Seq((d0, 2000L, 0L), (d0 + 1, 2000L, 1L), (d0 + 2, 4000L, 0L)),
+      s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
