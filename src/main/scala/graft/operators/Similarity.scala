@@ -603,7 +603,64 @@ object Similarity {
        |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  // ------------------------------------------------------- ANN nDCG
+  /** Rank discount 1/log2(i+1) for approx rank i — computed once in
+    * Scala and INLINED as full-precision literals into both plans, so
+    * neither engine's log implementation enters the parity surface. */
+  private val NdcgDisc: Array[Double] = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).toArray
+  /** Graded gain for a neighbor found at exact rank r: 2^(5−r). */
+  private val NdcgGain: Array[Long] = (1 to 5).map(r => 1L << (5 - r)).toArray
+  /** Ideal DCG in micros (all five exact neighbors in order) — same
+    * floor-per-term quantization as the per-query DCG. */
+  private val NdcgIdealMicro: Long =
+    NdcgGain.zip(NdcgDisc).map { case (g, dc) => math.floor(g * dc * 1000000.0).toLong }.sum
+
+  /** Rank-aware ANN quality (`ann_ndcg`): nDCG@5 of the IVF index
+    * against brute-force ground truth — the set-level [[annRecall]]
+    * can't see that an index returning the right neighbors in the wrong
+    * ORDER is worse than one that ranks them correctly; this row can.
+    * Gains are integer powers of two by exact rank, discounts are
+    * inlined literals, every per-position term floor-quantizes to
+    * micros before the sum — the [[Clustering.embTopPc]] exactness
+    * discipline applied to an IR metric. Same bounded frames as
+    * ann_recall (two NProbes×5 result sets). */
+  def annNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = annTopKBrute(s, d).select($"query_id", $"neighbor_id", $"rank".as("ex_rank"))
+    val approx = annTopKIvf(s, d).select($"query_id", $"neighbor_id", $"rank".as("ap_rank"))
+    val gain = expr(s"CASE ex_rank ${NdcgGain.zipWithIndex.map { case (g, i) => s"WHEN ${i + 1} THEN ${g}L" }.mkString(" ")} ELSE 0L END")
+    val disc = expr(s"CASE ap_rank ${NdcgDisc.zipWithIndex.map { case (dc, i) => s"WHEN ${i + 1} THEN CAST($dc AS DOUBLE)" }.mkString(" ")} END")
+    approx.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select($"query_id",
+        floor(coalesce(gain, lit(0L)).cast("double") * disc * lit(1000000.0)).cast("long").as("term"))
+      .groupBy($"query_id")
+      .agg(sum($"term").as("dcg_micro"))
+      .select($"query_id", $"dcg_micro",
+        lit(NdcgIdealMicro).as("idcg_micro"),
+        expr(s"dcg_micro * 1000000 div $NdcgIdealMicro").as("ndcg_ppm"))
+      .orderBy($"query_id")
+  }
+  /** DuckDB replica: the two oracle pipelines composed, identical CASE
+    * literals and floor-per-term micros. */
+  val annNdcgSql: String = {
+    val gainCase = NdcgGain.zipWithIndex.map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+    val discCase = NdcgDisc.zipWithIndex.map { case (dc, i) => s"WHEN ${i + 1} THEN CAST($dc AS DOUBLE)" }.mkString(" ")
+    s"""WITH exact AS (SELECT query_id, neighbor_id, rank AS ex_rank FROM ($annTopKBruteSql)),
+       |approx AS (SELECT query_id, neighbor_id, rank AS ap_rank FROM ($annTopKIvfSql)),
+       |terms AS (
+       |  SELECT a.query_id,
+       |    CAST(FLOOR(CAST(COALESCE(CASE e.ex_rank $gainCase ELSE 0 END, 0) AS DOUBLE)
+       |      * (CASE a.ap_rank $discCase END) * 1000000.0) AS BIGINT) AS term
+       |  FROM approx a LEFT JOIN exact e
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |SELECT query_id, CAST(SUM(term) AS BIGINT) AS dcg_micro,
+       |  CAST($NdcgIdealMicro AS BIGINT) AS idcg_micro,
+       |  (CAST(SUM(term) AS BIGINT) * 1000000) // $NdcgIdealMicro AS ndcg_ppm
+       |FROM terms GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ndcg" -> annNdcg _,
     "ann_recall" -> annRecall _,
     "decontaminate_emb" -> decontaminateEmb _,
     "ann_topk_brute" -> annTopKBrute _,
@@ -617,6 +674,7 @@ object Similarity {
     "ann_ivf_append" -> annIvfAppend _,
   )
   val oracles: Map[String, String] = Map(
+    "ann_ndcg" -> annNdcgSql,
     "ann_recall" -> annRecallSql,
     "decontaminate_emb" -> decontaminateEmbSql,
     "ann_topk_brute" -> annTopKBruteSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -604,7 +604,59 @@ object Relational3 {
        |FROM dense d LEFT JOIN daily x ON d.user_id = x.user_id AND d.day = x.day
        |ORDER BY d.user_id, d.day""".stripMargin
 
+  /** Period-over-period movers (q66): yearly revenue per nation with
+    * the prior-year delta and a per-year movement rank — the BI
+    * "biggest movers" report.
+    *
+    * Scale shape: orders⋈customer shuffle on the key (customer is a
+    * FACT at scale — never broadcast), nation broadcast (true dim);
+    * revenue sums in DECIMAL(12,2)-widened exactness (the Relational
+    * float-safety rule), the year-over-year delta is a lag window over
+    * (nation, year) — partitions of ≤ #years rows — and the movement
+    * rank partitions by year over ≤ #nations rows. One double cast at
+    * the very end. */
+  def q66PeriodMovers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = (c: Column) => c.cast(DecimalType(12, 2))
+    val o = Tables.orders(s, d)
+    val rev = o.join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").as("yr"))
+      .agg(sum(dec($"o_totalprice")).as("rev"))
+    val wLag = Window.partitionBy($"n_name").orderBy($"yr")
+    val wRank = Window.partitionBy($"yr").orderBy($"delta".desc, $"n_name")
+    // delta vs the previous OBSERVED year (LAG semantics, mirrored in
+    // the oracle) — a nation absent for a year compares to its last
+    // active one
+    rev.withColumn("prev", lag($"rev", 1).over(wLag))
+      .filter($"prev".isNotNull)
+      .withColumn("delta", $"rev" - $"prev")
+      .withColumn("mover_rank", row_number().over(wRank))
+      .select($"yr", $"n_name", $"rev".cast("double").as("revenue"),
+        $"delta".cast("double").as("delta"), $"mover_rank")
+      .orderBy($"yr", $"mover_rank")
+  }
+  val q66PeriodMoversSql: String =
+    """WITH rev AS (
+      |  SELECT n.n_name, YEAR(o.o_orderdate) AS yr,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name, YEAR(o.o_orderdate)
+      |), lagged AS (
+      |  SELECT n_name, yr, rev,
+      |    LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+      |  FROM rev)
+      |SELECT yr, n_name,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - prev AS DOUBLE) AS delta,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev - prev DESC, n_name) AS BIGINT) AS mover_rank
+      |FROM lagged WHERE prev IS NOT NULL
+      |ORDER BY yr, mover_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_period_movers" -> q66PeriodMovers _,
     "twa_value" -> twaValue _,
     "gap_fill_ffill" -> gapFillFfill _,
     "attribution_linear" -> attributionLinear _,
@@ -618,6 +670,7 @@ object Relational3 {
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,
     "attribution_linear" -> attributionLinearSql,

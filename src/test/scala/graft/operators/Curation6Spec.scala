@@ -346,6 +346,45 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${got.mkString(", ")}")
   }
 
+  test("ann_ndcg matches an independent Scala recomputation and is bounded by the ideal") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.annTopKBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap // (q, nb) -> ex_rank
+    val approx = Similarity.annTopKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) // (q, ap_rank, nb)
+    val disc = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val wantDcg = approx.groupBy(_._1).view.mapValues(_.map { case (q, ap, nb) =>
+      val g = exact.get((q, nb)).map(r => (1L << (5 - r)).toDouble).getOrElse(0.0)
+      math.floor(g * disc(ap - 1) * 1000000.0).toLong
+    }.sum).toMap
+    val got = Similarity.annNdcg(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length == Similarity.NProbes)
+    got.foreach { case (q, (dcg, idcg, ppm)) =>
+      assert(dcg == wantDcg(q), s"q=$q dcg=$dcg want=${wantDcg(q)}")
+      assert(ppm <= 1000000L && ppm == dcg * 1000000L / idcg, s"q=$q ppm")
+    }
+  }
+
+  test("q66_period_movers: deltas vs previous observed year, per-year movement ranks") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6mov").toString
+    def d(y: Int) = java.time.LocalDateTime.of(y, 6, 1, 0, 0, 0)
+    Seq((1L, 10L, 100.0, d(2000)), (2L, 10L, 300.0, d(2001)),  // FR: +200
+      (3L, 20L, 500.0, d(2000)), (4L, 20L, 550.0, d(2001)))    // DE: +50
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "c1", 1), (20L, "c2", 2)).toDF("c_custkey", "c_name", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1, "FR", 0), (2, "DE", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = graft.queries.Relational3.q66PeriodMovers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(3), r.getInt(4).toLong))
+    assert(got.toSeq == Seq((2001, "FR", 200.0, 1L), (2001, "DE", 50.0, 2L)),
+      s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
