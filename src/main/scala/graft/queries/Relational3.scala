@@ -655,7 +655,41 @@ object Relational3 {
       |FROM lagged WHERE prev IS NOT NULL
       |ORDER BY yr, mover_rank""".stripMargin
 
+  /** Cumulative unique users (q67): per active day, first-time users
+    * and the running total of distinct users ever seen — the growth
+    * curve on every product dashboard.
+    *
+    * Why this shape scales: a naive cumulative COUNT(DISTINCT) re-scans
+    * history per day. Here each user reduces to their FIRST day (one
+    * map-side-combinable aggregation over the compacted (user, day)
+    * pairs), daily new-user counts are a ≤calendar-days frame, and the
+    * running sum is a window over that domain-bounded frame — the only
+    * unpartitioned window in the inventory small enough to be free by
+    * construction. */
+  def q67CumulativeUnique(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val firstDay = ev.select($"user_id", Tables.tsUs(ev).as("ts_us"))
+      .selectExpr("user_id", s"ts_us div $DayUs as day")
+      .groupBy($"user_id").agg(min($"day").as("day"))
+    val daily = firstDay.groupBy($"day").agg(count(lit(1)).as("n_new"))
+    // calendar-bounded frame: the window input is <= #days rows
+    val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum($"n_new").over(w))
+      .select($"day", $"n_new", $"cum_users")
+      .orderBy($"day")
+  }
+  val q67CumulativeUniqueSql: String =
+    s"""WITH fd AS (
+       |  SELECT user_id, MIN(epoch_us(ts) // $DayUs) AS day FROM events GROUP BY user_id
+       |), daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fd GROUP BY day)
+       |SELECT day, n_new,
+       |  CAST(SUM(n_new) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM daily ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_cumulative_unique" -> q67CumulativeUnique _,
     "q66_period_movers" -> q66PeriodMovers _,
     "twa_value" -> twaValue _,
     "gap_fill_ffill" -> gapFillFfill _,
@@ -670,6 +704,7 @@ object Relational3 {
     "q61_asof_nearest" -> q61AsofNearest _,
   )
   val oracles: Map[String, String] = Map(
+    "q67_cumulative_unique" -> q67CumulativeUniqueSql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,

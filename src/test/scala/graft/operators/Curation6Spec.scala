@@ -385,6 +385,23 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${got.mkString(", ")}")
   }
 
+  test("q67_cumulative_unique: users count once, on their first day") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6q67").toString
+    val t0 = java.time.LocalDateTime.of(2026, 5, 4, 0, 0, 0)
+    Seq(
+      (1L, t0, 1L), (2L, t0, 2L),          // day 0: u1, u2 first seen
+      (3L, t0.plusDays(1), 1L),            // day 1: u1 returns (NOT new)
+      (4L, t0.plusDays(3), 3L))            // day 3: u3 first seen
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.q67CumulativeUnique(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = got.head._1
+    assert(got.toSeq == Seq((d0, 2L, 2L), (d0 + 3, 1L, 3L)), s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
