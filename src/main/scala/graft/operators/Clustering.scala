@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps
 import graft.queries.Tables
@@ -466,36 +467,48 @@ object Clustering {
     * 64e6, c ≤ 64e6, w ≤ n·64e6 — exact doubles up to n ≈ 1.4e8 rows;
     * beyond that the units drop to millis (same discipline, documented
     * here rather than hidden). */
+  /** The converged `(component, v_micro, l1_w)` table, trained once per
+    * (data, iters) into the Models store — the direction is an INDEX
+    * artifact like the IVF centroids: every consumer ([[embTopPc]],
+    * `emb_pca_project`) reloads it without re-running the six scans. */
+  private[graft] def topPcTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Models.root(s"top-pc|$d|iters=$PcIters" +
+        s"|in=${Models.inputFingerprint(s"$d/embeddings.parquet")}") { out =>
+      val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
+      val dim = 64
+      var vm = Array.fill(dim)(1000000L)
+      var l1 = 0L
+      for (_ <- 1 to PcIters) {
+        val v = vm.map(_.toDouble / 1000000.0)
+        val vLit = typedlit(v)
+        // Σ_k floor(x_k · v_k · 1e6): per-element micro quantization, then
+        // an exact long fold — order-free by construction
+        val sm = aggregate(
+          zip_with($"embedding", vLit, (x, y) =>
+            floor(x.cast("double") * y * lit(1000000.0)).cast("long")),
+          lit(0L), (a, c) => a + c)
+        val w = emb
+          .select($"embedding", sm.as("sm"))
+          .select(posexplode($"embedding").as(Seq("j", "x")), $"sm")
+          .select($"j",
+            floor($"x".cast("double") * $"sm".cast("double")).cast("long").as("c"))
+          .groupBy($"j").agg(sum($"c").as("w"))
+          .orderBy($"j").collect()
+        val wv = (0 until dim).map { j => w.find(_.getInt(0) == j).map(_.getLong(1)).getOrElse(0L) }
+        l1 = wv.map(math.abs).sum
+        vm = wv.map(wj => math.floor(wj.toDouble / l1.toDouble * 1000000.0).toLong).toArray
+      }
+      val rows = vm.zipWithIndex.map { case (m, j) => (j.toLong, m, l1) }
+      s.createDataset(rows.toSeq).toDF("component", "v_micro", "l1_w")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   def embTopPc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
-    val dim = 64
-    var vm = Array.fill(dim)(1000000L)
-    var l1 = 0L
-    for (_ <- 1 to PcIters) {
-      val v = vm.map(_.toDouble / 1000000.0)
-      val vLit = typedlit(v)
-      // Σ_k floor(x_k · v_k · 1e6): per-element micro quantization, then
-      // an exact long fold — order-free by construction
-      val sm = aggregate(
-        zip_with($"embedding", vLit, (x, y) =>
-          floor(x.cast("double") * y * lit(1000000.0)).cast("long")),
-        lit(0L), (a, c) => a + c)
-      val w = emb
-        .select($"embedding", sm.as("sm"))
-        .select(posexplode($"embedding").as(Seq("j", "x")), $"sm")
-        .select($"j",
-          floor($"x".cast("double") * $"sm".cast("double")).cast("long").as("c"))
-        .groupBy($"j").agg(sum($"c").as("w"))
-        .orderBy($"j").collect()
-      val wv = (0 until dim).map { j => w.find(_.getInt(0) == j).map(_.getLong(1)).getOrElse(0L) }
-      l1 = wv.map(math.abs).sum
-      vm = wv.map(wj => math.floor(wj.toDouble / l1.toDouble * 1000000.0).toLong).toArray
-    }
-    val out = vm.zipWithIndex.map { case (m, j) => (j.toLong, m, l1) }
-    s.createDataset(out.toSeq)
-      .toDF("component", "v_micro", "l1_w")
-      .orderBy($"component")
+    topPcTable(s, d).orderBy($"component")
   }
   /** DuckDB replica of [[embTopPc]]: the same [[PcIters]] rounds
     * unrolled as CTE stages — identical per-op IEEE arithmetic, identical
@@ -503,24 +516,24 @@ object Clustering {
   val embTopPcSql: String = {
     val dim = 64
     val head =
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id, CAST(t.j AS INT) AS j,
          |    CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
          |  FROM embeddings, range($dim) t(j)
-         |), v0 AS (SELECT CAST(t.j AS INT) AS j, CAST(1000000 AS BIGINT) AS vm
+         |), v0 AS MATERIALIZED (SELECT CAST(t.j AS INT) AS j, CAST(1000000 AS BIGINT) AS vm
          |          FROM range($dim) t(j))"""
     val iters = (1 to PcIters).map { t =>
       s""",
-         |s$t AS (
+         |s$t AS MATERIALIZED (
          |  SELECT vec_id,
          |    SUM(CAST(FLOOR(e.x * (CAST(v.vm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)) AS sm
          |  FROM e JOIN v${t - 1} v USING (j) GROUP BY vec_id),
-         |w$t AS (
+         |w$t AS MATERIALIZED (
          |  SELECT e.j, SUM(CAST(FLOOR(e.x * CAST(s.sm AS DOUBLE)) AS BIGINT)) AS w
          |  FROM e JOIN s$t s USING (vec_id) GROUP BY e.j),
-         |v$t AS (
+         |v$t AS MATERIALIZED (
          |  SELECT j, CAST(FLOOR((CAST(w AS DOUBLE)
-         |    / CAST((SELECT SUM(ABS(w)) FROM w$t) AS DOUBLE)) * 1000000.0) AS BIGINT) AS vm
+         |    / CAST(SUM(ABS(w)) OVER () AS DOUBLE)) * 1000000.0) AS BIGINT) AS vm
          |  FROM w$t)"""
     }.mkString
     val tail =
@@ -531,7 +544,81 @@ object Clustering {
     (head + iters + tail).stripMargin
   }
 
+  /** Projection onto the standing top principal direction
+    * (`emb_pca_project`): per-probe 1-D coordinates plus the global
+    * variance-explained ratio — the "is one axis eating the variance"
+    * readout, and the proof that [[topPcTable]] is a reusable index
+    * artifact (this operator runs ZERO power-iteration scans; it
+    * reloads the trained direction from the Models store).
+    *
+    * One scan computes both per-row micro projections t = ⌊x·v·10⁶⌋
+    * (element-quantized fold, order-free) and micro norms; t² sums in
+    * DECIMAL(38,0); the variance-explained ppm is one floor'd double
+    * DAG over three exact integers (Cauchy-Schwarz bounds it ≤ 1e6,
+    * law-pinned). The probe rows are the canonical 64 smallest
+    * vec_ids; the one-row totals frame crossJoins in (bounded,
+    * whitelisted). */
+  def embPcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vm = topPcTable(s, d).orderBy($"component").collect().map(_.getLong(1))
+    val v = vm.map(_.toDouble / 1000000.0)
+    val v2 = vm.map { m =>
+      val x = m.toDouble / 1000000.0
+      math.floor(x * x * 1000000.0).toLong
+    }.sum
+    val vLit = typedlit(v)
+    val emb = Par.spread(Tables.embeddings(s, d).select($"vec_id", $"embedding"), $"vec_id")
+    val t = aggregate(
+      zip_with($"embedding", vLit, (x, y) =>
+        floor(x.cast("double") * y * lit(1000000.0)).cast("long")),
+      lit(0L), (a, c) => a + c)
+    val n2 = aggregate(
+      transform($"embedding", x =>
+        floor(x.cast("double") * x.cast("double") * lit(1000000.0)).cast("long")),
+      lit(0L), (a, c) => a + c)
+    val scored = emb.select($"vec_id", t.as("t"), n2.as("n2"))
+    val totals = scored.agg(
+      sum(($"t" * $"t").cast(DecimalType(38, 0))).as("tt"),
+      sum($"n2").as("nn"))
+      .select(floor(expr(
+        s"(CAST(tt AS DOUBLE) * 1000000.0) / (CAST($v2 AS DOUBLE) * CAST(nn AS DOUBLE))"))
+        .cast("long").as("ve_ppm"))
+    scored.orderBy($"vec_id").limit(64)
+      .crossJoin(broadcast(totals))
+      .select($"vec_id", $"t".as("proj_micro"), $"ve_ppm")
+      .orderBy($"vec_id")
+  }
+  /** DuckDB replica: the trained direction replayed via [[embTopPcSql]],
+    * then the identical projection arithmetic. */
+  val embPcaProjectSql: String =
+    // MATERIALIZED: pc nests the whole unrolled power iteration and is
+    // referenced twice; without the hint DuckDB's CTE inlining re-expands
+    // the iteration tree per reference and planning blows up
+    s"""WITH pc AS MATERIALIZED (SELECT component AS j, v_micro AS vm FROM ($embTopPcSql)),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.j AS INT) AS j,
+       |    CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(j)
+       |), tn AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    SUM(CAST(FLOOR(e.x * (CAST(p.vm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)) AS t,
+       |    SUM(CAST(FLOOR(e.x * e.x * 1000000.0) AS BIGINT)) AS n2
+       |  FROM e JOIN pc p USING (j) GROUP BY e.vec_id
+       |), vv AS (
+       |  SELECT SUM(CAST(FLOOR((CAST(vm AS DOUBLE) / 1000000.0)
+       |    * (CAST(vm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)) AS v2 FROM pc
+       |), ve AS (
+       |  SELECT CAST(FLOOR((CAST(SUM(t * t) AS DOUBLE) * 1000000.0)
+       |    / (CAST((SELECT v2 FROM vv) AS DOUBLE) * CAST(CAST(SUM(n2) AS BIGINT) AS DOUBLE))) AS BIGINT) AS ve_ppm
+       |  FROM tn)
+       |SELECT vec_id, CAST(t AS BIGINT) AS proj_micro,
+       |  (SELECT ve_ppm FROM ve) AS ve_ppm
+       |FROM tn
+       |WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 64)
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_project" -> embPcaProject _,
     "emb_top_pc" -> embTopPc _,
     "source_centroids" -> sourceCentroids _,
     "emb_kmeans" -> embKmeans _,
@@ -542,6 +629,7 @@ object Clustering {
     * makes every step a single identical IEEE operation on both engines,
     * so even iterative clustering is hash-gated. */
   val oracles: Map[String, String] = Map(
+    "emb_pca_project" -> embPcaProjectSql,
     "emb_top_pc" -> embTopPcSql,
     "source_centroids" -> sourceCentroidsSql,
     "emb_kmeans" -> embKmeansSql,

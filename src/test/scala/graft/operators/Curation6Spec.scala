@@ -402,6 +402,22 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((d0, 2L, 2L), (d0 + 3, 1L, 3L)), s"got: ${got.mkString(", ")}")
   }
 
+  test("emb_pca_project: rank-1 data projects exactly, variance explained = 1e6 ppm") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6proj").toString
+    val u = Array(0.5f, -0.25f, 0.25f) ++ Array.fill(61)(0.0f)
+    Seq((1L, u.map(x => x * 1f)), (2L, u.map(x => x * 2f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Clustering.embPcaProject(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hand-traced off the recovered vm (500000,-250000,250000,0...):
+    // t(c) = 375000·c, and tt·1e6/(v2·nn) collapses to exactly 1e6
+    assert(rows.toSeq == Seq((1L, 375000L, 1000000L), (2L, 750000L, 1000000L)),
+      s"got: ${rows.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()
