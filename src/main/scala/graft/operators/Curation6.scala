@@ -314,7 +314,49 @@ object Curation6 {
        |FROM dl LEFT JOIN b USING (user_id, event_type)
        |ORDER BY dl.user_id, dl.event_type""".stripMargin
 
+  // --------------------------------------------- per-source quality
+  /** Per-source quality matrix (`source_quality_matrix`): the cascade
+    * verdict ([[Curation.cascadeRule]], the SAME codegen'd Column the
+    * attrition report and the streaming cascade share) crossed with the
+    * source dimension — which feeds are supplying the rejects. One
+    * narrow projection + one aggregation; the shuffle carries
+    * ≤ sources × 5 rows after map-side combine. */
+  def sourceQualityMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    // projection BEFORE the verdict: the scan prunes to the four columns
+    // the matrix needs (law-swept — a full-width read here is a bug)
+    Tables.documents(s, d).select($"text", $"lang", $"source", $"n_chars")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("rule", Curation.cascadeRule($"toks"))
+      .groupBy($"source", $"rule")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"source", $"rule")
+  }
+  val sourceQualityMatrixSql: String = {
+    val stops = graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    raw"""WITH scored AS (
+         |  SELECT doc_id, lang, source, n_chars, LENGTH(text) AS len, len(toks) AS nt,
+         |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) / len(toks) AS sr,
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / LENGTH(text) AS pr
+         |  FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |), verdict AS (
+         |  SELECT source,
+         |    CASE WHEN nt < ${Curation.CascadeMinTokens} THEN 'too_short'
+         |         WHEN len > ${Curation.CascadeMaxChars} THEN 'too_long'
+         |         WHEN pr > ${Curation.CascadePunctMax} THEN 'high_punct'
+         |         WHEN lang = 'en' AND sr < ${Curation.CascadeStopMin} THEN 'low_stopword'
+         |         ELSE 'pass' END AS rule,
+         |    n_chars
+         |  FROM scored)
+         |SELECT source, rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM verdict GROUP BY source, rule ORDER BY source, rule""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_quality_matrix" -> sourceQualityMatrix _,
     "skew_report" -> skewReport _,
     "agg_delta_merge" -> aggDeltaMerge _,
     "pipeline_e2e" -> pipelineE2e _,
@@ -322,6 +364,7 @@ object Curation6 {
     "fuzzy_join_wildcard" -> fuzzyJoinWildcard _,
   )
   val oracles: Map[String, String] = Map(
+    "source_quality_matrix" -> sourceQualityMatrixSql,
     "skew_report" -> skewReportSql,
     "agg_delta_merge" -> aggDeltaMergeSql,
     "pipeline_e2e" -> pipelineE2eSql,

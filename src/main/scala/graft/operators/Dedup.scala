@@ -431,7 +431,50 @@ object Dedup {
        |  (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS keep
        |FROM alldocs ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- cluster observability
+  /** Near-dup cluster-size histogram (`dedup_cluster_stats`): per
+    * cluster size, how many clusters and documents — INCLUDING the
+    * singleton row (documents in no near-dup pair), which the raw
+    * component table cannot show and which dominates any healthy
+    * corpus. The dedup dashboard row: a fattening tail here is the
+    * early warning that a source started minting templated near-dups.
+    *
+    * Built ON TOP of the [[dedupClusters]] kernel (components are ≥2 by
+    * construction — every labeled vertex has an edge — so the singleton
+    * row never collides with a computed size). The histogram reduces
+    * O(docs) component rows to O(distinct sizes); the singleton count is
+    * a crossJoin of two one-row counts (bounded, whitelisted). */
+  def dedupClusterStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters(s, d)
+    val hist = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"))
+    val singletons = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
+      .select(lit(1L).as("cluster_size"),
+        ($"n_total" - $"n_clustered").as("n_clusters"),
+        ($"n_total" - $"n_clustered").as("n_docs"))
+    singletons.unionAll(hist).orderBy($"cluster_size")
+  }
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE $CcCteSql,
+       |per AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY cluster_id),
+       |hist AS (
+       |  SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+       |  FROM per GROUP BY sz)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab) AS BIGINT) AS n_clusters,
+       |    CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM lab) AS BIGINT) AS n_docs
+       |  UNION ALL SELECT cluster_size, n_clusters, n_docs FROM hist)
+       |ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> dedupClusterStats _,
     "dedup_exact" -> dedupExact _,
     "dedup_fingerprint" -> dedupFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -441,6 +484,7 @@ object Dedup {
     "dedup_keep_canonical" -> dedupKeepCanonical _,
   )
   val oracles: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

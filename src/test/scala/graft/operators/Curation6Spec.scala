@@ -418,6 +418,40 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${rows.mkString(", ")}")
   }
 
+  test("dedup_cluster_stats: singleton row + component histogram on a planted pair") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6ccs").toString
+    val dup = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 12).map(i => s"zzz$i").mkString(" ")
+    Seq((1L, dup, "s1"), (2L, dup, "s1"), (3L, other, "s2"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupClusterStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L)), s"got: ${got.mkString(", ")}")
+  }
+
+  test("source_quality_matrix: verdicts split per source with exact char sums") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c6sqm").toString
+    val pass = (1 to 25).map(i => s"w$i").mkString(" ")
+    Seq((1L, pass, "xx", "s1"), (2L, "a b", "xx", "s1"), (3L, pass, "xx", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation6.sourceQualityMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pl = pass.length.toLong
+    assert(got.toSeq == Seq(
+      ("s1", "pass", 1L, pl), ("s1", "too_short", 1L, 3L), ("s2", "pass", 1L, pl)),
+      s"got: ${got.mkString(", ")}")
+  }
+
   test("ann_recall equals the independently computed intersection of brute and IVF top-5") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annTopKBrute(spark, sf).collect()

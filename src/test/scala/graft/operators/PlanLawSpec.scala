@@ -58,6 +58,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "forget_users" -> "per-table report rows are crossJoins of two ONE-row count aggregates by construction",
     "skew_report" -> "broadcast side is the ONE-row total/max aggregate by construction",
     "emb_pca_project" -> "broadcast side is the ONE-row variance-explained aggregate by construction",
+    "dedup_cluster_stats" -> "singleton row crossJoins two ONE-row count aggregates by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
