@@ -276,12 +276,72 @@ object Streaming3 {
     inner.replace("FROM events", s"FROM events WHERE event_id < $CUTOFF")
   }
 
+  /** Online count-min sketch maintenance (stream_cms_monitor): the
+    * depth×width counter table of [[graft.operators.Sketches]]'s CMS
+    * maintained incrementally over streamed event types — counters are
+    * associative sums, so the complete-mode table after any number of
+    * micro-batches equals the batch sketch over the same slice
+    * (batch-invariant BY CONSTRUCTION, the stream_ab_monitor argument).
+    * At 100 TB this is the always-on frequency summary the read side
+    * (`cms_freq_estimate`) queries without touching the stream: state
+    * is EXACTLY depth×width counters whatever the throughput — the
+    * entire point of sketch-shaped streaming state. Bucketing reuses
+    * the md5-prefix spelling, so DuckDB replays the counter table
+    * bit-for-bit. */
+  def streamCmsMonitor(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"scms${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val depth = graft.operators.Sketches.CmsDepth
+    val width = graft.operators.Sketches.CmsWidth
+    val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .select($"event_type", explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select($"seed",
+        (conv(substring(md5(concat($"seed".cast("string"), lit(":"), $"event_type")), 1, 8), 16, 10)
+          .cast("long") % width).as("bucket"))
+      .groupBy($"seed", $"bucket").agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_cms_monitor", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"seed", $"bucket")
+  }
+  val streamCmsMonitorSql: String =
+    s"""SELECT seed, CAST(CAST(concat('0x', substring(md5(seed || ':' || event_type), 1, 8)) AS BIGINT)
+       |    % ${graft.operators.Sketches.CmsWidth} AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       |FROM events CROSS JOIN (SELECT unnest(range(${graft.operators.Sketches.CmsDepth})) AS seed) s
+       |WHERE event_id < $CUTOFF
+       |GROUP BY 1, 2 ORDER BY seed, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms_monitor" -> streamCmsMonitor _,
     "stream_tws_profile" -> streamTwsProfile _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_cms_monitor" -> streamCmsMonitorSql,
     "stream_tws_profile" -> streamTwsProfileSql,
     "stream_latest_by_key" -> streamLatestByKeySql,
     "stream_ab_monitor" -> streamAbMonitorSql,
