@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 val spark = SparkSession.builder().master("local[8]")
   .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
   .config("spark.sql.session.timeZone","UTC")
-  .config("spark.sql.legacy.parquet.nanosAsLong","true")
   .config("spark.sql.codegen.maxFields","256").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 val d = "/root/testdata/sf0.01"

@@ -40,7 +40,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the 128-column minhash signature aggregate must stay inside
       // whole-stage codegen (default field cap is 100)
       .config("spark.sql.codegen.maxFields", "256")

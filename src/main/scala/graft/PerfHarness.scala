@@ -226,11 +226,6 @@ object PerfHarness {
     val samples = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double)]()
     (1 to sessions).foreach { si =>
       val s = if (si == 1) spark else spark.newSession()
-      // a churned session starts from SparkConf defaults, not the parent
-      // session's conf — carry the one reader setting a LEGACY-generation
-      // fixture would need (pre-Aug-2026 events.parquet stored
-      // TIMESTAMP(NANOS); harmless on the current timestamp[us] files)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       for (n <- names; r <- 1 to rounds) {
         val t0 = System.nanoTime()
         val c = qs(n)(s, sfDir).count()
@@ -347,7 +342,6 @@ object PerfHarness {
       .appName("graft-perf-harness")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

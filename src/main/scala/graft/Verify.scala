@@ -18,7 +18,6 @@ object Verify {
       // legacy-generation compatibility only: current fixtures carry
       // timestamp[us] (unaffected); pre-Aug-2026 fixtures stored
       // TIMESTAMP(NANOS), which this conf reads as epoch-nanos longs
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

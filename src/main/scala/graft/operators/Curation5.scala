@@ -256,7 +256,14 @@ object Curation5 {
         (round(log($"cs".cast("double") / $"ts".cast("double")) * 1e6).cast("long") -
          round(log($"cc".cast("double") / lit(totC.toDouble)) * 1e6).cast("long")))
       .groupBy($"source")
-      .agg(max($"ts").as("n_tokens"), expr("sum(term) div max(ts)").as("kl_micro"))
+      // Clamp the micro-nat sum at 0 BEFORE dividing: KL >= 0
+      // mathematically, but per-term rounding can push the sum a few
+      // micro-nats negative when a source's distribution nearly equals
+      // the corpus — and on a negative numerator Spark's `div`
+      // (truncate toward zero) and DuckDB's `//` (floor) disagree
+      // (0 vs -1). A non-negative numerator makes them identical.
+      .agg(max($"ts").as("n_tokens"),
+        expr("greatest(sum(term), 0L) div max(ts)").as("kl_micro"))
       .select($"source", $"n_tokens", $"kl_micro")
       .orderBy($"source")
   }
@@ -277,7 +284,7 @@ object Curation5 {
          |          - CAST(round(ln(CAST(c.cc AS DOUBLE) / CAST((SELECT tc FROM tot) AS DOUBLE)) * 1000000.0) AS BIGINT)) AS term
          |  FROM sc s JOIN cc c ON s.w = c.w JOIN st ON s.source = st.source)
          |SELECT source, MAX(ts) AS n_tokens,
-         |  CAST(SUM(term) AS BIGINT) // MAX(ts) AS kl_micro
+         |  GREATEST(CAST(SUM(term) AS BIGINT), 0) // MAX(ts) AS kl_micro
          |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

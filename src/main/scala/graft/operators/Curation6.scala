@@ -83,11 +83,15 @@ object Curation6 {
     * share a (position, masked) variant, so an EQUI-join on the variant
     * key finds every pair — a plain distributed hash join on short
     * strings, O(n·L) rows shuffled instead of O(n²) compared. A pair
-    * differing at exactly one position matches at exactly one mask, so
+    * differing at exactly ONE position matches at exactly one mask, so
     * the join emits no duplicates and needs no distinct (law pinned in
-    * `Curation6Spec`). The levenshtein verify stage is belt-and-braces
-    * (it can only see 1 by construction) and is the one place the full
-    * names are compared — over candidate pairs, never the cross product.
+    * `Curation6Spec`) — but ONLY for Hamming distance exactly 1:
+    * identical keys (dist 0) would match at EVERY position and emit
+    * `length` rows per pair, so the verify stage filters `dist === 1`
+    * strictly (not `<= 1`). The levenshtein verify stage is therefore
+    * load-bearing for dist-0 exclusion, not just belt-and-braces, and
+    * is the one place the full names are compared — over candidate
+    * pairs, never the cross product.
     */
   def fuzzyJoinWildcard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -104,7 +108,7 @@ object Curation6 {
     a.join(b, Seq("pos", "masked"))
       .filter($"a_key" < $"b_key")
       .withColumn("dist", levenshtein($"a_name", $"b_name"))
-      .filter($"dist" <= 1)
+      .filter($"dist" === 1)
       .select($"a_key", $"b_key", $"a_name", $"b_name", $"dist".cast("long").as("dist"))
       .orderBy($"a_key", $"b_key")
   }
@@ -118,7 +122,7 @@ object Curation6 {
       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
       |FROM customer a JOIN customer b
       |  ON a.c_custkey < b.c_custkey
-      | AND levenshtein(a.c_name, b.c_name) <= 1
+      | AND levenshtein(a.c_name, b.c_name) = 1
       |ORDER BY a_key, b_key""".stripMargin
 
   // ------------------------------------------- end-to-end curation run

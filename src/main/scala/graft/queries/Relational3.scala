@@ -387,11 +387,16 @@ object Relational3 {
     import s.implicits._
     abAgg(Tables.events(s, d)).orderBy($"event_type")
   }
-  val abTestReportSql: String =
-    """WITH base AS (
+  /** Oracle for [[abAgg]] over the events slice satisfying `pred` —
+    * parameterized (rather than post-hoc string surgery on the batch
+    * SQL) so a caller restricting to a streamed slice gets a
+    * compile-time-visible predicate seam instead of a silent
+    * `.replace` that no-ops if this SQL is ever reworded. */
+  def abTestReportSqlWhere(pred: String): String =
+    s"""WITH base AS (
       |  SELECT event_type, user_id,
       |    CAST(FLOOR(value * 1000.0) AS BIGINT) AS vmil
-      |  FROM events
+      |  FROM events WHERE $pred
       |), agg AS (
       |  SELECT event_type,
       |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -411,6 +416,7 @@ object Relational3 {
       |      ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b) / (n_b - 1)) / n_b)
       |  ) * 1000.0) AS BIGINT) AS t_milli
       |FROM agg ORDER BY event_type""".stripMargin
+  val abTestReportSql: String = abTestReportSqlWhere("TRUE")
 
   /** Linear multi-touch attribution (attribution_linear): each purchase
     * splits its value equally across the same user's clicks in the
@@ -436,7 +442,13 @@ object Relational3 {
         sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
       .filter($"event_type" === "purchase" && $"n_touch" > 0)
       .select($"user_id", $"event_id".as("purchase_id"), $"ts_us", $"n_touch",
-        expr("CAST(FLOOR(value * 1000000.0) AS BIGINT) div n_touch").as("credit_micro_each"))
+        // Floor'd-double division (the abAgg pattern), NOT integer `div`:
+        // Spark `div` truncates toward zero while DuckDB `//` floors, and
+        // they disagree on negative numerators not exactly divisible by
+        // n_touch. FLOOR over one identically-ordered double DAG is
+        // engine-independent for any sign of `value` (refunds included).
+        expr("CAST(FLOOR(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT) AS DOUBLE)" +
+          " / CAST(n_touch AS DOUBLE)) AS BIGINT)").as("credit_micro_each"))
       .orderBy($"user_id", $"purchase_id")
   }
   val attributionLinearSql: String =
@@ -451,8 +463,8 @@ object Relational3 {
        |  FROM base)
        |SELECT user_id, event_id AS purchase_id, ts_us,
        |  CAST(n_touch AS BIGINT) AS n_touch,
-       |  CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT)
-       |       // CAST(n_touch AS BIGINT) AS BIGINT) AS credit_micro_each
+       |  CAST(FLOOR(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT) AS DOUBLE)
+       |       / CAST(n_touch AS DOUBLE)) AS BIGINT) AS credit_micro_each
        |FROM win WHERE event_type = 'purchase' AND n_touch > 0
        |ORDER BY user_id, purchase_id""".stripMargin
 

@@ -270,11 +270,10 @@ object Streaming3 {
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName).orderBy($"event_type")
   }
-  val streamAbMonitorSql: String = {
-    // the batch oracle restricted to the streamed slice
-    val inner = Relational3.abTestReportSql
-    inner.replace("FROM events", s"FROM events WHERE event_id < $CUTOFF")
-  }
+  val streamAbMonitorSql: String =
+    // the batch oracle restricted to the streamed slice, via the
+    // parameterized predicate seam (no string surgery on the inner SQL)
+    Relational3.abTestReportSqlWhere(s"event_id < $CUTOFF")
 
   /** Online count-min sketch maintenance (stream_cms_monitor): the
     * depth×width counter table of [[graft.operators.Sketches]]'s CMS

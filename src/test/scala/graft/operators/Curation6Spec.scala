@@ -19,7 +19,6 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.codegen.maxFields", "256")
     .getOrCreate()
 
@@ -48,19 +47,26 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
   }
 
-  test("fuzzy_join_wildcard: complete on Hamming-1, silent on Hamming-2, no duplicate pairs") {
+  test("fuzzy_join_wildcard: complete on Hamming-1, silent on Hamming-2 and dist-0, no duplicate pairs") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft-c6fuzzy").toString
-    Seq((1L, "ABCD"), (2L, "ABCE"), (3L, "ABFF"), (4L, "XBCD"))
+    Seq((1L, "ABCD"), (2L, "ABCE"), (3L, "ABFF"), (4L, "XBCD"), (5L, "ABCD"))
       .toDF("c_custkey", "c_name")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val got = Curation6.fuzzyJoinWildcard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
-    // (1,2) differ at pos 4, (1,4) at pos 1; every other pair is Hamming-2.
-    // A pair matching at exactly one mask appears exactly once — the
-    // no-duplicate law that lets the operator skip a distinct.
-    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 1L)), s"got: ${got.mkString(", ")}")
+    // Hamming-1 pairs: (1,2) differ at pos 4, (1,4) at pos 1,
+    // (2,5)="ABCE"/"ABCD" at pos 4, (4,5)="XBCD"/"ABCD" at pos 1.
+    // (3,*) is Hamming-2 from everything. (1,5) are IDENTICAL
+    // (dist 0): they match at every mask position but must be excluded by
+    // the strict dist === 1 verify — an identical pair would otherwise
+    // emit length(name)=4 duplicate rows and break the one-row-per-pair
+    // contract vs the cross-join oracle.
+    // A Hamming-1 pair matching at exactly one mask appears exactly once —
+    // the no-duplicate law that lets the operator skip a distinct.
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 1L), (2L, 5L, 1L), (4L, 5L, 1L)),
+      s"got: ${got.mkString(", ")}")
   }
 
   test("fuzzy_join_wildcard plan law: equi-join on the masked key, no cartesian/BNLJ") {

@@ -29,7 +29,6 @@ class DedupJobsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .getOrCreate()

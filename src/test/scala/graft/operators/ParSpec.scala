@@ -20,7 +20,6 @@ class ParSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // make small staged files plan one-split-per-file so a re-split
     // fixture reads as genuinely multi-split input on local[4]
     .config("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)

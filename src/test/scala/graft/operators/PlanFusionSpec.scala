@@ -25,7 +25,6 @@ class PlanFusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()

@@ -21,7 +21,6 @@ class Round2OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()

@@ -23,7 +23,6 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
     // force a sort-merge plan so the assertion is about bucketing, not
     // about the dim being small enough to broadcast
     .config("spark.sql.autoBroadcastJoinThreshold", "-1")

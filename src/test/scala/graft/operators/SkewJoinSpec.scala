@@ -20,7 +20,6 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
