@@ -35,6 +35,7 @@ final case class ConnectorOptions(
     minFilesForFirstBatch: Option[Int],
     metadataLogBackend: String,
     fetchErrorBudget: Int,
+    queueMaxRetries: Int,
     region: String,
     staticCredentials: Option[QueueCredentials],
     formatOptions: Map[String, String]) {
@@ -91,6 +92,7 @@ object ConnectorOptions {
   val MIN_FILES_FOR_FIRST_BATCH = "minfilesforfirstbatch"
   val METADATA_LOG = "metadatalog" // "file" (default) | "rocksdb"
   val FETCH_ERROR_BUDGET = "queue.fetcherrorbudget"
+  val MAX_RETRIES = "queue.maxretries"
   val REGION = "queue.region"
   val ACCESS_KEY_ID = "queue.accesskeyid"
   val SECRET_ACCESS_KEY = "queue.secretaccesskey"
@@ -109,6 +111,7 @@ object ConnectorOptions {
   val MAX_POOL_SIZE = 200
   val DEFAULT_VISIBILITY_TIMEOUT_SECONDS = 60
   val DEFAULT_FETCH_ERROR_BUDGET = 3
+  val DEFAULT_MAX_RETRIES: Int = SqsHttpQueue.DefaultMaxRetries
   val DEFAULT_REGION = "us-east-1"
 
   /** Parse a duration like "15d", "2h", "30m", "45s", "500ms", bare = ms. */
@@ -184,7 +187,7 @@ object ConnectorOptions {
       VISIBILITY_TIMEOUT_SECONDS, KEEP_MESSAGE_ON_CONSUMER_ERROR,
       REPROCESS_START_BATCH_ID, REPROCESS_END_BATCH_ID, REPROCESS_DRY_RUN,
       SORT_BATCH_BY_TIMESTAMP, MIN_FILES_FOR_FIRST_BATCH, METADATA_LOG, FETCH_ERROR_BUDGET,
-      REGION, ACCESS_KEY_ID, SECRET_ACCESS_KEY, SESSION_TOKEN)
+      MAX_RETRIES, REGION, ACCESS_KEY_ID, SECRET_ACCESS_KEY, SESSION_TOKEN)
     val formatOptions = params.filterNot { case (k, _) => ownKeys.contains(k) }
 
     ConnectorOptions(
@@ -221,6 +224,12 @@ object ConnectorOptions {
       fetchErrorBudget = {
         val n = get(FETCH_ERROR_BUDGET).map(_.trim.toInt).getOrElse(DEFAULT_FETCH_ERROR_BUDGET)
         require(n > 0, s"$FETCH_ERROR_BUDGET must be positive, got $n")
+        n
+      },
+      queueMaxRetries = {
+        // 0 is legal (retry disabled); negative is a config error
+        val n = get(MAX_RETRIES).map(_.trim.toInt).getOrElse(DEFAULT_MAX_RETRIES)
+        require(n >= 0, s"$MAX_RETRIES must be >= 0, got $n")
         n
       },
       region = get(REGION).getOrElse(DEFAULT_REGION),

@@ -89,9 +89,13 @@ class GraftFileSource(
         options.keepMessageOnConsumerError)
     case ConnectorOptions.QUEUE_TYPE_SQS =>
       // SDK-free SQS wire binding: queueName carries the full queue URL;
-      // same fetch discipline as the in-memory transport via QueueFetchClient
-      val raw = new SqsHttpQueue(options.queueName, options.region,
-        options.credentialsProvider(), options.longPollWaitSeconds)
+      // same fetch discipline as the in-memory transport via QueueFetchClient.
+      // The signing region follows the URL's region when it names one
+      // (cross-region queue access), falling back to the configured region.
+      val raw = new SqsHttpQueue(options.queueName,
+        SqsHttpQueue.regionForQueueUrl(options.queueName, options.region),
+        options.credentialsProvider(), options.longPollWaitSeconds,
+        maxRetries = options.queueMaxRetries)
       new QueueFetchClient(raw, options.queueName, consume, options.maxFilesPerTrigger,
         options.visibilityTimeoutSeconds, options.maxConcurrency,
         options.keepMessageOnConsumerError)

@@ -28,6 +28,21 @@ import org.w3c.dom.{Document, Element}
   * Error contract (see [[RawQueue]]): a failed CALL (transport error,
   * non-entry-level service error) throws; an entry-level rejection
   * (unknown/expired receipt handle) returns false.
+  *
+  * Transient wire failures (connect/read IOException, HTTP 5xx, 429)
+  * are retried in-place up to `maxRetries` times with exponential
+  * backoff BEFORE the call-level error contract applies (reference
+  * parity: S3ConnectorSourceOptions.scala:84 `sqsMaxRetries` wired
+  * through AsyncSqsClientBuilder.scala:57-89 into the SDK's retry
+  * policy). A call that eventually succeeds is indistinguishable from
+  * one that succeeded first try — in particular it does NOT surface to
+  * [[QueueFetchClient]] as a receive failure, so the source's
+  * fetch-error budget is only consumed by failures that exhaust the
+  * wire retries. Every retry attempt is RE-SIGNED with a fresh
+  * x-amz-date (a replayed signature could fall outside the service's
+  * clock-skew window after backoff). All four actions are safe to
+  * retry: receive is at-least-once by contract; delete / visibility /
+  * batch-delete are idempotent per receipt handle.
   */
 final class SqsHttpQueue(
     queueUrl: String,
@@ -35,12 +50,20 @@ final class SqsHttpQueue(
     credentials: ConnectorCredentialsProvider,
     longPollWaitSeconds: Int,
     requestTimeoutSeconds: Int = 30,
-    clock: () => Long = () => System.currentTimeMillis()) extends RawQueue {
+    maxRetries: Int = SqsHttpQueue.DefaultMaxRetries,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = Thread.sleep) extends RawQueue {
 
   private val uri = URI.create(queueUrl)
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(requestTimeoutSeconds.toLong))
     .build()
+
+  /** Attempts (beyond the first) that were retried; observability for the
+    * "transient blip vs real outage" distinction. */
+  val retriedAttempts = new java.util.concurrent.atomic.LongAdder
+  /** Calls that failed transiently at least once and then succeeded. */
+  val recoveredCalls = new java.util.concurrent.atomic.LongAdder
 
   // entry-level error codes that always mean "this handle", not "this call"
   private val EntryLevelCodes = Set("ReceiptHandleIsInvalid", "MessageNotInflight")
@@ -58,28 +81,61 @@ final class SqsHttpQueue(
   private def formEncode(params: Seq[(String, String)]): String =
     params.map { case (k, v) => s"${SigV4.uriEncode(k)}=${SigV4.uriEncode(v)}" }.mkString("&")
 
-  /** POST one signed Query-protocol action; returns (status, body). */
+  /** POST one signed Query-protocol action with transient-failure retry;
+    * returns the final (status, body). Retryable: transport IOException,
+    * HTTP 5xx, HTTP 429 (throttle). NOT retryable: any other 4xx — auth
+    * and parameter errors are deterministic and must surface immediately. */
   private def call(action: String, params: Seq[(String, String)]): (Int, String) = {
     val all = ("Action" -> action) +: ("Version" -> "2012-11-05") +: params
     val payload = formEncode(all).getBytes(StandardCharsets.UTF_8)
-    val signed = SigV4.signRequest(
-      method = "POST",
-      uri = uri,
-      queryParams = Nil,
-      baseHeaders = Seq("content-type" -> "application/x-www-form-urlencoded"),
-      payload = payload,
-      epochMs = clock(),
-      region = region,
-      service = "sqs",
-      creds = credentials.resolve())
-    val builder = HttpRequest.newBuilder(uri)
-      .timeout(Duration.ofSeconds(
-        // long-poll receives may legitimately hold the connection open
-        (requestTimeoutSeconds + longPollWaitSeconds).toLong))
-      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
-    signed.headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+
+    def attemptOnce(): (Int, String) = {
+      val signed = SigV4.signRequest(
+        method = "POST",
+        uri = uri,
+        queryParams = Nil,
+        baseHeaders = Seq("content-type" -> "application/x-www-form-urlencoded"),
+        payload = payload,
+        epochMs = clock(),
+        region = region,
+        service = "sqs",
+        creds = credentials.resolve())
+      val builder = HttpRequest.newBuilder(uri)
+        .timeout(Duration.ofSeconds(
+          // long-poll receives may legitimately hold the connection open
+          (requestTimeoutSeconds + longPollWaitSeconds).toLong))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      signed.headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+
+    def retryable(status: Int): Boolean = status / 100 == 5 || status == 429
+
+    var attempt = 0
+    var retried = false
+    while (true) {
+      val outcome: Either[Throwable, (Int, String)] =
+        try Right(attemptOnce())
+        catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right((status, body)) if !retryable(status) =>
+          if (retried) recoveredCalls.increment()
+          return (status, body)
+        case _ if attempt >= maxRetries =>
+          // retries exhausted: surface the last outcome under the normal
+          // error contract (a Left re-throws the transport error)
+          return outcome.fold(throw _, identity)
+        case _ =>
+          attempt += 1
+          retried = true
+          retriedAttempts.increment()
+          // full-jitter-free exponential backoff: deterministic under test,
+          // bounded at 2 s so maxRetries bounds total added latency tightly
+          sleeper(math.min(2000L, 100L << math.min(attempt - 1, 10)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def parseXml(body: String): Document = {
@@ -166,4 +222,33 @@ final class SqsHttpQueue(
   }
 
   override def close(): Unit = credentials.close()
+}
+
+object SqsHttpQueue {
+  /** Default wire-retry count (attempts beyond the first), reference
+    * parity with the SDK retry policy the reference builds
+    * (AsyncSqsClientBuilder.scala:57-89, numRetries default 3). */
+  val DefaultMaxRetries = 3
+
+  private val StandardHost = """(?:sqs|sqs-fips)\.([a-z0-9-]+)\.amazonaws\.com(?:\.cn)?""".r
+  private val LegacyHost = """([a-z0-9-]+)\.queue\.amazonaws\.com""".r
+
+  /** The SigV4 signing region for a queue URL: cross-region queue access
+    * must sign for the REGION IN THE URL, not the client's configured
+    * default — a client defaulting to us-east-1 talking to
+    * `sqs.eu-central-1.amazonaws.com/...` signs for eu-central-1, or the
+    * service rejects the signature (reference exercises this via
+    * S3ConnectorSourceCrossAccountItSuite.scala:54-83). Recognizes the
+    * standard (`sqs.<region>.amazonaws.com`, dualstack/fips variants via
+    * the `sqs-fips.` prefix) and legacy (`<region>.queue.amazonaws.com`)
+    * host shapes; anything else (VPC endpoints, local stubs, custom DNS)
+    * falls back to the configured region. Cross-ACCOUNT access needs no
+    * special-casing here: the account id lives in the URL path, which is
+    * part of the canonical request and therefore already signed. */
+  def regionForQueueUrl(queueUrl: String, fallback: String): String =
+    Option(URI.create(queueUrl).getHost).map(_.toLowerCase) match {
+      case Some(StandardHost(r)) => r
+      case Some(LegacyHost(r)) => r
+      case _ => fallback
+    }
 }

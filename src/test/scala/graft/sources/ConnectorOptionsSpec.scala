@@ -100,6 +100,14 @@ class ConnectorOptionsSpec extends AnyFunSuite {
       ConnectorOptions(base + ("queue.fetchErrorBudget" -> "0")))
   }
 
+  test("queue.maxRetries: default 3, override, 0 legal (disabled), negative rejected") {
+    assert(ConnectorOptions(base).queueMaxRetries == 3)
+    assert(ConnectorOptions(base + ("queue.maxRetries" -> "5")).queueMaxRetries == 5)
+    assert(ConnectorOptions(base + ("queue.maxRetries" -> "0")).queueMaxRetries == 0)
+    intercept[IllegalArgumentException](
+      ConnectorOptions(base + ("queue.maxRetries" -> "-1")))
+  }
+
   test("drain round timeout derives from the polling options") {
     assert(ConnectorOptions(base).drainRoundTimeoutSeconds == 60L) // floor
     val o = ConnectorOptions(base + ("queueFetchWaitTimeoutSeconds" -> "30"))

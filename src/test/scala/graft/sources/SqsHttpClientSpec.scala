@@ -25,9 +25,13 @@ class SqsHttpClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def rawQueue(
       c: QueueCredentials = creds,
-      longPoll: Int = 0): SqsHttpQueue =
+      longPoll: Int = 0,
+      // 0 here (vs the production default 3) keeps the persistent-chaos
+      // tests fast: they assert what ONE wire call does, not the retry
+      maxRetries: Int = 0,
+      sleeper: Long => Unit = _ => ()): SqsHttpQueue =
     new SqsHttpQueue(stub.queueUrl, "us-east-1", StaticCredentialsProvider(c),
-      longPollWaitSeconds = longPoll)
+      longPollWaitSeconds = longPoll, maxRetries = maxRetries, sleeper = sleeper)
 
   private def client(
       consumer: FileMetadata => Unit,
@@ -205,5 +209,113 @@ class SqsHttpClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       longPollWaitSeconds = 0)
     intercept[GraftSourceException](q.receive(10, 60))
     q.close()
+  }
+
+  // ------------------------------------------------ wire-level retry
+
+  test("transient 503s are retried with backoff and never surface: budget untouched") {
+    stub.queue.clear()
+    stub.queue.send("""{"path":"r1","timestampMs":1}""")
+    val backoffs = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = rawQueue(maxRetries = 3, sleeper = backoffs += _)
+    stub.transientFailuresRemaining = 2
+    var consumed = 0
+    val c = new QueueFetchClient(q, "sqs-retry", _ => consumed += 1, None, 60, 2,
+      keepMessageOnConsumerError = false)
+    val res = fetch(c)
+    // the call recovered inside the transport: the fetch client saw SUCCESS
+    assert(res.contains(ConsumeResult.Ok) && consumed == 1)
+    assert(c.consecutiveReceiveFailures == 0,
+      "a transient failure that later succeeds must not consume the fetch-error budget")
+    assert(c.metrics.receiveMessageFailedCounter.sum() == 0)
+    assert(q.retriedAttempts.sum() == 2)
+    assert(q.recoveredCalls.sum() == 1)
+    assert(stub.transientFailuresServed >= 2)
+    assert(backoffs.toSeq == Seq(100L, 200L), "exponential backoff, deterministic")
+    stub.queue.clear()
+    c.close()
+  }
+
+  test("retries are re-signed per attempt and exhaust into the normal error contract") {
+    stub.queue.clear()
+    val sigsBefore = stub.rejectedSignatures
+    val q = rawQueue(maxRetries = 2)
+    stub.transientFailuresRemaining = 5 // more than the retry allowance
+    val e = intercept[GraftSourceException](q.receive(10, 60))
+    assert(e.getMessage.contains("503") || e.getMessage.contains("ServiceUnavailable"), e.getMessage)
+    assert(q.retriedAttempts.sum() == 2, "exactly maxRetries extra attempts")
+    assert(q.recoveredCalls.sum() == 0)
+    stub.transientFailuresRemaining = 0
+    // the streak surfaces through the fetch client exactly like an outage
+    stub.transientFailuresRemaining = 3
+    val c = new QueueFetchClient(rawQueue(maxRetries = 0), "sqs-exhaust", _ => (), None, 60, 2,
+      keepMessageOnConsumerError = false)
+    assert(fetch(c) == Seq(ConsumeResult.ReceiveException))
+    assert(c.consecutiveReceiveFailures == 1,
+      "an exhausted retry IS a receive failure: the budget must see it")
+    stub.transientFailuresRemaining = 0
+    assert(stub.rejectedSignatures == sigsBefore, "every retry attempt carried a fresh valid signature")
+    c.close()
+    q.close()
+  }
+
+  test("maxRetries=0 disables retry; 4xx auth errors are never retried") {
+    stub.queue.clear()
+    var slept = 0
+    val q0 = rawQueue(maxRetries = 0, sleeper = _ => slept += 1)
+    stub.transientFailuresRemaining = 1
+    intercept[GraftSourceException](q0.receive(10, 60))
+    assert(slept == 0 && q0.retriedAttempts.sum() == 0)
+    stub.transientFailuresRemaining = 0
+    q0.close()
+    // a deterministic 403 must fail immediately even with retries enabled
+    val reqBefore = stub.requestCount
+    val qBad = rawQueue(c = QueueCredentials(Akid, "wrong-secret"), maxRetries = 3)
+    intercept[GraftSourceException](qBad.receive(10, 60))
+    assert(stub.requestCount == reqBefore + 1, "no retry on a non-transient 4xx")
+    assert(qBad.retriedAttempts.sum() == 0)
+    qBad.close()
+  }
+
+  // ------------------------------- cross-region signing (URL-derived)
+
+  test("signing region is derived from the queue URL host") {
+    import SqsHttpQueue.regionForQueueUrl
+    assert(regionForQueueUrl(
+      "https://sqs.eu-central-1.amazonaws.com/123456789012/q", "us-east-1") == "eu-central-1")
+    assert(regionForQueueUrl(
+      "https://sqs-fips.us-gov-west-1.amazonaws.com/123456789012/q", "us-east-1") == "us-gov-west-1")
+    assert(regionForQueueUrl(
+      "https://sqs.cn-north-1.amazonaws.com.cn/123456789012/q", "us-east-1") == "cn-north-1")
+    assert(regionForQueueUrl( // legacy host shape
+      "https://ap-southeast-2.queue.amazonaws.com/123456789012/q", "us-east-1") == "ap-southeast-2")
+    // stubs / VPC endpoints / custom DNS: fall back to the configured region
+    assert(regionForQueueUrl(stub.queueUrl, "eu-west-3") == "eu-west-3")
+    assert(regionForQueueUrl(
+      "https://vpce-0abc-sqs.us-east-1.vpce.amazonaws.com/123/q", "eu-west-2") == "eu-west-2")
+  }
+
+  test("the URL-derived region flows into the signature scope on the wire") {
+    // a stub that verifies eu-central-1 scope; the client derives that
+    // region from a REAL-shaped queue URL, not from its us-east-1 default
+    val xStub = new SqsStubServer(Map(Akid -> Secret), region = "eu-central-1")
+    try {
+      xStub.queue.send("""{"path":"xr","timestampMs":1}""")
+      val derived = SqsHttpQueue.regionForQueueUrl(
+        "https://sqs.eu-central-1.amazonaws.com/123456789012/graft", "us-east-1")
+      val good = new SqsHttpQueue(xStub.queueUrl, derived,
+        StaticCredentialsProvider(creds), longPollWaitSeconds = 0)
+      assert(good.receive(10, 60).size == 1)
+      assert(xStub.rejectedSignatures == 0,
+        "signature must carry the queue's region in its credential scope")
+      good.close()
+      // the default region against the same queue: scope mismatch, rejected
+      val bad = new SqsHttpQueue(xStub.queueUrl, "us-east-1",
+        StaticCredentialsProvider(creds), longPollWaitSeconds = 0)
+      val e = intercept[GraftSourceException](bad.receive(10, 60))
+      assert(e.getMessage.contains("403"), e.getMessage)
+      assert(xStub.rejectedSignatures == 1)
+      bad.close()
+    } finally xStub.stop()
   }
 }

@@ -25,6 +25,12 @@ final class SqsStubServer(secretsByAccessKey: Map[String, String], region: Strin
   @volatile var lastWaitTimeSeconds: Option[Int] = None
   @volatile var rejectedSignatures: Int = 0
   @volatile var requestCount: Int = 0
+  /** Chaos hook: the next N requests are answered with `transientStatus`
+    * before any handling (the outage-then-recovery shape a wire retry
+    * must absorb). */
+  @volatile var transientFailuresRemaining: Int = 0
+  @volatile var transientStatus: Int = 503
+  @volatile var transientFailuresServed: Int = 0
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (exchange: HttpExchange) => handle(exchange))
@@ -86,6 +92,12 @@ final class SqsStubServer(secretsByAccessKey: Map[String, String], region: Strin
 
   private def handle(ex: HttpExchange): Unit = {
     requestCount += 1
+    if (transientFailuresRemaining > 0) {
+      transientFailuresRemaining -= 1
+      transientFailuresServed += 1
+      error(ex, transientStatus, "ServiceUnavailable", "transient outage (stub chaos hook)")
+      return
+    }
     try {
       val payload = ex.getRequestBody.readAllBytes()
       verifySignature(ex, payload) match {
