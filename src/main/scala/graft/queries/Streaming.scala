@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.InMemoryQueueRegistry
+import graft.sources.{ConnectorOptions, InMemoryQueueRegistry}
 
 /** Streaming-source queries for the correctness gate: each runs a real
   * micro-batch streaming query over the push-based `graft-files` source
@@ -119,8 +119,20 @@ object Streaming {
        |WHERE event_id < $CUTOFF ORDER BY event_id""".stripMargin
 
   /** Duplicate announcements (each file announced twice) must not produce
-    * duplicate rows — the exactly-once admission check as a query. */
-  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
+    * duplicate rows — the exactly-once admission check as a query.
+    * Runs once per metadata-log backend: `stream_exactly_once` (file) and
+    * `stream_exactly_once_rocksdb` (the versioned-KV backend, O22-O24) are
+    * the SAME pipeline differing only in the `metadatalog` option, so both
+    * backends carry a hash-green oracle row, not just unit specs — the
+    * reference's only log IS the RocksDB one (RocksDBS3SourceLog.scala). */
+  def streamExactlyOnce(s: SparkSession, dir: String): DataFrame =
+    streamExactlyOnceOn(s, dir, ConnectorOptions.METADATA_LOG_FILE, "stream_exactly_once")
+  def streamExactlyOnceRocksdb(s: SparkSession, dir: String): DataFrame =
+    streamExactlyOnceOn(s, dir, ConnectorOptions.METADATA_LOG_ROCKSDB, "stream_exactly_once_rocksdb")
+
+  private def streamExactlyOnceOn(
+      s: SparkSession, dir: String, logBackend: String, gateName: String): DataFrame =
+      withStateShuffle(s, 4) {
     val runId = s"dedup${seq.incrementAndGet()}_${System.nanoTime()}"
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
@@ -137,13 +149,14 @@ object Streaming {
     val query = s.readStream.format("graft-files").schema(eventsSchema)
       .option("fileFormat", "parquet").option("queueName", runId)
       .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("metadataLog", logBackend)
       .load()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
     try {
       query.processAllAvailable()
-      StreamPlans.capture("stream_exactly_once", query)
+      StreamPlans.capture(gateName, query)
     } finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     s.table(sinkName).orderBy(col("event_type"))
@@ -345,6 +358,7 @@ object Streaming {
     "stream_static_join" -> streamStaticJoin _,
     "stream_source_read" -> streamSourceRead _,
     "stream_exactly_once" -> streamExactlyOnce _,
+    "stream_exactly_once_rocksdb" -> streamExactlyOnceRocksdb _,
     "stream_window_agg" -> streamWindowAgg _,
     "stream_drop_duplicates" -> streamDropDuplicates _,
     "stream_dedup_within_watermark" -> streamDedupWithinWatermark _,
@@ -353,6 +367,7 @@ object Streaming {
     "stream_static_join" -> streamStaticJoinSql,
     "stream_source_read" -> streamSourceReadSql,
     "stream_exactly_once" -> streamExactlyOnceSql,
+    "stream_exactly_once_rocksdb" -> streamExactlyOnceSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_drop_duplicates" -> streamDropDuplicatesSql,
     "stream_dedup_within_watermark" -> streamDedupWithinWatermarkSql,
