@@ -274,9 +274,31 @@ object Relational3 {
        |GROUP BY f.cohort, u.day - f.cohort
        |ORDER BY cohort, day_offset""".stripMargin
 
-  /** Skyline price-bucket width: buckets = price domain / 10k ≤ ~50 —
-    * bounded by the PRICE DOMAIN, not the row count. */
-  private[graft] val SkyBucket = 10000.0
+  /** Skyline bucket-count cap: the driver-collected bucket table holds at
+    * most this many + 1 rows, for ANY price distribution — the width is
+    * derived from the observed price range, not a domain constant (a
+    * corpus with a 1000x wider o_totalprice range used to quietly grow
+    * the collected array under the old fixed 10k width). */
+  private[graft] val SkyBucketCap = 64
+
+  /** Attach a data-derived `bucket` column to the per-price aggregate:
+    * width = (max-min)/[[SkyBucketCap]] via one exact min/max reduce.
+    * Deterministic (exact extremes, not a sketch); bucket ids are in
+    * [0, SkyBucketCap]. Empty input short-circuits to bucket 0. */
+  private[graft] def withSkyBuckets(perPrice: DataFrame): DataFrame = {
+    import perPrice.sparkSession.implicits._
+    val ext = perPrice
+      .agg(min($"o_totalprice").cast("double"), max($"o_totalprice").cast("double"))
+      .collect()(0)
+    if (ext.isNullAt(0)) perPrice.withColumn("bucket", lit(0L))
+    else {
+      val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
+      val width = math.max((hi - lo) / SkyBucketCap, java.lang.Double.MIN_NORMAL)
+      perPrice.withColumn("bucket",
+        least(floor(($"o_totalprice" - lit(lo)) / lit(width)), lit(SkyBucketCap.toLong))
+          .cast("long"))
+    }
+  }
 
   /** Pareto frontier of orders (q65): orders not dominated on
     * (totalprice MAX, orderdate MIN) — "the earliest order at every
@@ -291,21 +313,26 @@ object Relational3 {
     * strictly-higher prices and every earlier same-price date. It
     * reduces rows per distinct price (shuffle on price, map-side
     * partials), seeds each price BUCKET with the min date of all
-    * strictly higher buckets (bucket table is domain-bounded ≤ ~50
-    * rows — collected and suffix-min'd on the driver, the K-bounded
-    * coordination class), and refines within each bucket with a
+    * strictly higher buckets (bucket width is DERIVED FROM THE DATA —
+    * (max-min)/[[SkyBucketCap]] — so the collected-and-suffix-min'd
+    * driver table is ≤ SkyBucketCap+1 rows under ANY price
+    * distribution, not just the fixture's; the K-bounded coordination
+    * class by construction), and refines within each bucket with a
     * window PARTITIONED BY bucket — every window partition is one
     * bucket's distinct prices, so no global single-task sort exists
-    * anywhere. Dominance checks use exact integer micros. */
+    * anywhere. Dominance checks use exact integer micros. The extra
+    * cost of deriving the width is one exact min/max over the
+    * per-price aggregate — a two-column scan + map-side-combined
+    * single-row reduce, not a quantile sketch (exactness keeps the
+    * bucketing deterministic run to run). */
   def q65Skyline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, d)
     val rows = ord.select($"o_orderkey", $"o_totalprice",
       Tables.tsUs(ord, "o_orderdate").as("t_us"))
-    val perPrice = rows.groupBy($"o_totalprice")
-      .agg(min($"t_us").as("dmin"))
-      .withColumn("bucket", floor($"o_totalprice" / SkyBucket).cast("long"))
-    // domain-bounded bucket mins -> exclusive suffix min on the driver
+    val perPrice0 = rows.groupBy($"o_totalprice").agg(min($"t_us").as("dmin"))
+    val perPrice = withSkyBuckets(perPrice0)
+    // K-bounded bucket mins -> exclusive suffix min on the driver
     val bmins = perPrice.groupBy($"bucket").agg(min($"dmin").as("bmin"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val suffix = bmins.scanRight(Long.MaxValue) { case ((_, m), acc) => math.min(m, acc) }

@@ -218,6 +218,39 @@ class Curation6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(2L, 3L, 4L, 8L, 9L), s"got: ${got.mkString(", ")}")
   }
 
+  test("q65_skyline: adversarial 1000x-wide price range keeps the driver bucket table K-bounded") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.Relational3
+    val dir = Files.createTempDirectory("graft-c6skywide").toString
+    val t0 = java.time.LocalDateTime.of(2026, 4, 1, 0, 0, 0)
+    // prices span [1, 1e9] — the range that quietly grew the collected
+    // array under the old fixed 10k bucket width (would be 100k rows)
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, math.pow(10.0, rnd.nextDouble() * 9.0), t0.plusMinutes(rnd.nextInt(100000)))
+    }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // the bucket table the driver collects is bounded by the CAP, not the range
+    val perPrice = Relational3.withSkyBuckets(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy($"o_totalprice").agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.lit(0L)).as("dmin")))
+    val nBuckets = perPrice.select($"bucket").distinct().count()
+    assert(nBuckets <= Relational3.SkyBucketCap + 1,
+      s"bucket table must stay K-bounded, got $nBuckets")
+    // and the result is still the exact skyline (brute-force replica)
+    val got = Relational3.q65Skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    val ep = rows.map { case (k, p, d) =>
+      (k, p, d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli) }
+    val brute = ep.filter { case (_, p, t) =>
+      !ep.exists { case (_, p2, t2) =>
+        p2 >= p && t2 <= t && (p2 > p || t2 < t) }
+    }.map(_._1).toSet
+    assert(got == brute, s"skyline mismatch: extra=${got -- brute} missing=${brute -- got}")
+  }
+
   test("ab_test_report: hand-computed Welch t on a planted two-bucket frame") {
     val s = spark
     import s.implicits._
