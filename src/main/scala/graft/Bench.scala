@@ -14,6 +14,36 @@ import org.apache.spark.sql.SparkSession
   * driver's full single-round contract, unchanged.
   */
 object Bench {
+
+  /** Machine-load calibration: wall time of a FIXED single-threaded
+    * integer workload (xorshift64*, constant iteration count), min of 3
+    * reps. The workload is branchless arithmetic on one register — its
+    * idle-machine time is a stable per-machine constant, so an elevated
+    * reading means the machine was loaded, not that any query regressed.
+    * Taken at record start AND end, it lets a stretched bench record
+    * self-identify as a load window (the BENCH_NOTES 2-40x family)
+    * instead of requiring an idle re-measure to tell load from
+    * regression. The result of the arithmetic is returned-through so the
+    * JIT cannot elide the loop. */
+  private[graft] def calibrationSpinMs(): Double = {
+    def once(): (Double, Long) = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 150000000) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e6, acc)
+    }
+    val reps = Seq.fill(3)(once())
+    // fold the accumulator into a side effect the optimizer must honor
+    if (reps.map(_._2).sum == 42L) System.err.print("")
+    reps.map(_._1).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val filter: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
@@ -45,6 +75,8 @@ object Bench {
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val calibStartMs = calibrationSpinMs()
 
     // warmup: touch every table + exercise codegen once
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -88,10 +120,12 @@ object Bench {
     // session must not accrete them (cleanup is idempotent; the next
     // call re-prepares)
     graft.queries.Layout.cleanup(spark)
+    val calibEndMs = calibrationSpinMs()
+    val calib = f""""calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout; the full per-query line above is longer than that window, so
     // its head (and the opening brace) can be truncated away. Repeat the
@@ -100,7 +134,7 @@ object Bench {
     val topQs = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
