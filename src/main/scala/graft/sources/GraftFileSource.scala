@@ -11,7 +11,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
@@ -40,7 +40,7 @@ class GraftFileSource(
     metadataPath: String,
     userSchema: StructType,
     parameters: Map[String, String])
-  extends Source with SupportsTriggerAvailableNow with Logging {
+  extends Source with SupportsTriggerAvailableNow with ReportsSourceMetrics with Logging {
 
   private val options = ConnectorOptions(parameters)
   private val spark = sqlContext.sparkSession
@@ -302,6 +302,27 @@ class GraftFileSource(
       s"metadata log metrics: ${metadataLog.metricsJson}")
   }
 
+  /** [[ReportsSourceMetrics]]: surface the connector's operational state
+    * through the engine's own progress path — `query.lastProgress
+    * .sources[i].metrics` carries the 14 queue counters (prefixed
+    * `queue.`), the metadata-log commit metrics (prefixed `log.`), and
+    * the pending-cache size, so an operator watching StreamingQuery
+    * progress (or a StreamingQueryListener feeding a metrics system)
+    * sees queue health per trigger without log scraping (reference
+    * surface: AsyncClientMetrics.scala:22-38, exposed there via
+    * periodic logging only). */
+  override def metrics(latestConsumedOffset: java.util.Optional[ConnectorOffset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    queueClient.metrics.snapshot.foreach { case (k, v) => m.put(s"queue.$k", v.toString) }
+    // the log's metrics are backend-shaped (file: batches/compactions;
+    // rocksdb: checkpoint/SST/GC work) — flatten its flat-JSON fields
+    GraftFileSource.flatJsonFields(metadataLog.metricsJson)
+      .foreach { case (k, v) => m.put(s"log.$k", v) }
+    m.put("pendingFiles", fileCache.size.toString)
+    m
+  }
+
   override def stop(): Unit = {
     try queueClient.close()
     finally metadataLog.close()
@@ -309,4 +330,16 @@ class GraftFileSource(
 
   override def toString: String =
     s"GraftFileSource[queue=${options.queueName}, format=${options.fileFormat}]"
+}
+
+object GraftFileSource {
+  /** Fields of a FLAT one-level JSON object (the shape both metadata-log
+    * `metricsJson` implementations emit: string keys, numeric values) as
+    * key -> rendered-value pairs, in document order. Not a general JSON
+    * parser — nested objects/arrays would be surfaced as raw text, which
+    * no current backend produces. */
+  private[sources] def flatJsonFields(json: String): Seq[(String, String)] = {
+    val Field = """"([^"]+)"\s*:\s*([^,{}\[\]]+)""".r
+    Field.findAllMatchIn(json).map(m => m.group(1) -> m.group(2).trim).toSeq
+  }
 }

@@ -22,18 +22,22 @@ final class QueueClientMetrics {
   val fetchThreadFailedCounter = new LongAdder
   val fetchThreadUncaughtExceptionCounter = new LongAdder
 
-  def json: String = {
-    val fields = Seq(
-      "receiveMessage" -> receiveMessageCounter, "receiveMessageFailed" -> receiveMessageFailedCounter,
-      "parseMessage" -> parseMessageCounter, "parseMessageFailed" -> parseMessageFailedCounter,
-      "discardedMessage" -> discardedMessageCounter,
-      "consumeMessage" -> consumeMessageCounter, "consumeMessageFailed" -> consumeMessageFailedCounter,
-      "deleteMessage" -> deleteMessageCounter, "deleteMessageFailed" -> deleteMessageFailedCounter,
-      "setVisibility" -> setVisibilityCounter, "setVisibilityFailed" -> setVisibilityFailedCounter,
-      "fetchThread" -> fetchThreadCounter, "fetchThreadFailed" -> fetchThreadFailedCounter,
-      "fetchThreadUncaughtException" -> fetchThreadUncaughtExceptionCounter)
-    fields.map { case (k, v) => s""""$k":${v.sum()}""" }.mkString("{", ",", "}")
-  }
+  /** The 14 counters as an ordered name -> value snapshot (one read per
+    * counter; values from one snapshot may straddle concurrent updates,
+    * which is fine for monitoring counters). */
+  def snapshot: Seq[(String, Long)] = Seq(
+    "receiveMessage" -> receiveMessageCounter, "receiveMessageFailed" -> receiveMessageFailedCounter,
+    "parseMessage" -> parseMessageCounter, "parseMessageFailed" -> parseMessageFailedCounter,
+    "discardedMessage" -> discardedMessageCounter,
+    "consumeMessage" -> consumeMessageCounter, "consumeMessageFailed" -> consumeMessageFailedCounter,
+    "deleteMessage" -> deleteMessageCounter, "deleteMessageFailed" -> deleteMessageFailedCounter,
+    "setVisibility" -> setVisibilityCounter, "setVisibilityFailed" -> setVisibilityFailedCounter,
+    "fetchThread" -> fetchThreadCounter, "fetchThreadFailed" -> fetchThreadFailedCounter,
+    "fetchThreadUncaughtException" -> fetchThreadUncaughtExceptionCounter
+  ).map { case (k, v) => k -> v.sum() }
+
+  def json: String =
+    snapshot.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 }
 
 /** Low-level queue transport: the four point operations one fetch round is

@@ -273,6 +273,55 @@ class GraftFileSourceE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names == Seq("fresh")) // FileExpired verdict dropped the stale one
   }
 
+  test("queue + metadata-log metrics surface through StreamingQueryProgress") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    announce(q, writeJson(dir, "m1.json", Seq(1 -> "ada")))
+    announce(q, writeJson(dir, "m2.json", Seq(2 -> "grace")))
+    val query = streamDF(qn).writeStream.format("memory").queryName("metricsout")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // the LAST progress may be an empty no-data trigger; find one that
+      // moved rows, then assert the source-metrics map on it
+      val progs = query.recentProgress
+      assert(progs.nonEmpty, "no progress recorded")
+      val withRows = progs.filter(_.numInputRows > 0)
+      assert(withRows.nonEmpty, s"no data-carrying trigger among ${progs.length} progresses")
+      val m = withRows.last.sources.head.metrics
+      assert(m.get("queue.receiveMessage").toLong >= 2,
+        s"queue counters missing from progress metrics: $m")
+      assert(m.get("queue.parseMessage").toLong >= 2, s"$m")
+      assert(m.containsKey("queue.fetchThreadUncaughtException"),
+        s"all 14 queue counters must be present: $m")
+      assert(m.keySet().stream().filter(_.startsWith("queue.")).count() == 14, s"$m")
+      assert(m.get("log.batches") != null && m.get("log.batches").toLong >= 1,
+        s"metadata-log metrics missing from progress metrics: $m")
+      assert(m.get("pendingFiles") != null, s"$m")
+      // and the progress JSON an operator would ship carries them verbatim
+      assert(withRows.last.json.contains("queue.receiveMessage"), withRows.last.json)
+    } finally query.stop()
+    assert(spark.table("metricsout").count() == 2)
+  }
+
+  test("progress metrics on the rocksdb log backend carry checkpoint work") {
+    val (qn, q) = freshQueue()
+    val dir = Files.createTempDirectory("graft-e2e")
+    announce(q, writeJson(dir, "r1.json", Seq(1 -> "ada")))
+    val query = streamDF(qn, Map("metadataLog" -> "rocksdb"))
+      .writeStream.format("memory").queryName("metricsrocks")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val withRows = query.recentProgress.filter(_.numInputRows > 0)
+      assert(withRows.nonEmpty)
+      val m = withRows.last.sources.head.metrics
+      assert(m.get("log.adds") != null && m.get("log.adds").toLong >= 1,
+        s"rocksdb log metrics missing: $m")
+      assert(m.get("log.checkpoints") != null, s"$m")
+    } finally query.stop()
+  }
+
   test("schema is mandatory") {
     val (qn, _) = freshQueue()
     intercept[Exception] {
