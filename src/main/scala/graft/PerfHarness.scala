@@ -326,15 +326,183 @@ object PerfHarness {
       s"""${perBackend.mkString(",")}}"""
   }
 
+  // ----------------------- scale mode: MEASURED scaling exponents
+  // The 100 TB claims for the data-curation operators rest on plan-shape
+  // arguments; this mode replaces argument with measurement: synthesize
+  // statistically self-similar corpora at several multiples of the sf0.1
+  // size, run each headline op at every scale, record wall seconds +
+  // shuffle bytes (+ CC rounds), and fit the log-log slope. Near-linear
+  // (slope <= ~1.2) is the pass bar; a bend names the op to fix.
+
+  /** 30 hot "stopword" tokens (the fixture's vocabulary style). */
+  private val HotVocab: Array[String] =
+    ("batch part spark line column order small sort fast value scan a hash " +
+      "slow group agg filter query table stream big merge join the data " +
+      "customer row window key vector").split(" ")
+
+  /** Deterministic, distributed, statistically SELF-SIMILAR corpus at
+    * `nDocs` documents / `nVecs` embeddings, schema-identical to the
+    * driver fixtures (Tables.assertFixtureSchema passes).
+    *
+    * Shape choices, each pinned to a scaling property:
+    *  - token mixture: 35% mass on 30 hot tokens, 65% on a tail whose
+    *    vocabulary grows with the corpus (Heaps-style, ~2000*sqrt(K) for
+    *    scale K) — so per-shingle document frequency grows with N for
+    *    hot shingles (the real ultra-common-shingle hazard the dfCap
+    *    knob exists for) while tail shingles stay discriminative;
+    *  - near-dup planting at a FIXED per-doc rate (2% of docs are a
+    *    1-token mutation of their block base; every 5th block adds a
+    *    second mutated member) — component count scales linearly,
+    *    component diameter stays <= 2, so CC round count must NOT grow
+    *    with scale (a measured claim, not an assumed one);
+    *  - doc length 8..96 tokens (fixture mean ~50), lang/source
+    *    distributions as in the fixture;
+    *  - embeddings: 10 Gaussian label clusters in 64-d (the fixture's
+    *    label structure), so IVF partitions stay balanced at any scale.
+    */
+  private[graft] def synthCorpus(spark: SparkSession, dir: Path,
+      nDocs: Long, nVecs: Long): Unit = {
+    import spark.implicits._
+    val hot = HotVocab
+    val scaleK = math.max(1.0, nDocs / 5000.0)
+    val tailV = (2000 * math.sqrt(scaleK)).toInt
+    val docParts = math.max(8, math.min(256, (nDocs / 20000L).toInt))
+    spark.range(0L, nDocs, 1L, docParts).map { idBoxed =>
+      val id: Long = idBoxed
+      val block = id / 50
+      val off = (id % 50).toInt
+      val isNear = off == 1 || (off == 2 && block % 5 == 0)
+      val baseId = if (isNear) block * 50 else id
+      val rnd = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 1234567)
+      val nTok = 8 + rnd.nextInt(89)
+      val toks = Array.fill(nTok) {
+        if (rnd.nextDouble() < 0.35) hot(rnd.nextInt(hot.length))
+        else s"w${rnd.nextInt(tailV)}"
+      }
+      // distinct 1-token mutation per planted member: changes <=3 shingles,
+      // so docs of >=29 tokens stay above the 0.8-jaccard edge threshold
+      if (isNear) toks((off - 1) % nTok) = s"mut$id"
+      val text = toks.mkString(" ")
+      val lang = { val r = rnd.nextDouble()
+        if (r < 0.40) "en" else if (r < 0.55) "de"
+        else if (r < 0.70) "zh" else if (r < 0.85) "fr" else "es" }
+      (id, text, lang, s"src${rnd.nextInt(20)}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val vecParts = math.max(8, math.min(256, (nVecs / 20000L).toInt))
+    spark.range(0L, nVecs, 1L, vecParts).map { idBoxed =>
+      val id: Long = idBoxed
+      val label = (id % 10).toInt
+      val crnd = new java.util.Random(900017L + label)
+      val center = Array.fill(64)(crnd.nextGaussian())
+      val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7)
+      val v = Array.tabulate(64)(i => (center(i) + 0.6 * rnd.nextGaussian()).toFloat)
+      (id, v, label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Least-squares slope of ln(y) on ln(x) — the scaling exponent. */
+  private[graft] def logLogSlope(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val (lx, ly) = (xs.map(math.log), ys.map(math.log))
+    val (mx, my) = (lx.sum / lx.size, ly.sum / ly.size)
+    val num = lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = lx.map(a => (a - mx) * (a - mx)).sum
+    num / den
+  }
+
+  /** Run the headline curation ops at each scale; returns the JSON record.
+    * Wall time is the min of `reps` in-JVM reps (steady-state discipline:
+    * rep 1 pays codegen + Models train-once; the claim under test is the
+    * standing cost). Shuffle bytes come from a SparkListener summing
+    * per-stage task metrics across ALL jobs an op runs, polled to
+    * stability after each rep (the listener bus is async). */
+  def scaleRun(spark: SparkSession, scales: Seq[Int], opNames: Seq[String],
+      reps: Int): String = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val sw = new java.util.concurrent.atomic.LongAdder
+    val sr = new java.util.concurrent.atomic.LongAdder
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          sw.add(m.shuffleWriteMetrics.bytesWritten)
+          sr.add(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    def settled(): (Long, Long) = {
+      var prev = (-1L, -1L); var cur = (sw.sum(), sr.sum()); var waited = 0
+      while (cur != prev && waited < 5000) {
+        prev = cur; Thread.sleep(200); waited += 200; cur = (sw.sum(), sr.sum())
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val qs = SparkEntry.queries
+    try {
+      val baseDocs = 5000L; val baseVecs = 2000L
+      val perScale = scales.map { k =>
+        val dir = Files.createTempDirectory(f"graft-scale-x$k%03d")
+        val t0 = System.nanoTime()
+        synthCorpus(spark, dir, baseDocs * k, baseVecs * k)
+        val genSec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] x$k corpus: ${baseDocs * k} docs, ${baseVecs * k} vecs in $genSec%.1fs")
+        val ops = opNames.map { name =>
+          val samples = (1 to reps).map { rep =>
+            settled(); val (w0, r0) = (sw.sum(), sr.sum())
+            val t1 = System.nanoTime()
+            val rows = qs(name)(spark, dir.toString).count()
+            val sec = (System.nanoTime() - t1) / 1e9
+            val (w1, r1) = settled()
+            val rounds = if (name == "dedup_cc") graft.operators.Dedup.lastCcRounds else -1
+            System.err.println(f"[scale] x$k $name%-18s rep$rep $sec%8.2fs rows=$rows " +
+              f"shufW=${(w1 - w0) / 1e6}%.1fMB shufR=${(r1 - r0) / 1e6}%.1fMB" +
+              (if (rounds >= 0) s" ccRounds=$rounds" else ""))
+            (sec, w1 - w0, r1 - r0, rows, rounds)
+          }
+          val best = samples.minBy(_._1)
+          name -> best
+        }
+        (k, genSec, ops)
+      }
+      val opJson = opNames.map { name =>
+        val series = perScale.map { case (k, _, ops) => k -> ops.find(_._1 == name).get._2 }
+        val xs = series.map(_._1.toDouble)
+        val walls = series.map(_._2._1)
+        val shufW = series.map(_._2._2.toDouble)
+        val slopeWall = logLogSlope(xs, walls)
+        val slopeShuf =
+          if (shufW.forall(_ > 0)) logLogSlope(xs, shufW) else Double.NaN
+        val rounds = series.map(_._2._5)
+        s""""$name":{"wall_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+          s""""shuffle_write_mb":[${shufW.map(b => f"${b / 1e6}%.1f").mkString(",")}],""" +
+          s""""shuffle_read_mb":[${series.map(_._2._3 / 1e6).map(b => f"$b%.1f").mkString(",")}],""" +
+          s""""rows":[${series.map(_._2._4).mkString(",")}],""" +
+          (if (rounds.exists(_ >= 0)) s""""cc_rounds":[${rounds.mkString(",")}],""" else "") +
+          s""""slope_wall":${f"$slopeWall%.2f"},""" +
+          s""""slope_shuffle":${if (slopeShuf.isNaN) "null" else f"$slopeShuf%.2f"}}"""
+      }
+      s"""{"metric":"scale_exponents","scales":[${scales.mkString(",")}],""" +
+        s""""base_docs":5000,"base_vecs":2000,"reps":$reps,""" +
+        s""""gen_sec":[${perScale.map(p => f"${p._2}%.1f").mkString(",")}],""" +
+        s""""ops":{${opJson.mkString(",")}}}"""
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** args: [nFiles] [rowsPerFile], defaults 200 x 1000;
     * or: soak [n1,n2,...] [rowsPerFile] (defaults 1000,4000,12000 x 10);
     * or: layout [sessions] [rounds] [sfDir] (defaults 8 x 3 on sf0.1);
-    * or: logsoak [rounds] [newPerRound] [rowsPerFile] (defaults 40 x 8 x 10). */
+    * or: logsoak [rounds] [newPerRound] [rowsPerFile] (defaults 40 x 8 x 10);
+    * or: scale [k1,k2,...] [op1,op2,...] [reps] (defaults 1,10,100 x
+    *     dedup_cc,dedup_minhash_lsh,heavy_hitters,budget_select,ann_topk_ivf x 2). */
   def main(args: Array[String]): Unit = {
     val soakMode = args.headOption.contains("soak")
     val layoutMode = args.headOption.contains("layout")
     val logSoakMode = args.headOption.contains("logsoak")
-    val anyMode = soakMode || layoutMode || logSoakMode
+    val scaleMode = args.headOption.contains("scale")
+    val anyMode = soakMode || layoutMode || logSoakMode || scaleMode
     val nFiles = if (anyMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
     val rowsPerFile = if (anyMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
@@ -356,6 +524,18 @@ object PerfHarness {
         val newPerRound = args.lift(2).map(_.toInt).getOrElse(8)
         val rows = args.lift(3).map(_.toInt).getOrElse(10)
         println(metadataLogSoak(spark, rounds, newPerRound, rows))
+      } else if (scaleMode) {
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        // the 128-column minhash signature aggregate must stay inside
+        // whole-stage codegen (default field cap is 100)
+        spark.conf.set("spark.sql.codegen.maxFields", "256")
+        val scales = args.lift(1).getOrElse("1,10,100").split(",").toSeq.map(_.trim.toInt)
+        val ops = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
+          "dedup_cc", "dedup_minhash_lsh", "heavy_hitters", "budget_select", "ann_topk_ivf"))
+        val unknown = ops.toSet -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")}")
+        val reps = args.lift(3).map(_.toInt).getOrElse(2)
+        println(scaleRun(spark, scales, ops, reps))
       } else if (soakMode) {
         val backlogs = args.lift(1).getOrElse("1000,4000,12000")
           .split(",").toSeq.map(_.trim.toInt)

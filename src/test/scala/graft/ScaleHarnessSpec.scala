@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the scale-exponent harness: the synthetic corpus must pass the
+  * fixture schema guard (the ops under measurement load through
+  * `Tables.table`), carry the planted scale-invariant structure the
+  * measured claims rest on, and the slope fit must be exact on planted
+  * power laws.
+  */
+class ScaleHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("synthetic corpus passes the fixture schema guard and is deterministic") {
+    val dir = Files.createTempDirectory("graft-scalespec")
+    PerfHarness.synthCorpus(spark, dir, nDocs = 500, nVecs = 200)
+    // Tables.table applies assertFixtureSchema — a drift throws here
+    val docs = graft.queries.Tables.documents(spark, dir.toString)
+    val embs = graft.queries.Tables.embeddings(spark, dir.toString)
+    assert(docs.count() == 500 && embs.count() == 200)
+    // deterministic: regenerating yields the identical corpus
+    val dir2 = Files.createTempDirectory("graft-scalespec2")
+    PerfHarness.synthCorpus(spark, dir2, nDocs = 500, nVecs = 200)
+    val a = docs.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = graft.queries.Tables.documents(spark, dir2.toString)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "synthCorpus must be deterministic for reproducible slopes")
+  }
+
+  test("planted near-dup structure: fixed per-doc rate, diameter <= 2 components") {
+    val dir = Files.createTempDirectory("graft-scalespec3")
+    PerfHarness.synthCorpus(spark, dir, nDocs = 2000, nVecs = 10)
+    val clusters = graft.operators.Dedup.dedupClusters(spark, dir.toString).collect()
+    // blocks of 50: every block plants >=1 near pair, every 5th a 3-chain;
+    // short docs (<29 tokens) legitimately fall under the 0.8 jaccard
+    // edge threshold, so assert a healthy band, not an exact count
+    val nClustered = clusters.length
+    assert(nClustered > 40 && nClustered <= 2 * (2000 / 50) + 2000 / 250,
+      s"planted near-dup density off: $nClustered clustered docs")
+    // diameter <= 2 must converge in very few pointer-doubling rounds —
+    // the scale-invariant CC-rounds claim the harness measures
+    assert(graft.operators.Dedup.lastCcRounds <= 3,
+      s"planted components should converge fast, took ${graft.operators.Dedup.lastCcRounds}")
+    val sizes = clusters.map(_.getLong(2)).toSet
+    assert(sizes.subsetOf(Set(2L, 3L)), s"component sizes should be 2..3, got $sizes")
+  }
+
+  test("log-log slope fit is exact on planted power laws") {
+    val xs = Seq(1.0, 10.0, 100.0)
+    assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(x => 3.0 * x)) - 1.0) < 1e-9)
+    assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(x => 0.5 * x * x)) - 2.0) < 1e-9)
+    assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(_ => 7.0))) < 1e-9)
+  }
+}
