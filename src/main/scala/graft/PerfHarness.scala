@@ -451,6 +451,11 @@ object PerfHarness {
         System.err.println(f"[scale] x$k corpus: ${baseDocs * k} docs, ${baseVecs * k} vecs in $genSec%.1fs")
         val ops = opNames.map { name =>
           val samples = (1 to reps).map { rep =>
+            // operators may persist/localCheckpoint internally; a later rep
+            // silently reusing rep 1's cached frames would report near-zero
+            // shuffle and a fantasy wall time — every rep starts cache-cold
+            // (codegen/JIT/Models-store warmth is what min-of-reps keeps)
+            spark.catalog.clearCache()
             settled(); val (w0, r0) = (sw.sum(), sr.sum())
             val t1 = System.nanoTime()
             val rows = qs(name)(spark, dir.toString).count()
@@ -475,14 +480,21 @@ object PerfHarness {
         val slopeWall = logLogSlope(xs, walls)
         val slopeShuf =
           if (shufW.forall(_ > 0)) logLogSlope(xs, shufW) else Double.NaN
+        // the smallest scale is dominated by fixed per-job overheads
+        // (scheduling, driver actions), which flattens the full fit; the
+        // top-decade slope between the two LARGEST scales is the honest
+        // asymptotic signal — report both
+        def topSlope(ys: Seq[Double]): Double =
+          logLogSlope(xs.takeRight(2), ys.takeRight(2))
         val rounds = series.map(_._2._5)
         s""""$name":{"wall_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
           s""""shuffle_write_mb":[${shufW.map(b => f"${b / 1e6}%.1f").mkString(",")}],""" +
           s""""shuffle_read_mb":[${series.map(_._2._3 / 1e6).map(b => f"$b%.1f").mkString(",")}],""" +
           s""""rows":[${series.map(_._2._4).mkString(",")}],""" +
           (if (rounds.exists(_ >= 0)) s""""cc_rounds":[${rounds.mkString(",")}],""" else "") +
-          s""""slope_wall":${f"$slopeWall%.2f"},""" +
-          s""""slope_shuffle":${if (slopeShuf.isNaN) "null" else f"$slopeShuf%.2f"}}"""
+          s""""slope_wall":${f"$slopeWall%.2f"},"slope_wall_top":${f"${topSlope(walls)}%.2f"},""" +
+          s""""slope_shuffle":${if (slopeShuf.isNaN) "null" else f"$slopeShuf%.2f"},""" +
+          s""""slope_shuffle_top":${if (shufW.takeRight(2).forall(_ > 0)) f"${topSlope(shufW)}%.2f" else "null"}}"""
       }
       s"""{"metric":"scale_exponents","scales":[${scales.mkString(",")}],""" +
         s""""base_docs":5000,"base_vecs":2000,"reps":$reps,""" +

@@ -291,9 +291,20 @@ object Dedup {
     * the one-action-per-round job-count law in DedupJobsSpec). */
   @volatile private[graft] var lastCcRounds: Int = -1
 
+  /** Document-frequency cap for the CC kernel's pair generation — ON by
+    * default here (unlike the standalone exact-jaccard query): an
+    * ultra-common shingle contributes ~df²/2 candidate pairs, and the
+    * round-14 scale harness MEASURED that term bending the CC kernel's
+    * shuffle super-linear on a Zipf corpus (BENCH_NOTES round-14 slope
+    * table) while the capped kernel stays ~linear. 64 is >2x the max df
+    * ever observed on the fixtures (7 at sf0.01, 25 at sf0.1), so gate
+    * hashes are unchanged; at scale it bounds the worst key's fan-out to
+    * <= 64²/2 pairs. The oracle CTE applies the same cap. */
+  private[graft] val CcDfCap = 64
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupNgramJaccard(s, d).select($"a_id", $"b_id")
+    val pairs = dedupNgramJaccardCapped(s, d, CcDfCap).select($"a_id", $"b_id")
     val edges = pairs
       .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("src", "dst").persist()
@@ -357,11 +368,15 @@ object Dedup {
   }
   /** Shared CC oracle CTEs: near-dup pairs -> symmetric edges ->
     * transitive closure -> component-min labels (clustered docs only). */
-  private val CcCteSql: String =
+  private[graft] val CcCteSql: String =
     s"""$ShingleCteSql,
-       |p AS (
+       |rare AS (
+       |  SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $CcDfCap
+       |), exc AS (
+       |  SELECT ex.* FROM ex JOIN rare USING (s)
+       |), p AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
        |), e AS (
