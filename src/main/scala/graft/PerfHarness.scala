@@ -433,14 +433,25 @@ object PerfHarness {
       }
     }
     def settled(): (Long, Long) = {
-      var prev = (-1L, -1L); var cur = (sw.sum(), sr.sum()); var waited = 0
-      while (cur != prev && waited < 5000) {
-        prev = cur; Thread.sleep(200); waited += 200; cur = (sw.sum(), sr.sum())
+      // the listener bus posts asynchronously and can pause mid-backlog
+      // for hundreds of ms after a many-job op; a short stability window
+      // mis-attributes late stages to the NEXT rep (observed: a 12 MB
+      // reading for a pipeline that demonstrably shuffles 100+ MB).
+      // Floor-wait 500 ms, then require a full second of silence.
+      Thread.sleep(500)
+      var cur = (sw.sum(), sr.sum()); var stableMs = 0; var waited = 0
+      while (stableMs < 1000 && waited < 20000) {
+        Thread.sleep(200); waited += 200
+        val next = (sw.sum(), sr.sum())
+        if (next == cur) stableMs += 200 else stableMs = 0
+        cur = next
       }
       cur
     }
     spark.sparkContext.addSparkListener(listener)
-    val qs = SparkEntry.queries
+    // scale-only comparison arms that are deliberately NOT gate queries
+    val qs = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "dedup_cc_uncapped" -> ((s, d) => graft.operators.Dedup.dedupClustersUncapped(s, d)))
     try {
       val baseDocs = 5000L; val baseVecs = 2000L
       val perScale = scales.map { k =>
@@ -544,7 +555,7 @@ object PerfHarness {
         val scales = args.lift(1).getOrElse("1,10,100").split(",").toSeq.map(_.trim.toInt)
         val ops = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
           "dedup_cc", "dedup_minhash_lsh", "heavy_hitters", "budget_select", "ann_topk_ivf"))
-        val unknown = ops.toSet -- SparkEntry.queries.keySet
+        val unknown = ops.toSet -- SparkEntry.queries.keySet - "dedup_cc_uncapped"
         require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")}")
         val reps = args.lift(3).map(_.toInt).getOrElse(2)
         println(scaleRun(spark, scales, ops, reps))

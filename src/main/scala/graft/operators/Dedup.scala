@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -31,6 +32,9 @@ object Dedup {
   private val MinhashK = 128
   private val LshBands = 32
   private val LshRows = 4
+  /** Band-bucket pair window: all pairs for buckets <= BucketW+1 docs,
+    * doc_id-ordered sliding window beyond (see the candidate stage). */
+  private[graft] val BucketW = 64
 
   /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops.
     * [[Par.spread]]-gated on doc_id first: the fixture is one small
@@ -196,10 +200,23 @@ object Dedup {
     }
     val bandsEx = sig.select($"doc_id",
       posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
+      // rank within the band bucket: the pair stage below only links docs
+      // within BucketW rank positions, which is ALL pairs for any bucket
+      // of <= BucketW+1 docs (every fixture bucket — results unchanged)
+      // and a doc_id-ordered sliding window beyond. An oversized bucket
+      // is either a true duplicate pile — whose members all mutually
+      // verify, so windowed links reconnect the pile transitively in CC —
+      // or a collision pile of short/hot-token docs, whose O(bucket²)
+      // candidate fan-out is exactly the degenerate cost this bounds (the
+      // LSH analogue of the shingle dfCap; measured in the round-14 scale
+      // table as the term that bent the LSH path super-linear on Zipf
+      // text with many short documents).
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band_idx", $"band_key").orderBy($"doc_id")))
     val cand = bandsEx.as("a")
       .join(bandsEx.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
+          $"a.doc_id" < $"b.doc_id" && $"b.rn" - $"a.rn" <= BucketW)
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .distinct()
     cand
@@ -302,9 +319,42 @@ object Dedup {
     * <= 64²/2 pairs. The oracle CTE applies the same cap. */
   private[graft] val CcDfCap = 64
 
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersWithCap(s, d, CcDfCap)
+
+  /** The CC kernel WITHOUT the df cap — scale-harness comparison arm
+    * only (quantifies what the cap buys; never a gate query). */
+  private[graft] def dedupClustersUncapped(s: SparkSession, d: String): DataFrame =
+    dedupClustersWithCap(s, d, Int.MaxValue)
+
+  private def dedupClustersWithCap(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     import s.implicits._
-    val pairs = dedupNgramJaccardCapped(s, d, CcDfCap).select($"a_id", $"b_id")
+    ccFixpoint(dedupNgramJaccardCapped(s, d, dfCap).select($"a_id", $"b_id"))
+  }
+
+  /** CC over the minhash-LSH candidate path (dedup_cc_lsh): identical
+    * fixpoint kernel, but candidate pairs come from banded minhash
+    * signatures instead of the exact shingle equi-join. This is the
+    * 100 TB spelling of near-dup clustering: the exact path's pair
+    * generation carries a Σ df² term that the round-14 scale harness
+    * measured bending super-linear on Zipf text even under the df cap
+    * (BENCH_NOTES slope table), while the LSH path's shuffle is the
+    * signature pass (O(corpus shingles)) plus band buckets bounded by
+    * the real near-dup density — measured ~linear. On the fixtures the
+    * two paths produce IDENTICAL components (banding at these
+    * parameters catches every >= 0.8 pair there — the same argument
+    * that lets dedup_minhash_lsh share the exact oracle), so the oracle
+    * is the same recursive CTE over exact pairs. */
+  def dedupClustersLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ccFixpoint(dedupMinhashLsh(s, d).select($"a_id", $"b_id"))
+  }
+
+  /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->
+    * `(doc_id, cluster_id, cluster_size)` over clustered docs. */
+  private def ccFixpoint(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     val edges = pairs
       .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("src", "dst").persist()
@@ -496,6 +546,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_cc" -> dedupClusters _,
+    "dedup_cc_lsh" -> dedupClustersLsh _,
     "dedup_keep_canonical" -> dedupKeepCanonical _,
   )
   val oracles: Map[String, String] = Map(
@@ -506,6 +557,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cc" -> dedupClustersSql,
+    "dedup_cc_lsh" -> dedupClustersSql,
     "dedup_keep_canonical" -> dedupKeepCanonicalSql,
   )
 }

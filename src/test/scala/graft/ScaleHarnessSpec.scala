@@ -57,6 +57,18 @@ class ScaleHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.subsetOf(Set(2L, 3L)), s"component sizes should be 2..3, got $sizes")
   }
 
+  test("dedup_cc_lsh: the LSH candidate path yields the exact path's components") {
+    val dir = Files.createTempDirectory("graft-scalespec4")
+    PerfHarness.synthCorpus(spark, dir, nDocs = 2000, nVecs = 10)
+    val exact = graft.operators.Dedup.dedupClusters(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val lsh = graft.operators.Dedup.dedupClustersLsh(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(exact.nonEmpty, "planted corpus must cluster")
+    assert(lsh == exact,
+      s"LSH CC must match exact CC on the planted corpus (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
   test("log-log slope fit is exact on planted power laws") {
     val xs = Seq(1.0, 10.0, 100.0)
     assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(x => 3.0 * x)) - 1.0) < 1e-9)
