@@ -131,15 +131,20 @@ object Sampling {
     * 0-7/8/9 of the rep's hash give the standard 80/10/10 cut. Output is
     * the per-split audit report: docs, distinct groups, total chars.
     *
-    * Why this shape scales: the component map from [[Dedup.dedupClusters]]
-    * covers CLUSTERED docs only (a small fraction of the corpus by the
-    * dedup premise) and joins back on doc_id — a co-partitioned equi-join
-    * — with unclustered docs falling through to their own id via
-    * coalesce; the report is a map-side-combined 3-row aggregate. No
-    * stage touches text after the CC kernel. */
+    * Why this shape scales: components come from the LSH candidate path
+    * ([[Dedup.dedupClustersLsh]] — measured shuffle slope 1.0 in the
+    * round-14 scale table, vs ~1.45 for the exact shingle equi-join
+    * whose Σdf² term this operator would otherwise inherit; identical
+    * components on the fixtures, so the oracle stays the exact recursive
+    * CTE). The component map covers CLUSTERED docs only (a small
+    * fraction of the corpus by the dedup premise) and joins back on
+    * doc_id — a co-partitioned equi-join — with unclustered docs falling
+    * through to their own id via coalesce; the report is a
+    * map-side-combined 3-row aggregate. No stage touches text after the
+    * CC kernel. */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val comp = Dedup.dedupClusters(s, d).select($"doc_id", $"cluster_id")
+    val comp = Dedup.dedupClustersLsh(s, d).select($"doc_id", $"cluster_id")
     Tables.documents(s, d).select($"doc_id", $"n_chars")
       .join(comp, Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_id", $"doc_id"))
