@@ -24,6 +24,20 @@ class DedupDfCapSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("BoundedGroupAgg: a group at the cap survives whole, one over overflows to empty") {
+    val s = spark
+    import s.implicits._
+    // groups: key 1 -> 4 members (== cap), key 2 -> 5 members (> cap)
+    val rows = (1L to 4L).map(i => (1L, i, 10L)) ++ (1L to 5L).map(i => (2L, i, 10L))
+    val got = rows.toDF("k", "doc_id", "sz")
+      .repartition(4) // members spread across partials: merge path exercised
+      .groupBy($"k")
+      .agg(graft.functions.BoundedGroupAgg.boundedGroup($"doc_id", $"sz", 4).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).length).toMap
+    assert(got(1L) == 4, s"at-cap group must keep all members: $got")
+    assert(got(2L) == 0, s"over-cap group must overflow to empty (sticky across merges): $got")
+  }
+
   test("a cap above every shingle df is exact; tighter caps only remove pairs") {
     val uncapped = pairs(Dedup.dedupNgramJaccard(spark, sf))
     val loose = pairs(Dedup.dedupNgramJaccardCapped(spark, sf, dfCap = 1000000))
