@@ -333,13 +333,72 @@ object Streaming3 {
        |WHERE event_id < $CUTOFF
        |GROUP BY 1, 2 ORDER BY seed, bucket""".stripMargin
 
+  /** Streaming consistent sample (stream_sample_consistent): the
+    * K-smallest-hash sample maintained over the stream as a
+    * complete-mode GLOBAL aggregate whose state is one <= 2K-entry
+    * buffer whatever the stream volume ([[graft.functions.TopKMinAgg]])
+    * — the standing eval-set that is always ready, never re-scanned.
+    * Top-K-min merge is commutative/associative, so the accumulated
+    * state after any number of micro-batches equals the batch K-heap
+    * over the same slice (batch-invariant BY CONSTRUCTION — the same
+    * law `sample_consistent` proves at rest). Contrast the naive
+    * streaming spelling (groupBy(event_id) then sort+limit): O(stream)
+    * state; this is O(K). */
+  private val StreamSampleK = 100
+  def streamSampleConsistent(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"sscons${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .select($"event_id",
+        conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10).cast("long").as("hk"))
+      .agg(graft.functions.TopKMinAgg.topkMin($"hk", $"event_id", StreamSampleK).as("tk"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_sample_consistent", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .select(explode($"tk").as("p"))
+      .select($"p.id".as("event_id"), $"p.key".as("hk"))
+      .orderBy($"hk", $"event_id")
+  }
+  val streamSampleConsistentSql: String =
+    s"""SELECT event_id, hk FROM (
+       |  SELECT event_id,
+       |    CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+       |  FROM events WHERE event_id < $CUTOFF
+       |  ORDER BY hk, event_id LIMIT $StreamSampleK)
+       |ORDER BY hk, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sample_consistent" -> streamSampleConsistent _,
     "stream_cms_monitor" -> streamCmsMonitor _,
     "stream_tws_profile" -> streamTwsProfile _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_sample_consistent" -> streamSampleConsistentSql,
     "stream_cms_monitor" -> streamCmsMonitorSql,
     "stream_tws_profile" -> streamTwsProfileSql,
     "stream_latest_by_key" -> streamLatestByKeySql,

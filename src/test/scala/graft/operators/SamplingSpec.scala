@@ -105,6 +105,19 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(straddlers.isEmpty, s"near-dup pairs straddle splits: ${straddlers.take(5).mkString(", ")}")
   }
 
+  test("TopKMinAgg: K smallest across partials, ties broken by id, K-bounded state") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 1000L).map(i => (i * 7919L % 997L, i)) // keys collide: ties exercised
+    val got = rows.toDF("hk", "id")
+      .repartition(8) // merge path across partials
+      .agg(graft.functions.TopKMinAgg.topkMin($"hk", $"id", 50).as("tk"))
+      .select(org.apache.spark.sql.functions.explode($"tk").as("p"))
+      .select($"p.key", $"p.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = rows.map { case (k, i) => (k, i) }.sorted.take(50)
+    assert(got == exp, "aggregate must equal the global (key,id) sort prefix")
+  }
+
   test("plan law: the samplers compile to a K-heap (TakeOrderedAndProject), no global sort") {
     for (name <- Seq("sample_consistent", "sample_weighted")) {
       val plan = Sampling.queries(name)(spark, "/root/testdata/sf0.001")
