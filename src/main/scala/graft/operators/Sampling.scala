@@ -68,7 +68,14 @@ object Sampling {
     * Why this shape scales: ONE shuffle on the stratum key, then a
     * per-stratum row_number over (hk, doc_id) cut at K — each window
     * partition is one stratum, output bounded by K x |strata|. No
-    * per-stratum jobs, no driver loop over languages. */
+    * per-stratum jobs, no driver loop over languages. This is the
+    * few-large-strata spelling (a handful of languages; each window
+    * partition is a full stratum and that is fine when strata are few);
+    * when a single stratum is hot enough to dominate its window task,
+    * use the salted two-phase kernel of
+    * [[PipelineOps.stratifiedSample]] (`stratified_sample`, over
+    * events), which pre-cuts K per (stratum, salt) before the
+    * per-stratum final cut. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"lang").orderBy($"hk", $"doc_id")

@@ -69,6 +69,25 @@ class ScaleHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH CC must match exact CC on the planted corpus (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("dedup_cc_lsh: an oversized duplicate pile reconnects transitively through windowed links") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-scalespec5").toString
+    // one dup pile of 80 near-identical docs (> BucketW+1 = 65): every
+    // band bucket holds all 80, so the window emits only rank-local
+    // pairs — the pile must still collapse to ONE component, proving
+    // the windowed candidate generation loses fan-out, not connectivity
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = (0L until 80L).map(i => (i, s"$base end$i", "en", "s", 250L)) ++
+      (100L until 150L).map(i => (i, (1 to 30).map(j => s"u${i}_$j").mkString(" "), "en", "s", 200L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val comps = graft.operators.Dedup.dedupClustersLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comps.length == 80, s"all 80 pile members must cluster, got ${comps.length}")
+    assert(comps.forall(c => c._2 == 0L && c._3 == 80L),
+      s"pile must be ONE component rooted at 0 with size 80: ${comps.take(5).mkString(", ")}")
+  }
+
   test("log-log slope fit is exact on planted power laws") {
     val xs = Seq(1.0, 10.0, 100.0)
     assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(x => 3.0 * x)) - 1.0) < 1e-9)
