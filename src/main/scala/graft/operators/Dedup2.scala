@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
@@ -261,14 +262,128 @@ object Dedup2 {
        |ORDER BY f.vec_id""".stripMargin
   }
 
+  // ------------------------------------------- SemDedup, bounded cells
+  /** Cell-size bound for [[semDedupBounded]]: recursive splitting stops
+    * once every cell holds <= this many vectors, so within-cell pairwise
+    * work is <= n * SemTarget however large the corpus. Larger than any
+    * fixture (200 / 2000 embeddings), so the fixture path is a single
+    * cell and the oracle is plain global pairwise — the splitting levels
+    * are exercised and law-pinned on a planted 5000-vector corpus in
+    * `ScaleHarnessSpec`. */
+  private[operators] val SemTarget = 2000
+  private[operators] val SemSubK = 16
+
+  /** SemDedup with MEASURED-linear clustering (semdedup_bounded): the
+    * round-14 scale harness caught the Lloyd-based [[semDedup]]'s
+    * fixed-K clustering at ~315 s / quadratic wall on a 100x corpus —
+    * sum n_k² with n_k ~ n/K grows as n²/K when K is a constant (the
+    * scaladoc's "scale K with n" was an argument, not code). This
+    * operator implements the bound: recursively split every oversized
+    * cell around [[SemSubK]] md5-sampled members of THAT cell (nearest
+    * sub-centroid by 6dp-rounded cosine, deterministic tie-break) until
+    * all cells hold <= [[SemTarget]] vectors — log_SubK(n/Target)
+    * levels, each one a constant number of shuffles over n rows, no
+    * driver-side member lists (the only per-level action is the scalar
+    * max-cell-size termination check). Then the SemDedup drop rule
+    * runs within cells: a vector with a lower-id cell-mate at cosine
+    * >= theta is dropped. Work: O(n log n) split + O(n * SemTarget)
+    * verify. Cell ids are split-path hashes (not stable labels), so the
+    * output carries only the verdict. */
+  def semDedupBounded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = boundedCells(s, d).persist()
+    try {
+      val dropped = out.as("a")
+        .join(out.as("b"), $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .filter(round(VectorOps.dotf($"a.embedding", $"b.embedding")
+          / ($"a.vn" * $"b.vn"), 6) >= SemTheta)
+        .select($"b.vec_id".as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      val res = out.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce(!$"dup", lit(true)).as("is_kept"))
+        .orderBy($"vec_id")
+        .persist()
+      res.count()
+      res
+    } finally out.unpersist()
+  }
+
+  /** The recursive splitter: (vec_id, embedding, vn, cell) with every
+    * cell <= [[SemTarget]]. Exposed for the planted-law spec. */
+  private[graft] def boundedCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var cur = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .withColumn("vn", VectorOps.normf($"embedding"))
+      .withColumn("cell", lit(0L))
+      .persist()
+    cur.count()
+    def maxCell(df: DataFrame): Long =
+      Option(df.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var level = 0
+    var mx = maxCell(cur)
+    while (mx > SemTarget && level < 12) {
+      val sizes = cur.groupBy($"cell").agg(count(lit(1)).as("cn_sz"))
+      val tagged = cur.join(sizes, "cell")
+      val small = tagged.filter($"cn_sz" <= SemTarget)
+        .select($"vec_id", $"embedding", $"vn", $"cell")
+      val big = tagged.filter($"cn_sz" > SemTarget)
+        .select($"vec_id", $"embedding", $"vn", $"cell")
+      // SubK sub-centroids PER oversized cell: md5-ranked members of that
+      // cell — a window, never a driver collect (oversized-cell count
+      // grows with n; nothing here is driver-sized)
+      val wr = Window.partitionBy($"cell").orderBy(
+        conv(substring(md5($"vec_id".cast("string")), 1, 8), 16, 10).cast("long"), $"vec_id")
+      val cents = big.withColumn("rk", row_number().over(wr)).filter($"rk" <= SemSubK)
+        .select($"cell", $"rk".as("sub"), $"embedding".as("cv"), $"vn".as("cn"))
+      val wbest = Window.partitionBy($"cell", $"vec_id").orderBy($"csim".desc, $"sub")
+      val reassigned = big.join(cents, "cell")
+        .withColumn("csim", round(VectorOps.dotf($"embedding", $"cv") / ($"vn" * $"cn"), 6))
+        .withColumn("best", row_number().over(wbest))
+        .filter($"best" === 1)
+        .select($"vec_id", $"embedding", $"vn",
+          xxhash64($"cell", $"sub").as("cell"))
+      val next = small.unionByName(reassigned)
+        // lineage truncation: the loop would otherwise stack a growing
+        // join/window chain per level (the dedupClusters localCheckpoint
+        // rationale); LAZY so the termination aggregate is the level's
+        // one materializing action
+        .localCheckpoint(false)
+      val prevCur = cur
+      mx = maxCell(next)
+      prevCur.unpersist()
+      cur = next
+      level += 1
+    }
+    cur
+  }
+  /** Fixture corpora are below [[SemTarget]], so zero split levels run
+    * and the verdict is plain global pairwise at theta. */
+  val semDedupBoundedSql: String = {
+    import Clustering.dotSql
+    def nrm(a: String) = s"sqrt(${dotSql(a, a)})"
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |  WHERE round(${dotSql("a.embedding", "b.embedding")}
+       |          / (${nrm("a.embedding")} * ${nrm("b.embedding")}), 6) >= $SemTheta
+       |)
+       |SELECT e.vec_id, dr.vec_id IS NULL AS is_kept
+       |FROM emb e LEFT JOIN dropped dr ON e.vec_id = dr.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_segments" -> dedupSegments _,
     "dedup_incremental" -> dedupIncremental _,
     "semdedup" -> semDedup _,
+    "semdedup_bounded" -> semDedupBounded _,
   )
   val oracles: Map[String, String] = Map(
     "dedup_segments" -> dedupSegmentsSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "semdedup" -> semDedupSql,
+    "semdedup_bounded" -> semDedupBoundedSql,
   )
 }

@@ -88,6 +88,42 @@ class ScaleHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pile must be ONE component rooted at 0 with size 80: ${comps.take(5).mkString(", ")}")
   }
 
+  test("semdedup_bounded: recursive splitting bounds every cell; verdicts equal the cell-local rule") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-scalespec6")
+    // 5000 vectors > SemTarget forces at least one split level
+    PerfHarness.synthCorpus(spark, dir, nDocs = 10, nVecs = 5000)
+    val cells = graft.operators.Dedup2.boundedCells(spark, dir.toString)
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size == 5000, "every vector must come out of the splitter")
+    val sizes = cells.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max <= 2000, s"split must bound every cell at SemTarget, max=${sizes.max}")
+    assert(sizes.size > 1, "a 5000-vector corpus must actually split")
+    // determinism: the same corpus splits the same way
+    val cells2 = graft.operators.Dedup2.boundedCells(spark, dir.toString)
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells2 == cells, "splitting must be deterministic")
+    // the verdict law: dropped iff a lower-id cell-mate sits at cosine >= theta
+    val verdicts = graft.operators.Dedup2.semDedupBounded(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val embs = graft.queries.Tables.embeddings(spark, dir.toString)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byCell = cells.toSeq.groupBy(_._2)
+    val expDropped = byCell.values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      ids.filter(b => ids.exists(a => a < b && cos(embs(a), embs(b)) >= 0.35))
+    }.toSet
+    val gotDropped = verdicts.filter(!_._2).keySet
+    assert(gotDropped == expDropped,
+      s"verdicts must equal the cell-local rule: extra=${(gotDropped -- expDropped).take(5)} missing=${(expDropped -- gotDropped).take(5)}")
+  }
+
   test("log-log slope fit is exact on planted power laws") {
     val xs = Seq(1.0, 10.0, 100.0)
     assert(math.abs(PerfHarness.logLogSlope(xs, xs.map(x => 3.0 * x)) - 1.0) < 1e-9)
