@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Dedup, Dedup2, Multimodal, PipelineOps, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Dedup, Dedup2, Multimodal, PipelineOps, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2, Streaming3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,7 @@ object SparkEntry {
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
       Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
       Curation3.queries ++ Curation4.queries ++ Curation5.queries ++
-      Curation6.queries ++ Sampling.queries ++
+      Curation6.queries ++ Curation7.queries ++ Sampling.queries ++
       Sketches.queries ++ Layout.queries ++ Relational3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +45,6 @@ object SparkEntry {
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
       Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++
       Curation3.oracles ++ Curation4.oracles ++ Curation5.oracles ++
-      Curation6.oracles ++ Sampling.oracles ++
+      Curation6.oracles ++ Curation7.oracles ++ Sampling.oracles ++
       Sketches.oracles ++ Layout.oracles ++ Relational3.oracles
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Embedding-space corpus curation — the quality/selection steps a
+  * training pipeline runs over the embedding table after dedup:
+  * outlier removal (drop vectors far from their group's centroid — the
+  * mislabeled/garbage-text detector) and diversity sampling (a coreset
+  * that covers every region of embedding space instead of oversampling
+  * the dense core).
+  *
+  * Both are engine-exact by construction. The outlier distance is
+  * computed entirely in fixed-point integers (quantize once, then only
+  * integer +/×), so Spark and DuckDB agree bit-for-bit with no float
+  * rounding seam; the outlier RULE is rank-based (top 1/20 by distance
+  * within the group, integer-division ceiling), never a float threshold
+  * a last-ulp could flip. The diversity sample reuses the IVF coarse
+  * quantizer's md5-ranked centroid sample and 6dp-rounded assignment
+  * ([[Similarity.ivfCentroids]]/[[Similarity.ivfAssign]]), the same
+  * deterministic spellings the ANN rows already hash-gate.
+  */
+object Curation7 {
+
+  /** Fixed-point scale for outlier distances. With |x| <= ~0.6 (observed
+    * embedding range), |fx| <= ~2.5e3; delta = fx·n − Σfx is bounded by
+    * 2·2.5e3·n, so Σ_dim delta² fits i64 for group sizes up to ~6e4 —
+    * far above any per-label slice the gate or bench stages. At cluster
+    * scale the same shape holds per GROUP (the stats frame is
+    * K·dim rows broadcast); a corpus whose single group exceeds ~6e4
+    * vectors should raise the quantizer scale check in the spec. */
+  private[graft] val OutlierQ = 4096.0
+
+  /** Outlier fraction: top 1/OutlierDen per group by centroid distance. */
+  private[graft] val OutlierDen = 20
+
+  /** Diversity sample size (and the per-cell cap: one cell can supply at
+    * most the whole sample when every other cell is empty). */
+  private[graft] val DiversityK = 200
+
+  /** 32-bit uniform hash key — the md5-prefix spelling shared with
+    * [[Sampling]] so DuckDB replays it bit-for-bit. */
+  private def hk(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  private def hkSql(x: String): String =
+    s"CAST(concat('0x', substring(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  // ------------------------------------------------ embedding outliers
+  /** Per-label centroid-distance outliers (`emb_outlier`): for each
+    * label group, the squared distance of every vector to the group
+    * centroid, and a flag on the top 1/20 by distance — the vectors
+    * least like their group, i.e. the mislabel/garbage candidates an
+    * embedding-quality pass would drop before training.
+    *
+    * Engine-exactness: quantize each coordinate ONCE (fx = round(x·Q)),
+    * then d2n = Σ_pos (fx·n − Σfx)² is pure integer arithmetic — it
+    * equals n²·Q²·‖x − μ‖² exactly, so ranking by d2n ranks by true
+    * centroid distance with zero float divergence between engines. The
+    * flag is rank-based with an integer-division ceiling, not a float
+    * threshold.
+    *
+    * Scale shape: one narrow explode (map), a (label,pos) aggregate of
+    * K·dim rows broadcast back onto the exploded stream (map-side
+    * join), a per-vector partial-aggregated sum (exploded rows of one
+    * vector are co-located, so the combine is local), and a window over
+    * labels. The only data-sized shuffles key on vec_id and label. */
+  def embOutlier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Par.spread(Tables.embeddings(s, d), $"vec_id")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"label", $"pos",
+        round($"x".cast("double") * OutlierQ).cast("long").as("fx"))
+    val stats = ex.groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n"), sum($"fx").as("s"))
+    val d2 = ex.join(broadcast(stats), Seq("label", "pos"))
+      .withColumn("delta", $"fx" * $"n" - $"s")
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"delta" * $"delta").as("d2n"), max($"n").as("n"))
+    d2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"label").orderBy($"d2n".desc, $"vec_id")))
+      // integer ceiling: outliers per group = ceil(n / OutlierDen);
+      // operands are non-negative, so div == floor (the ADVICE-pinned
+      // div-vs-// seam only opens on negatives)
+      .withColumn("is_outlier",
+        $"rk" <= expr(s"(n + ${OutlierDen - 1}) div $OutlierDen"))
+      .select($"vec_id", $"label", $"d2n", $"is_outlier")
+      .orderBy($"vec_id")
+  }
+  val embOutlierSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label, CAST(gs - 1 AS BIGINT) AS pos,
+       |    CAST(round(CAST(embedding[gs] AS DOUBLE) * $OutlierQ) AS BIGINT) AS fx
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(gs)
+       |), st AS (
+       |  SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(fx) AS BIGINT) AS s
+       |  FROM ex GROUP BY label, pos
+       |), dd AS (
+       |  SELECT e.vec_id, e.label,
+       |    CAST(SUM((e.fx * st.n - st.s) * (e.fx * st.n - st.s)) AS BIGINT) AS d2n,
+       |    MAX(st.n) AS n
+       |  FROM ex e JOIN st ON e.label = st.label AND e.pos = st.pos
+       |  GROUP BY e.vec_id, e.label
+       |)
+       |SELECT vec_id, label, d2n,
+       |  (ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2n DESC, vec_id)
+       |     <= (n + ${OutlierDen - 1}) // $OutlierDen) AS is_outlier
+       |FROM dd ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------ diversity sampling
+  /** Embedding-space diversity sample (`diversity_sample`): assign every
+    * vector to its nearest IVF coarse cell (the md5-ranked 16-centroid
+    * sample + 6dp-rounded cosine argmax the ANN rows share), rank within
+    * each cell by consistent hash, then take cells ROUND-ROBIN until K —
+    * so every populated region of embedding space contributes before any
+    * region contributes twice. A uniform sample oversamples the dense
+    * core; this is the coreset a curation pipeline feeds to eval or
+    * distillation when it wants coverage.
+    *
+    * Scale shape: assignment is a broadcast-16-centroid argmax (one
+    * window keyed on vec_id); the per-cell ranking is a BOUNDED
+    * imperative aggregate ([[graft.functions.TopKMinAgg]]) — 16 groups ×
+    * ≤K entries of map-side-combined state, NOT a window over 16
+    * skew-heavy partitions; the round-robin is a TakeOrderedAndProject
+    * over ≤ 16·K pre-trimmed rows. Output ≤ K rows at any corpus size,
+    * and no stage's state exceeds cells × K. */
+  def diversitySample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Similarity.ivfAssign(
+        Similarity.ivfCentroids(s, d), Similarity.normedEmb(s, d), "vec_id", 1)
+      .select($"vec_id", $"cid")
+    // per-cell K smallest (hk, vec_id): bounded-state aggregate, then
+    // posexplode recovers the within-cell rank (pos is 0-based)
+    val ranked = cells
+      .groupBy($"cid")
+      .agg(graft.functions.TopKMinAgg.topkMin(hk($"vec_id"), $"vec_id", DiversityK).as("top"))
+      .select($"cid", posexplode($"top").as(Seq("p", "kv")))
+      .select($"kv.id".as("vec_id"), $"cid", ($"p" + 1).cast("long").as("rn"))
+    ranked.orderBy($"rn", $"cid", $"vec_id").limit(DiversityK)
+      .select($"vec_id", $"cid", $"rn")
+      .orderBy($"vec_id")
+  }
+  /** Oracle replays the IVF assignment (same CTEs as `ann_topk_ivf`),
+    * ranks within cell by the same md5 hash key, and round-robins. */
+  val diversitySampleSql: String = {
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)))"
+    def nrmSql(a: String) = s"sqrt(${dotSql(a, a)})"
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, ${nrmSql("embedding")} AS vn FROM embeddings
+       |), cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv, vn AS cn FROM emb
+       |  ORDER BY ${hkSql("vec_id")}, vec_id
+       |  LIMIT 16
+       |), asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(${dotSql("e.embedding", "c.cv")} / (e.vn * c.cn), 6) DESC, c.cid) AS crank
+       |    FROM emb e CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), ranked AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ${hkSql("vec_id")}, vec_id) AS rn
+       |  FROM asg
+       |)
+       |SELECT vec_id, cid, rn FROM (
+       |  SELECT * FROM ranked WHERE rn <= $DiversityK
+       |  ORDER BY rn, cid, vec_id LIMIT $DiversityK)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outlier" -> embOutlier _,
+    "diversity_sample" -> diversitySample _,
+  )
+  val oracles: Map[String, String] = Map(
+    "emb_outlier" -> embOutlierSql,
+    "diversity_sample" -> diversitySampleSql,
+  )
+}

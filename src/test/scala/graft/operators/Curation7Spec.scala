@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-scenario laws for the embedding-curation family: the
+  * fixed-point outlier distance replayed exactly in plain JVM integers,
+  * the rank-rule flag count, round-robin coverage of the diversity
+  * sample, and the bounded-aggregate selection replica.
+  */
+class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hk(x: Long): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(x.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("emb_outlier: flags exactly the planted far vector; d2n matches the integer replica") {
+    // label 0: 19 vectors in a tight ball + 1 far vector = 20 members,
+    // so the rank rule flags ceil(20/20) = exactly 1
+    val dim = 4
+    val near = (0L until 19L).map { i =>
+      (i, Array.tabulate(dim)(p => 0.1f + 0.001f * ((i + p) % 3)), 0)
+    }
+    val far = (19L, Array.fill(dim)(0.5f), 0)
+    val rows = near :+ far
+    val dir = writeEmb(rows)
+    val got = Curation7.embOutlier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+
+    // plain-JVM integer replica of the fixed-point distance
+    val fx: Map[Long, Array[Long]] = rows.map { case (id, v, _) =>
+      id -> v.map(x => math.round(x.toDouble * Curation7.OutlierQ))
+    }.toMap
+    val n = rows.size.toLong
+    val s = Array.tabulate(dim)(p => fx.valuesIterator.map(_(p)).sum)
+    val d2nExp: Map[Long, Long] = fx.map { case (id, v) =>
+      id -> Array.tabulate(dim) { p =>
+        val delta = v(p) * n - s(p); delta * delta
+      }.sum
+    }
+    got.foreach { case (id, d2n, _) =>
+      assert(d2n == d2nExp(id), s"d2n of $id must equal the integer replica")
+    }
+    val flagged = got.filter(_._3).map(_._1)
+    assert(flagged == Seq(19L), "exactly the planted far vector is the outlier")
+  }
+
+  test("emb_outlier: flag count per label is ceil(n/20) and groups are independent") {
+    val dim = 3
+    // label 1: 45 members => ceil(45/20) = 3 flagged; label 2: 5 => 1
+    val g1 = (100L until 145L).map(i => (i, Array.tabulate(dim)(p => (i % 7 + p).toFloat / 100f), 1))
+    val g2 = (200L until 205L).map(i => (i, Array.tabulate(dim)(p => (i % 5 + p).toFloat / 100f), 2))
+    val dir = writeEmb(g1 ++ g2)
+    val byLabel = Curation7.embOutlier(spark, dir).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.count(_.getBoolean(3))).toMap
+    assert(byLabel(1) == 3 && byLabel(2) == 1)
+  }
+
+  test("diversity_sample: selection equals the plain-Scala round-robin replica on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation7.diversitySample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+
+    // replica: collect the deterministic cell assignment, rank by (hk, id)
+    // within cell, round-robin to K
+    import spark.implicits._
+    val cells = Similarity.ivfAssign(
+        Similarity.ivfCentroids(spark, d), Similarity.normedEmb(spark, d), "vec_id", 1)
+      .select($"vec_id", $"cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = cells.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.map(_._1).sortBy(id => (hk(id), id)).zipWithIndex
+        .map { case (id, i) => (id, cid, (i + 1).toLong) }
+    }
+    val exp = ranked.sortBy { case (id, cid, rn) => (rn, cid, id) }
+      .take(Curation7.DiversityK).sortBy(_._1)
+    assert(got == exp, "sample must equal the round-robin replica")
+
+    // coverage law: every populated cell contributes before any cell
+    // contributes twice — cell counts differ by more than 1 only when the
+    // smaller cell is exhausted
+    val sizeOf = cells.groupBy(_._2).view.mapValues(_.size).toMap
+    val pick = got.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((ca, na) <- pick; (cb, nb) <- pick if na > nb + 1)
+      assert(pick(cb) == sizeOf(cb),
+        s"cell $ca got $na while non-exhausted cell $cb got $nb")
+  }
+
+  test("diversity_sample: K-bounded output and prefix ranks per cell") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation7.diversitySample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length <= Curation7.DiversityK)
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      val rns = rows.map(_._3).sorted.toVector
+      assert(rns == (1L to rns.length).toVector,
+        s"cell $cid ranks must be a 1..n prefix (round-robin admits in rank order)")
+    }
+  }
+}

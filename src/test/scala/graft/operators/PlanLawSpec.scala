@@ -58,6 +58,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "skew_report" -> "broadcast side is the ONE-row total/max aggregate by construction",
     "emb_pca_project" -> "broadcast side is the ONE-row variance-explained aggregate by construction",
     "dedup_cluster_stats" -> "singleton row crossJoins two ONE-row count aggregates by construction",
+    "diversity_sample" -> "cell assignment broadcasts the k=16 IVF centroid table by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
@@ -131,6 +132,14 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("q55_bucketed_window", "scan is bucket-aware",
       _.contains("Bucketed: true")),
     ("top_ngrams", "heavy hitters run as TakeOrdered, never a global sort of the vocabulary",
+      _.contains("TakeOrderedAndProject")),
+    ("emb_outlier", "centroid stats rejoin the exploded stream via broadcast hash, never a shuffled join",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("emb_outlier", "per-vector distance sum is partially aggregated (map-side combine on the exploded rows)",
+      _.contains("partial_sum")),
+    ("diversity_sample", "per-cell ranking is the bounded topk_min_agg aggregate, not a window over 16 skewed cell partitions",
+      p => p.contains("topk_min_agg") && "Window ".r.findAllIn(p).size == 1),
+    ("diversity_sample", "round-robin limit plans as TakeOrderedAndProject, never a global sort",
       _.contains("TakeOrderedAndProject")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
       p => {
