@@ -390,7 +390,78 @@ object Streaming3 {
        |  ORDER BY hk, event_id LIMIT $StreamSampleK)
        |ORDER BY hk, event_id""".stripMargin
 
+  /** Fixed-point scale for the drift monitor's centroid sums — the
+    * [[graft.operators.Clustering]] spelling, so the running mean is
+    * one exact integer division away from the batch answer. */
+  private val DriftQ = 1048576.0
+
+  private val embeddingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+  /** Streaming embedding-drift monitor (stream_emb_drift): the
+    * per-label running centroid maintained over a stream of embedding
+    * batches as a complete-mode aggregate — the always-on table a drift
+    * alarm diffs against a frozen reference centroid to catch an
+    * upstream encoder change or a poisoned ingest.
+    *
+    * State is EXACTLY labels × dim (count, Σ quantized-coordinate)
+    * rows whatever the stream volume — integer sums are commutative/
+    * associative, so the accumulated table after any number of
+    * micro-batches equals the batch centroid over the same slice
+    * (batch-invariant BY CONSTRUCTION, the standing law of this file).
+    * The fixed-point spelling is [[graft.operators.Clustering]]'s, so
+    * DuckDB replays the running means bit-for-bit. */
+  def streamEmbDrift(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"sedrift${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.embeddings(s, dir).repartition(2, col("vec_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(embeddingsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"label", $"pos".cast("long").as("pos"),
+        round($"x".cast("double") * DriftQ).cast("long").as("fx"))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n_vecs"), sum($"fx").as("fxs"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_emb_drift", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName)
+      .select($"label", $"pos", $"n_vecs",
+        ($"fxs".cast("double") / ($"n_vecs" * DriftQ)).as("mean_val"))
+      .orderBy($"label", $"pos")
+  }
+  val streamEmbDriftSql: String =
+    s"""WITH x AS (
+       |  SELECT label, CAST(gs - 1 AS BIGINT) AS pos,
+       |    CAST(round(CAST(embedding[gs] AS DOUBLE) * $DriftQ) AS BIGINT) AS fx
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(gs))
+       |SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / (COUNT(*) * $DriftQ) AS mean_val
+       |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_emb_drift" -> streamEmbDrift _,
     "stream_sample_consistent" -> streamSampleConsistent _,
     "stream_cms_monitor" -> streamCmsMonitor _,
     "stream_tws_profile" -> streamTwsProfile _,
@@ -398,6 +469,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_emb_drift" -> streamEmbDriftSql,
     "stream_sample_consistent" -> streamSampleConsistentSql,
     "stream_cms_monitor" -> streamCmsMonitorSql,
     "stream_tws_profile" -> streamTwsProfileSql,
