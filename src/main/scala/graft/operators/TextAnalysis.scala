@@ -475,7 +475,50 @@ object TextAnalysis {
        |FROM e$BpeMerges ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language tokenizer-fertility audit (`tokenizer_fertility`):
+    * BPE units per whitespace word and per character, aggregated by
+    * language, using the SAME learned merge table as `bpe_encode` (the
+    * Models train-once artifact — this row pays zero re-learning). This
+    * is the multilingual fairness check a tokenizer review runs: a
+    * language whose fertility_ppm is far above the corpus norm pays
+    * more sequence length (= more compute, shorter effective context)
+    * per word, the classic under-served-script signal.
+    *
+    * All ratios are non-negative integer divisions on exact long sums,
+    * so both engines agree bit-for-bit; scale shape is the bpe_encode
+    * map (merge table folded into the projection as literals) plus one
+    * languages-sized aggregate. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val enc = bpeEncode(s, d).select($"doc_id", $"n_char_units", $"n_bpe_units")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_words"))
+    docs.join(enc, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_bpe_units").as("n_bpe_units"),
+        sum($"n_char_units").as("n_char_units"))
+      .withColumn("fertility_ppm", expr("(n_bpe_units * 1000000) div n_words"))
+      .withColumn("compression_ppm",
+        expr("case when n_char_units = 0 then 0 else ((n_char_units - n_bpe_units) * 1000000) div n_char_units end"))
+      .orderBy($"lang")
+  }
+  val tokenizerFertilitySql: String =
+    raw"""SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(d.text), '\s+'))) AS BIGINT) AS n_words,
+         |  CAST(SUM(b.n_bpe_units) AS BIGINT) AS n_bpe_units,
+         |  CAST(SUM(b.n_char_units) AS BIGINT) AS n_char_units,
+         |  (CAST(SUM(b.n_bpe_units) AS BIGINT) * 1000000)
+         |    // CAST(SUM(len(string_split_regex(trim(d.text), '\s+'))) AS BIGINT) AS fertility_ppm,
+         |  CASE WHEN CAST(SUM(b.n_char_units) AS BIGINT) = 0 THEN 0
+         |       ELSE ((CAST(SUM(b.n_char_units) AS BIGINT) - CAST(SUM(b.n_bpe_units) AS BIGINT)) * 1000000)
+         |              // CAST(SUM(b.n_char_units) AS BIGINT) END AS compression_ppm
+         |FROM ($bpeEncodeSql) b JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_fertility" -> tokenizerFertility _,
     "bpe_vocab_learn" -> bpeVocabLearn _,
     "bpe_encode" -> bpeEncode _,
     "bpe_pair_counts" -> bpePairCounts _,
@@ -487,6 +530,7 @@ object TextAnalysis {
     "text_perplexity" -> textPerplexity _,
   )
   val oracles: Map[String, String] = Map(
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "bpe_vocab_learn" -> bpeVocabLearnSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_pair_counts" -> bpePairCountsSql,

@@ -82,6 +82,25 @@ class Curation5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"merge table must train exactly once per JVM, trained ${Models.builds(key)} times")
   }
 
+  test("tokenizer_fertility: per-lang ratios replay the hand computation on the shared merge table") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c5f").toString
+    Seq((1L, "aa aa aa", "en"), (2L, "aa b", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // merge 1 is "a a" (count 4): "aa" collapses to one unit, "b" stays one
+    // en: 3 words, 3 bpe units, 6 char units -> fertility 1e6, compression 5e5
+    assert(got("en") == ((1L, 3L, 3L, 6L, 1000000L, 500000L)), s"en: ${got("en")}")
+    // fr: 2 words, 2 bpe units, 3 char units -> fertility 1e6, compression 333333
+    assert(got("fr") == ((1L, 2L, 2L, 3L, 1000000L, 333333L)), s"fr: ${got("fr")}")
+  }
+
   test("quality_calibrate: per-source ranks span [0, 1e6], singleton source pins 0") {
     val dir = stageDocs(Seq(
       (1L, "w w w w", "big"),            // diversity 1/4
