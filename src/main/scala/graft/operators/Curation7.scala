@@ -173,12 +173,68 @@ object Curation7 {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------- cross-corpus priority dedup
+  /** Cross-corpus priority dedup (`dedup_cross_corpus`): when several
+    * sources carry near-duplicate copies of a document, keep the copy
+    * from the MOST TRUSTED source (priority = the numeric rank in the
+    * source name — lower is more curated, the books-over-web rule every
+    * multi-source ingest applies) and account per source for what
+    * happened: kept, ceded to a higher-priority source, or dropped as a
+    * same-source duplicate. `dedup_keep_canonical` answers "which copy
+    * survives by content quality"; this row answers the ingest-merge
+    * question "which SOURCE owns the canonical copy", the accounting a
+    * crawl-vs-licensed merge needs before deleting anything.
+    *
+    * Scale shape: the near-dup clustering is the shared CC kernel
+    * ([[Dedup.dedupClusters]], pointer-doubling, df-capped); survivor
+    * selection adds ONE window keyed on cluster_id (well-distributed —
+    * clusters are tiny by construction) and one sources-sized
+    * aggregate. */
+  def dedupCrossCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val clusters = Dedup.dedupClusters(s, d).select($"doc_id", $"cluster_id")
+    val asg = docs.join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+        regexp_extract($"source", "\\d+", 0).cast("long").as("prio"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"prio", $"doc_id")
+    val ranked = asg
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("keep_src", first($"source").over(w))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!$"keep" && $"keep_src" =!= $"source", 1L).otherwise(0L)).as("n_ceded"),
+        sum(when(!$"keep" && $"keep_src" === $"source", 1L).otherwise(0L)).as("n_dropped_same"))
+      .orderBy($"source")
+  }
+  val dedupCrossCorpusSql: String =
+    s"""WITH RECURSIVE ${Dedup.CcCteSql},
+       |asg AS (
+       |  SELECT d.doc_id, d.source, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       |    CAST(regexp_extract(d.source, '[0-9]+') AS BIGINT) AS prio
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+       |), ranked AS (
+       |  SELECT source,
+       |    (ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) = 1) AS keep,
+       |    FIRST_VALUE(source) OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) AS keep_src
+       |  FROM asg
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN NOT keep AND keep_src <> source THEN 1 ELSE 0 END) AS BIGINT) AS n_ceded,
+       |  CAST(SUM(CASE WHEN NOT keep AND keep_src = source THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_same
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_outlier" -> embOutlier _,
     "diversity_sample" -> diversitySample _,
+    "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
     "emb_outlier" -> embOutlierSql,
     "diversity_sample" -> diversitySampleSql,
+    "dedup_cross_corpus" -> dedupCrossCorpusSql,
   )
 }

@@ -108,6 +108,35 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"cell $ca got $na while non-exhausted cell $cb got $nb")
   }
 
+  test("dedup_cross_corpus: lower-priority copies cede, same-source dups drop, singletons keep") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7x").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // cluster A: src2 vs src10 copies (1-token mutation) -> src10 cedes
+    // cluster B: two src5 copies -> one same-source drop
+    // plus two singletons
+    Seq(
+      (1L, base, "src10"), (2L, base.replace("tok7", "mut7"), "src2"),
+      (3L, (1 to 40).map(i => s"b$i").mkString(" "), "src5"),
+      (4L, (1 to 40).map(i => s"b$i").mkString(" ").replace("b9 ", "y9 "), "src5"),
+      (5L, (1 to 40).map(i => s"only$i").mkString(" "), "src0"),
+      (6L, (1 to 40).map(i => s"solo$i").mkString(" "), "src10"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation7.dedupCrossCorpus(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("src2") == ((1L, 1L, 0L, 0L)), s"src2 keeps its copy: ${got("src2")}")
+    assert(got("src10") == ((2L, 1L, 1L, 0L)),
+      s"src10: singleton kept, near-dup ceded to src2: ${got("src10")}")
+    assert(got("src5") == ((2L, 1L, 0L, 1L)),
+      s"src5: one kept, one same-source drop: ${got("src5")}")
+    assert(got("src0") == ((1L, 1L, 0L, 0L)), s"src0 singleton keeps: ${got("src0")}")
+  }
+
   test("diversity_sample: K-bounded output and prefix ranks per cell") {
     val d = "/root/testdata/sf0.001"
     val got = Curation7.diversitySample(spark, d).collect()
