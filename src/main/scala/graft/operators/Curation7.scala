@@ -227,12 +227,99 @@ object Curation7 {
        |  CAST(SUM(CASE WHEN NOT keep AND keep_src = source THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_same
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- contrastive pair mining
+  /** Contrastive training-pair mining (`contrastive_pairs`): positives
+    * are the VERIFIED near-duplicate pairs (the exact-Jaccard pair list
+    * every dedup row shares — the same signal SimCSE-style pipelines
+    * mine); each anchor also gets one deterministic hard-ish negative:
+    * its successor on the md5-hash ring over all documents — a uniform
+    * draw that is reproducible run-to-run (no RNG), with successors
+    * that are true near-dup partners of the anchor excluded by an
+    * anti-join against the verified pair list.
+    *
+    * Scale shape: the ring successor is NOT a global window — documents
+    * range-partition on the hash key, `lead` runs per partition, and
+    * partition tails stitch through a partitions-sized head table
+    * (window over ≤ nPart rows, broadcast back) — the
+    * [[PipelineOps.budgetSelect]] boundary-exchange discipline applied
+    * to lead(). Positives come from the banded-LSH-verifiable pair
+    * kernel; nothing here is all-pairs. */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pos = Dedup.dedupNgramJaccard(s, d).select($"a_id", $"b_id")
+    val nPart = math.max(2, s.sparkContext.defaultParallelism)
+    val ring = Tables.documents(s, d).select($"doc_id", hk($"doc_id").as("hkey"))
+      .repartitionByRange(nPart, $"hkey", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"hkey", $"doc_id")
+    // persisted: the range partitioner samples boundaries per evaluation;
+    // the head table must see the same pid assignment the final join does
+    val withNext = ring.withColumn("nxt", lead($"doc_id", 1).over(wIn)).persist()
+    try {
+      // one row per NONEMPTY partition: its first doc in ring order; the
+      // successor of partition i's tail is the next nonempty partition's
+      // head, wrapping to the global head — a <= nPart-row frame, so the
+      // unpartitioned windows here are K-bounded by construction
+      val heads = withNext.groupBy($"pid")
+        .agg(min(struct($"hkey", $"doc_id")).as("h"))
+        .select($"pid", $"h.doc_id".as("head_id"))
+      val wPid = Window.orderBy($"pid")
+      val wAll = wPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val succ = heads
+        .withColumn("tail_succ",
+          coalesce(lead($"head_id", 1).over(wPid), first($"head_id").over(wAll)))
+        .select($"pid", $"tail_succ")
+      val ringNext = withNext.join(broadcast(succ), "pid")
+        .select($"doc_id", coalesce($"nxt", $"tail_succ").as("successor"))
+      val anchors = pos.select($"a_id".as("anchor_id"))
+        .union(pos.select($"b_id")).distinct()
+      val sym = pos.select($"a_id".as("anchor_id"), $"b_id".as("successor"))
+        .union(pos.select($"b_id", $"a_id"))
+      val neg = anchors.join(ringNext, $"anchor_id" === $"doc_id")
+        .select($"anchor_id", $"successor")
+        .join(sym, Seq("anchor_id", "successor"), "left_anti")
+      pos.select(lit("pos").as("kind"), $"a_id".as("anchor_id"), $"b_id".as("partner_id"))
+        .unionByName(neg.select(lit("neg").as("kind"), $"anchor_id",
+          $"successor".as("partner_id")))
+        .orderBy($"kind", $"anchor_id", $"partner_id")
+    } finally withNext.unpersist()
+  }
+  val contrastivePairsSql: String =
+    s"""WITH ${Dedup.ShingleCteSql},
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |), ring AS (
+       |  SELECT doc_id, ${hkSql("doc_id")} AS hkey FROM documents
+       |), nxt AS (
+       |  SELECT doc_id,
+       |    COALESCE(LEAD(doc_id) OVER (ORDER BY hkey, doc_id),
+       |      (SELECT doc_id FROM ring ORDER BY hkey, doc_id LIMIT 1)) AS successor
+       |  FROM ring
+       |), anchors AS (
+       |  SELECT a_id AS anchor_id FROM p UNION SELECT b_id FROM p
+       |), neg AS (
+       |  SELECT a.anchor_id, n.successor FROM anchors a JOIN nxt n ON a.anchor_id = n.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p
+       |    WHERE (p.a_id = a.anchor_id AND p.b_id = n.successor)
+       |       OR (p.a_id = n.successor AND p.b_id = a.anchor_id))
+       |)
+       |SELECT kind, anchor_id, partner_id FROM (
+       |  SELECT 'pos' AS kind, a_id AS anchor_id, b_id AS partner_id FROM p
+       |  UNION ALL
+       |  SELECT 'neg', anchor_id, successor FROM neg)
+       |ORDER BY kind, anchor_id, partner_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contrastive_pairs" -> contrastivePairs _,
     "emb_outlier" -> embOutlier _,
     "diversity_sample" -> diversitySample _,
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "contrastive_pairs" -> contrastivePairsSql,
     "emb_outlier" -> embOutlierSql,
     "diversity_sample" -> diversitySampleSql,
     "dedup_cross_corpus" -> dedupCrossCorpusSql,

@@ -137,6 +137,32 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("src0") == ((1L, 1L, 0L, 0L)), s"src0 singleton keeps: ${got("src0")}")
   }
 
+  test("contrastive_pairs: negatives are the exact global ring successors (boundary stitch law)") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation7.contrastivePairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pos = got.filter(_._1 == "pos").map(p => (p._2, p._3)).toSet
+    assert(pos.nonEmpty, "fixture must carry verified near-dup pairs")
+    // plain-JVM replica of the md5 ring: successor of each doc with wrap
+    val s = spark; import s.implicits._
+    val ids = graft.queries.Tables.documents(spark, d)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val ringOrder = ids.sortBy(id => (hk(id), id))
+    val succOf = ringOrder.zip(ringOrder.drop(1) :+ ringOrder.head).toMap
+    val anchors = pos.flatMap(p => Seq(p._1, p._2))
+    val negs = got.filter(_._1 == "neg").map(n => n._2 -> n._3).toMap
+    anchors.foreach { a =>
+      val expSucc = succOf(a)
+      val isPartner = pos.contains((a, expSucc)) || pos.contains((expSucc, a))
+      if (isPartner)
+        assert(!negs.contains(a), s"anchor $a: partner successor must be excluded")
+      else
+        assert(negs.get(a).contains(expSucc),
+          s"anchor $a: negative must be the global ring successor $expSucc, got ${negs.get(a)}")
+    }
+    assert(negs.keySet.subsetOf(anchors), "negatives only for anchors")
+  }
+
   test("diversity_sample: K-bounded output and prefix ranks per cell") {
     val d = "/root/testdata/sf0.001"
     val got = Curation7.diversitySample(spark, d).collect()
