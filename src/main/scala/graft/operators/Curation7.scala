@@ -312,13 +312,139 @@ object Curation7 {
        |  SELECT 'neg', anchor_id, successor FROM neg)
        |ORDER BY kind, anchor_id, partner_id""".stripMargin
 
+  // --------------------------------------- JL random projection audit
+  /** Target dimension of the Johnson-Lindenstrauss sketch. */
+  private[graft] val JlDim = 16
+
+  /** Deterministic random-projection audit (`emb_random_projection`):
+    * project every embedding 64-d → 16-d through a Rademacher (±1) sign
+    * matrix derived from md5 parity — the JL sketch an ANN tier uses to
+    * cut memory 4× before the PQ stage — and report the distortion
+    * histogram: ‖proj‖²/(k/d·‖x‖²) in 10%-wide ppm buckets. JL says the
+    * mass concentrates at ratio 1; a fat tail means the sketch is too
+    * small for the corpus and downstream recall will sag. PCA
+    * (`emb_top_pc`/`emb_pca_project`) is the data-dependent reduction;
+    * this is its data-INDEPENDENT sibling — no training pass, any new
+    * vector projects with the same hash matrix forever.
+    *
+    * Engine-exact: coordinates quantize once (fx = round(x·Q)); each
+    * projection coordinate is an exact ±fx integer sum; the ratio is
+    * ONE non-negative integer division to ppm. The sign matrix is a
+    * k·d-row broadcast frame (constant size), the per-vector sums are
+    * map-side partial — one narrow shuffle keyed on vec_id. */
+  def embRandomProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val signs = broadcast(
+      s.range(0, JlDim.toLong * 64)
+        .select(($"id" / 64).cast("int").as("k"), ($"id" % 64).cast("int").as("pos"))
+        .select($"k", $"pos",
+          (lit(1) - lit(2) * (conv(substring(md5(
+            concat($"k".cast("string"), lit(":"), $"pos".cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2)).as("sgn")))
+    val ex = Par.spread(Tables.embeddings(s, d), $"vec_id")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos",
+        round($"x".cast("double") * OutlierQ).cast("long").as("fx"))
+    val proj = ex.join(signs, Seq("pos"))
+      .groupBy($"vec_id", $"k")
+      .agg(sum($"sgn" * $"fx").as("p"), sum($"fx" * $"fx").as("n2k"))
+    // n2k is Σfx² replicated per k (constant across k); sum(p²) over k
+    // against JlDim·Σfx² gives the JL distortion ratio in ppm
+    proj.groupBy($"vec_id")
+      .agg(sum($"p" * $"p").as("p2"), max($"n2k").as("n2"))
+      .withColumn("ratio_ppm", expr(s"(p2 * 1000000) div ($JlDim * n2)"))
+      .withColumn("bucket", expr("ratio_ppm div 100000"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"bucket")
+  }
+  val embRandomProjectionSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(gs - 1 AS INT) AS pos,
+       |    CAST(round(CAST(embedding[gs] AS DOUBLE) * $OutlierQ) AS BIGINT) AS fx
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(gs)
+       |), signs AS (
+       |  SELECT k, pos,
+       |    1 - 2 * (CAST(concat('0x', substring(md5(k || ':' || pos), 1, 8)) AS BIGINT) % 2) AS sgn
+       |  FROM (SELECT unnest(range($JlDim)) AS k), (SELECT unnest(range(64)) AS pos)
+       |), proj AS (
+       |  SELECT e.vec_id, s.k,
+       |    CAST(SUM(s.sgn * e.fx) AS BIGINT) AS p,
+       |    CAST(SUM(e.fx * e.fx) AS BIGINT) AS n2k
+       |  FROM ex e JOIN signs s USING (pos)
+       |  GROUP BY e.vec_id, s.k
+       |), r AS (
+       |  SELECT vec_id,
+       |    (CAST(SUM(p * p) AS BIGINT) * 1000000) // ($JlDim * MAX(n2k)) AS ratio_ppm
+       |  FROM proj GROUP BY vec_id
+       |)
+       |SELECT ratio_ppm // 100000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------ epoch planning
+  /** Token budget the epoch plan allocates (a recipe constant, not a
+    * corpus-derived quantity). */
+  private[graft] val EpochBudgetTokens = 2000000L
+
+  /** Per-source epoch plan (`epoch_plan`): the data-recipe table every
+    * multi-source training run starts from — each source's share of a
+    * fixed token budget (shares from the source's priority digit, the
+    * [[PipelineOps]] weighting convention), how many FULL passes over
+    * the source that buys (repeat factor), and the token remainder the
+    * final partial pass must sample. Over-epoching (repeat factor
+    * beyond a handful) is the overfit signal a recipe review checks.
+    *
+    * Integer-exact end to end: shares and budgets divide with `div` on
+    * non-negative longs. One map-side-combined aggregate per source +
+    * a sources-sized window — nothing corpus-shaped after the first
+    * aggregate. */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perSrc = Tables.documents(s, d)
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"))
+      .withColumn("share",
+        pmod(substring(coalesce(nullif(regexp_extract($"source", "(\\d+)", 1), lit("")),
+          lit("0")), 1, 18).cast("long"), lit(4L)) + 1)
+    // Σshares over the sources-sized frame: K-bounded unpartitioned window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc
+      .withColumn("share_total", sum($"share").over(wAll))
+      .withColumn("target_tokens", expr(s"($EpochBudgetTokens * share) div share_total"))
+      .withColumn("n_full_epochs", expr("target_tokens div sum_tokens"))
+      .withColumn("remainder_tokens", expr("target_tokens - n_full_epochs * sum_tokens"))
+      .select($"source", $"n_docs", $"sum_tokens", $"share",
+        $"target_tokens", $"n_full_epochs", $"remainder_tokens")
+      .orderBy($"source")
+  }
+  val epochPlanSql: String =
+    s"""WITH perSrc AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+       |    (CAST(substring(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)', 1), ''), '0'), 1, 18) AS BIGINT) % 4) + 1 AS share
+       |  FROM documents GROUP BY source
+       |), t AS (
+       |  SELECT *, CAST(SUM(share) OVER () AS BIGINT) AS share_total FROM perSrc
+       |)
+       |SELECT source, n_docs, sum_tokens, share,
+       |  ($EpochBudgetTokens * share) // share_total AS target_tokens,
+       |  (($EpochBudgetTokens * share) // share_total) // sum_tokens AS n_full_epochs,
+       |  ($EpochBudgetTokens * share) // share_total
+       |    - ((($EpochBudgetTokens * share) // share_total) // sum_tokens) * sum_tokens AS remainder_tokens
+       |FROM t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_random_projection" -> embRandomProjection _,
+    "epoch_plan" -> epochPlan _,
     "contrastive_pairs" -> contrastivePairs _,
     "emb_outlier" -> embOutlier _,
     "diversity_sample" -> diversitySample _,
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "emb_random_projection" -> embRandomProjectionSql,
+    "epoch_plan" -> epochPlanSql,
     "contrastive_pairs" -> contrastivePairsSql,
     "emb_outlier" -> embOutlierSql,
     "diversity_sample" -> diversitySampleSql,

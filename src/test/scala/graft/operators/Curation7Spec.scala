@@ -108,6 +108,61 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"cell $ca got $na while non-exhausted cell $cb got $nb")
   }
 
+  test("emb_random_projection: histogram replays the JVM sign-matrix replica and covers every vector") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation7.embRandomProjection(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = spark; import s.implicits._
+    val vecs = graft.queries.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(got.values.sum == vecs.length, "every vector lands in exactly one bucket")
+    // JVM replica: md5-parity sign matrix, quantized integer sums, ppm ratio
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sgn(k: Int, pos: Int): Long =
+      1L - 2L * (java.lang.Long.parseLong(md5hex(s"$k:$pos").take(8), 16) % 2)
+    val expBuckets = vecs.map { case (_, v) =>
+      val fx = v.map(x => math.round(x.toDouble * Curation7.OutlierQ))
+      val n2 = fx.map(f => f * f).sum
+      val p2 = (0 until Curation7.JlDim).map { k =>
+        val p = fx.indices.map(i => sgn(k, i) * fx(i)).sum
+        p * p
+      }.sum
+      (p2 * 1000000L) / (Curation7.JlDim * n2) / 100000L
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expBuckets, s"histogram must equal the JVM replica: got $got exp $expBuckets")
+  }
+
+  test("epoch_plan: shares, targets, and the full-epochs/remainder identity replay by hand") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7e").toString
+    // src1 (share 2) has 10-token docs x 3; src2 (share 3) has 5-token docs x 2
+    Seq(
+      (1L, (1 to 10).map("a" + _).mkString(" "), "src1"),
+      (2L, (1 to 10).map("b" + _).mkString(" "), "src1"),
+      (3L, (1 to 10).map("c" + _).mkString(" "), "src1"),
+      (4L, (1 to 5).map("d" + _).mkString(" "), "src2"),
+      (5L, (1 to 5).map("e" + _).mkString(" "), "src2"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation7.epochPlan(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val b = Curation7.EpochBudgetTokens
+    // shares: src1 -> 1%4+1 = 2, src2 -> 2%4+1 = 3; total 5
+    val t1 = b * 2 / 5; val t2 = b * 3 / 5
+    assert(got("src1") == ((3L, 30L, 2L, t1, t1 / 30, t1 % 30)), s"src1: ${got("src1")}")
+    assert(got("src2") == ((2L, 10L, 3L, t2, t2 / 10, t2 % 10)), s"src2: ${got("src2")}")
+    got.values.foreach { case (_, sumTok, _, target, full, rem) =>
+      assert(target == full * sumTok + rem && rem >= 0 && rem < sumTok,
+        "identity target = full*size + remainder must hold")
+    }
+  }
+
   test("dedup_cross_corpus: lower-priority copies cede, same-source dups drop, singletons keep") {
     val s = spark
     import s.implicits._
