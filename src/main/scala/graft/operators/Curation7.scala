@@ -434,7 +434,106 @@ object Curation7 {
        |    - ((($EpochBudgetTokens * share) // share_total) // sum_tokens) * sum_tokens AS remainder_tokens
        |FROM t ORDER BY source""".stripMargin
 
+  // ------------------------------------------- doc/vector coverage audit
+  /** Documents↔embeddings integrity audit (`emb_coverage_audit`): per
+    * source, how many documents have a vector, how many are missing one
+    * (coverage ppm), plus one `_orphan_vectors` row for embeddings with
+    * no owning document — the referential-integrity dashboard an
+    * embedding-backed pipeline checks before trusting any ANN result
+    * (a silent encoder backlog shows up here first).
+    *
+    * Scale shape: one equi left join keyed on the id + one anti join,
+    * both shuffle-partitioned on the id; aggregates are sources-sized. */
+  def embCoverageAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source")
+    val vecIds = Tables.embeddings(s, d).select($"vec_id")
+    val cov = docs.join(vecIds, $"doc_id" === $"vec_id", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"vec_id".isNotNull, 1L).otherwise(0L)).as("n_with_vec"))
+      .withColumn("n_missing", $"n_docs" - $"n_with_vec")
+      .withColumn("coverage_ppm", expr("(n_with_vec * 1000000) div n_docs"))
+    val orphans = vecIds.join(docs.select($"doc_id"), $"vec_id" === $"doc_id", "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("_orphan_vectors").as("source"), $"n_docs",
+        lit(0L).as("n_with_vec"), lit(0L).as("n_missing"), lit(0L).as("coverage_ppm"))
+    cov.unionByName(orphans).orderBy($"source")
+  }
+  val embCoverageAuditSql: String =
+    s"""SELECT source, n_docs, n_with_vec, n_missing, coverage_ppm FROM (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+       |    CAST(COUNT(*) - SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       |    (CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |      // COUNT(*) AS coverage_ppm
+       |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+       |  GROUP BY d.source
+       |  UNION ALL
+       |  SELECT '_orphan_vectors', CAST(COUNT(*) AS BIGINT), 0, 0, 0
+       |  FROM embeddings e WHERE NOT EXISTS (
+       |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ shard planning
+  /** Target tokens per output shard (a writer constant). */
+  private[graft] val ShardTokens = 4096L
+
+  /** Uniform-shard write plan (`shard_plan`): assign every document to
+    * an output shard by its START offset in the corpus-wide token
+    * prefix sum (shard = offset div ShardTokens) and report each
+    * shard's population — how a 100 TB corpus becomes evenly-sized
+    * training files with no small-file tail and no doc split across
+    * shards. Shard sizes deviate from the target by at most one
+    * document's tokens, and the assignment is reproducible (pure
+    * function of the doc_id order).
+    *
+    * Scale shape: the prefix sum is NOT a global window — range
+    * partition on doc_id, per-partition cumsum, partitions-sized offset
+    * table broadcast back (the [[PipelineOps.budgetSelect]]
+    * discipline); the shard report is one aggregate keyed on shard_id. */
+  def shardPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPart = math.max(2, s.sparkContext.defaultParallelism)
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .repartitionByRange(nPart, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = docs.withColumn("local_cum", sum($"ntok").over(wIn)).persist()
+    try {
+      val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withLocal.groupBy($"pid").agg(sum($"ntok").as("ptot"))
+        .withColumn("offset", coalesce(sum($"ptot").over(wOff), lit(0L)))
+        .select($"pid", $"offset")
+      withLocal.join(broadcast(offsets), "pid")
+        .withColumn("start_off", $"local_cum" + $"offset" - $"ntok")
+        .withColumn("shard_id", expr(s"start_off div $ShardTokens"))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard_id")
+        .localCheckpoint(true)
+    } finally withLocal.unpersist()
+  }
+  val shardPlanSql: String =
+    raw"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ntok,
+         |    CAST(SUM(ntok) OVER (ORDER BY doc_id) AS BIGINT) - ntok AS start_off
+         |  FROM t
+         |)
+         |SELECT start_off // ${ShardTokens} AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_coverage_audit" -> embCoverageAudit _,
+    "shard_plan" -> shardPlan _,
     "emb_random_projection" -> embRandomProjection _,
     "epoch_plan" -> epochPlan _,
     "contrastive_pairs" -> contrastivePairs _,
@@ -443,6 +542,8 @@ object Curation7 {
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "emb_coverage_audit" -> embCoverageAuditSql,
+    "shard_plan" -> shardPlanSql,
     "emb_random_projection" -> embRandomProjectionSql,
     "epoch_plan" -> epochPlanSql,
     "contrastive_pairs" -> contrastivePairsSql,

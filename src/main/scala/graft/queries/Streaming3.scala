@@ -460,7 +460,62 @@ object Streaming3 {
        |  CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / (COUNT(*) * $DriftQ) AS mean_val
        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Streaming corpus-stats monitor (`stream_corpus_stats`): per-language
+    * doc/token/char tallies maintained over streamed document batches as
+    * a complete-mode aggregate — the ingest dashboard row. State is
+    * EXACTLY one row per language whatever the volume; counts and sums
+    * are associative, so the accumulated table equals the batch tally
+    * over the same slice after any micro-batch split (the standing
+    * batch-invariance law). */
+  def streamCorpusStats(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"scstats${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Tables.documents(s, dir).repartition(2, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(docsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .select($"lang", $"n_chars",
+        size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+        sum($"n_chars").as("sum_chars"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_corpus_stats", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    s.table(sinkName).orderBy($"lang")
+  }
+  val streamCorpusStatsSql: String =
+    raw"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_corpus_stats" -> streamCorpusStats _,
     "stream_emb_drift" -> streamEmbDrift _,
     "stream_sample_consistent" -> streamSampleConsistent _,
     "stream_cms_monitor" -> streamCmsMonitor _,
@@ -469,6 +524,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_corpus_stats" -> streamCorpusStatsSql,
     "stream_emb_drift" -> streamEmbDriftSql,
     "stream_sample_consistent" -> streamSampleConsistentSql,
     "stream_cms_monitor" -> streamCmsMonitorSql,

@@ -163,6 +163,46 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("emb_coverage_audit: planted missing vectors and orphans are accounted exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7cov").toString
+    Seq((1L, "t1", "srcA"), (2L, "t2", "srcA"), (3L, "t3", "srcA"), (4L, "t4", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(0.1f), 0), (2L, Array(0.2f), 0), (4L, Array(0.3f), 1), (99L, Array(0.4f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Curation7.embCoverageAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("srcA") == ((3L, 2L, 1L, 666666L)), s"srcA: ${got("srcA")}")
+    assert(got("srcB") == ((1L, 1L, 0L, 1000000L)), s"srcB: ${got("srcB")}")
+    assert(got("_orphan_vectors") == ((1L, 0L, 0L, 0L)), s"orphans: ${got("_orphan_vectors")}")
+  }
+
+  test("shard_plan: shards replay the JVM prefix-sum replica (boundary stitch included)") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curation7.shardPlan(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val s = spark; import s.implicits._
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val exp = docs.map { case (id, n) =>
+      val start = cum; cum += n; (start / Curation7.ShardTokens, id, n)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (sid, rows) =>
+      (sid, rows.length.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got.toSeq == exp, s"shard table must equal the JVM replica")
+    // no doc is split and every token is assigned exactly once
+    assert(got.map(_._3).sum == docs.map(_._2).sum)
+  }
+
   test("dedup_cross_corpus: lower-priority copies cede, same-source dups drop, singletons keep") {
     val s = spark
     import s.implicits._
