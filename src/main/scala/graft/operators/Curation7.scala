@@ -531,7 +531,72 @@ object Curation7 {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // ------------------------------------------- length outlier trimming
+  /** Percent of corpus mass trimmed at each length tail. */
+  private[graft] val TrimPct = 5L
+
+  /** Data-derived length trimming (`length_outlier_trim`): drop the
+    * documents whose length sits fully inside the bottom or top
+    * [[TrimPct]]% of the corpus length distribution — the data-derived
+    * version of a fixed min/max length filter (truncation artifacts and
+    * concatenation monsters move with the corpus; hard-coded cutoffs
+    * don't). The rule is RANK-based on a value histogram: a length
+    * bucket is cut only when ALL its documents lie inside a tail, so
+    * the decision is integer-exact with no quantile interpolation and
+    * no per-doc tie-breaking — the engine-parity discipline the
+    * advisors pinned for every threshold rule here.
+    *
+    * Scale shape: the histogram is one map-side-combined aggregate over
+    * the BOUNDED length domain (rows ≤ max document length — a
+    * constant, not corpus-sized), its cumulative window is K-bounded,
+    * and the verdicts broadcast back onto the corpus. Nothing sorts or
+    * windows corpus-sized data. */
+  def lengthOutlierTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val hist = docs.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+    val wVal = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val verdicts = hist
+      .withColumn("cum", sum($"c").over(wVal))
+      .withColumn("n", sum($"c").over(wAll))
+      .withColumn("cut_short", $"cum" <= expr(s"(n * $TrimPct) div 100"))
+      .withColumn("cut_long", ($"n" - $"cum" + $"c") <= expr(s"(n * $TrimPct) div 100"))
+      .select($"n_chars", $"cut_short", $"cut_long")
+    docs.join(broadcast(verdicts), Seq("n_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!$"cut_short" && !$"cut_long", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"cut_short", 1L).otherwise(0L)).as("n_cut_short"),
+        sum(when($"cut_long", 1L).otherwise(0L)).as("n_cut_long"),
+        sum(when(!$"cut_short" && !$"cut_long", $"n_chars").otherwise(0L)).as("chars_kept"))
+      .orderBy($"source")
+  }
+  val lengthOutlierTrimSql: String =
+    s"""WITH hist AS (
+       |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY n_chars
+       |), v AS (
+       |  SELECT n_chars,
+       |    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS n, c
+       |  FROM hist
+       |), verdicts AS (
+       |  SELECT n_chars,
+       |    cum <= (n * $TrimPct) // 100 AS cut_short,
+       |    (n - cum + c) <= (n * $TrimPct) // 100 AS cut_long
+       |  FROM v
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT cut_short AND NOT cut_long THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN cut_short THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_short,
+       |  CAST(SUM(CASE WHEN cut_long THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_long,
+       |  CAST(SUM(CASE WHEN NOT cut_short AND NOT cut_long THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM documents d JOIN verdicts USING (n_chars)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_outlier_trim" -> lengthOutlierTrim _,
     "emb_coverage_audit" -> embCoverageAudit _,
     "shard_plan" -> shardPlan _,
     "emb_random_projection" -> embRandomProjection _,
@@ -542,6 +607,7 @@ object Curation7 {
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "length_outlier_trim" -> lengthOutlierTrimSql,
     "emb_coverage_audit" -> embCoverageAuditSql,
     "shard_plan" -> shardPlanSql,
     "emb_random_projection" -> embRandomProjectionSql,

@@ -163,6 +163,32 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("length_outlier_trim: tails cut by whole buckets, straddling buckets survive") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7lt").toString
+    // 100 docs, lengths 1..100 (n_chars = doc_id): lowCnt = 5 -> lengths
+    // 1..5 cut short, 96..100 cut long
+    val base = (1L to 100L).map(i => (i, "x", "srcA", i))
+    base.toDF("doc_id", "text", "source", "n_chars")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation7.lengthOutlierTrim(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == ((100L, 90L, 5L, 5L, (6L to 95L).sum)), s"uniform lengths: $got")
+    // straddling bucket: 10 equal-length docs at the bottom, lowCnt = 5 <
+    // bucket mass 10 -> the whole bucket survives (never split mid-bucket)
+    val dir2 = Files.createTempDirectory("graft-c7lt2").toString
+    val tie = (1L to 10L).map(i => (i, "x", "srcA", 3L)) ++
+      (11L to 100L).map(i => (i, "x", "srcA", i))
+    tie.toDF("doc_id", "text", "source", "n_chars")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = Curation7.lengthOutlierTrim(spark, dir2).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).head
+    assert(got2._2 == 0L, s"straddling bottom bucket must survive: $got2")
+  }
+
   test("emb_coverage_audit: planted missing vectors and orphans are accounted exactly") {
     val s = spark
     import s.implicits._
