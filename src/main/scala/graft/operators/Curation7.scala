@@ -595,7 +595,64 @@ object Curation7 {
        |FROM documents d JOIN verdicts USING (n_chars)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------- vocabulary growth curve
+  /** Number of checkpoints on the growth curve. */
+  private[graft] val GrowthSteps = 8L
+
+  /** Heaps-law vocabulary growth audit (`vocab_growth_curve`): distinct
+    * token count after each eighth of the corpus (in doc_id order) — the
+    * corpus-health curve. Healthy natural text grows vocabulary like
+    * N^β (β≈0.5); a curve that flattens early means templated/duplicated
+    * content, one that stays linear means OCR noise or ID-like junk
+    * minting a new "word" every document.
+    *
+    * Computed in ONE pass, not eight: a token's contribution to the
+    * curve is exactly its FIRST-appearance document, so
+    * groupBy(token).min(doc_id), bucket by corpus eighth, and a
+    * cumulative sum over the 8-row histogram reproduce all eight
+    * prefix-distinct counts. The only corpus-sized shuffle keys on the
+    * token; the crossJoin attaches a ONE-row doc-count aggregate
+    * (constant broadcast by construction). */
+  def vocabGrowthCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg((max($"doc_id") + 1).as("nd"))
+    val firstSeen = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    val wVal = Window.orderBy($"checkpoint")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = firstSeen.crossJoin(broadcast(nd))
+      .withColumn("checkpoint", expr(s"(first_doc * $GrowthSteps) div nd"))
+      .groupBy($"checkpoint")
+      .agg(count(lit(1)).as("new_tokens"))
+    // fixed 8-row spine: an eighth that introduced no new vocabulary is
+    // the SIGNAL (saturation), so it must appear as an explicit 0 row
+    s.range(0, GrowthSteps).select($"id".as("checkpoint"))
+      .join(hist, Seq("checkpoint"), "left")
+      .withColumn("new_tokens", coalesce($"new_tokens", lit(0L)))
+      .withColumn("cum_tokens", sum($"new_tokens").over(wVal))
+      .orderBy($"checkpoint")
+  }
+  val vocabGrowthCurveSql: String =
+    raw"""WITH fs AS (
+         |  SELECT tok, MIN(doc_id) AS first_doc
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok
+         |), nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+         |h AS (
+         |  SELECT (first_doc * ${GrowthSteps}) // nd.nd AS checkpoint,
+         |    CAST(COUNT(*) AS BIGINT) AS new_tokens
+         |  FROM fs CROSS JOIN nd GROUP BY 1
+         |), spine AS (SELECT unnest(range(${GrowthSteps})) AS checkpoint)
+         |SELECT s.checkpoint, COALESCE(h.new_tokens, 0) AS new_tokens,
+         |  CAST(SUM(COALESCE(h.new_tokens, 0)) OVER (ORDER BY s.checkpoint) AS BIGINT) AS cum_tokens
+         |FROM spine s LEFT JOIN h ON s.checkpoint = h.checkpoint
+         |ORDER BY s.checkpoint""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_growth_curve" -> vocabGrowthCurve _,
     "length_outlier_trim" -> lengthOutlierTrim _,
     "emb_coverage_audit" -> embCoverageAudit _,
     "shard_plan" -> shardPlan _,
@@ -607,6 +664,7 @@ object Curation7 {
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "vocab_growth_curve" -> vocabGrowthCurveSql,
     "length_outlier_trim" -> lengthOutlierTrimSql,
     "emb_coverage_audit" -> embCoverageAuditSql,
     "shard_plan" -> shardPlanSql,

@@ -163,6 +163,25 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocab_growth_curve: planted first appearances produce the hand-computed curve with explicit zeros") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7vg").toString
+    // 8 docs = 8 checkpoints; docs 2 and 5..7 introduce nothing new
+    Seq(
+      (0L, "a b", "s"), (1L, "a c", "s"), (2L, "b c a", "s"), (3L, "d", "s"),
+      (4L, "e d", "s"), (5L, "a e", "s"), (6L, "b", "s"), (7L, "c d e", "s"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation7.vocabGrowthCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 0L, 3L), (3L, 1L, 4L),
+      (4L, 1L, 5L), (5L, 0L, 5L), (6L, 0L, 5L), (7L, 0L, 5L))
+    assert(got == exp, s"curve must equal the hand computation: $got")
+  }
+
   test("length_outlier_trim: tails cut by whole buckets, straddling buckets survive") {
     val s = spark
     import s.implicits._

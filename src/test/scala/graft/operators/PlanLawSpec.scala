@@ -59,6 +59,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "emb_pca_project" -> "broadcast side is the ONE-row variance-explained aggregate by construction",
     "dedup_cluster_stats" -> "singleton row crossJoins two ONE-row count aggregates by construction",
     "diversity_sample" -> "cell assignment broadcasts the k=16 IVF centroid table by construction",
+    "vocab_growth_curve" -> "broadcast side is the ONE-row doc-count aggregate by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
