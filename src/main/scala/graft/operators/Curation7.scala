@@ -246,7 +246,13 @@ object Curation7 {
     * kernel; nothing here is all-pairs. */
   def contrastivePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pos = Dedup.dedupNgramJaccard(s, d).select($"a_id", $"b_id")
+    // positives via the banded-LSH candidate path, NOT the exact
+    // all-shared-shingle kernel: at J >= 0.8 both emit the same verified
+    // pair list (shared oracle, miss probability ~3.6e-15), but the
+    // exact kernel's pair fan-out MEASURED super-linear on the scale
+    // harness (shuffle slope 2.72 top-decade, 6 GB at x100) while the
+    // LSH path holds slope ~1 — the same reason dedup_cc_lsh exists
+    val pos = Dedup.dedupMinhashLsh(s, d).select($"a_id", $"b_id")
     val nPart = math.max(2, s.sparkContext.defaultParallelism)
     val ring = Tables.documents(s, d).select($"doc_id", hk($"doc_id").as("hkey"))
       .repartitionByRange(nPart, $"hkey", $"doc_id")
