@@ -193,7 +193,7 @@ object Curation7 {
   def dedupCrossCorpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"source")
-    val clusters = Dedup.dedupClusters(s, d).select($"doc_id", $"cluster_id")
+    val clusters = Dedup.clusterMap(s, d).select($"doc_id", $"cluster_id")
     val asg = docs.join(clusters, Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"),
@@ -503,16 +503,17 @@ object Curation7 {
     * partition on doc_id, per-partition cumsum, partitions-sized offset
     * table broadcast back (the [[PipelineOps.budgetSelect]]
     * discipline); the shard report is one aggregate keyed on shard_id. */
-  def shardPlan(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val nPart = math.max(2, s.sparkContext.defaultParallelism)
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
-      .repartitionByRange(nPart, $"doc_id")
+  /** The distributed shard report over a `(doc_id, ntok)` frame —
+    * range partition + per-partition cumsum + broadcast offsets; shared
+    * by [[shardPlan]] and the composed [[pipelineShards]]. */
+  private[graft] def shardReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nPart = math.max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    val ranged = docs.repartitionByRange(nPart, $"doc_id")
       .withColumn("pid", spark_partition_id())
     val wIn = Window.partitionBy($"pid").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = docs.withColumn("local_cum", sum($"ntok").over(wIn)).persist()
+    val withLocal = ranged.withColumn("local_cum", sum($"ntok").over(wIn)).persist()
     try {
       val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
       val offsets = withLocal.groupBy($"pid").agg(sum($"ntok").as("ptot"))
@@ -527,6 +528,12 @@ object Curation7 {
         .orderBy($"shard_id")
         .localCheckpoint(true)
     } finally withLocal.unpersist()
+  }
+
+  def shardPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shardReport(Tables.documents(s, d)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("ntok")))
   }
   val shardPlanSql: String =
     raw"""WITH t AS (
@@ -562,20 +569,27 @@ object Curation7 {
     * constant, not corpus-sized), its cumulative window is K-bounded,
     * and the verdicts broadcast back onto the corpus. Nothing sorts or
     * windows corpus-sized data. */
-  def lengthOutlierTrim(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+  /** The per-length-value trim verdict frame `(n_chars, cut_short,
+    * cut_long)` — bounded by the length domain, broadcastable. Shared by
+    * [[lengthOutlierTrim]] and the composed [[pipelineShards]]. */
+  private[graft] def lengthVerdicts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val hist = docs.groupBy($"n_chars").agg(count(lit(1)).as("c"))
     val wVal = Window.orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val verdicts = hist
+    hist
       .withColumn("cum", sum($"c").over(wVal))
       .withColumn("n", sum($"c").over(wAll))
       .withColumn("cut_short", $"cum" <= expr(s"(n * $TrimPct) div 100"))
       .withColumn("cut_long", ($"n" - $"cum" + $"c") <= expr(s"(n * $TrimPct) div 100"))
       .select($"n_chars", $"cut_short", $"cut_long")
-    docs.join(broadcast(verdicts), Seq("n_chars"))
+  }
+
+  def lengthOutlierTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+    docs.join(broadcast(lengthVerdicts(docs)), Seq("n_chars"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!$"cut_short" && !$"cut_long", 1L).otherwise(0L)).as("n_kept"),
@@ -662,7 +676,74 @@ object Curation7 {
          |FROM spine s LEFT JOIN h ON s.checkpoint = h.checkpoint
          |ORDER BY s.checkpoint""".stripMargin
 
+  // ------------------------------------------- composed shard pipeline
+  /** Composed curation-to-writer pipeline (`pipeline_shards`): the
+    * round-14 capstone DAG — data-derived length trim
+    * ([[lengthVerdicts]]) ∘ near-dup canonical survivor selection
+    * ([[Dedup.dedupKeepCanonical]], the CC-cluster longest-copy rule) ∘
+    * uniform-shard planning ([[shardReport]]) — i.e. "clean it, dedup
+    * it, and tell me exactly which training files to write", one plan,
+    * no intermediate materialization. Complements `pipeline_e2e` (which
+    * composes cascade ∘ exact-dedup ∘ decontaminate into per-source
+    * stats): this one ends at the WRITER, producing the shard manifest
+    * for the surviving corpus.
+    *
+    * Scale shape is the union of its parts, all measured: trim verdicts
+    * are a bounded-histogram broadcast, survivor selection rides the CC
+    * kernel, sharding is the boundary-exchange prefix sum. */
+  def pipelineShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+    val kept = docs.join(broadcast(lengthVerdicts(docs)), Seq("n_chars"))
+      .filter(!$"cut_short" && !$"cut_long")
+    val canon = Dedup.dedupKeepCanonical(s, d).filter($"keep").select($"doc_id")
+    shardReport(kept.join(canon, Seq("doc_id")).select($"doc_id", $"ntok"))
+  }
+  val pipelineShardsSql: String =
+    raw"""WITH RECURSIVE ${Dedup.CcCteSql},
+         |cc AS (
+         |  SELECT doc_id, cluster_id FROM lab
+         |), alldocs AS (
+         |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         |), canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM alldocs)
+         |  WHERE rn = 1
+         |), hist AS (
+         |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY n_chars
+         |), v AS (
+         |  SELECT n_chars,
+         |    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER () AS BIGINT) AS n, c
+         |  FROM hist
+         |), verdicts AS (
+         |  SELECT n_chars,
+         |    cum <= (n * $TrimPct) // 100 AS cut_short,
+         |    (n - cum + c) <= (n * $TrimPct) // 100 AS cut_long
+         |  FROM v
+         |), kept AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS ntok
+         |  FROM documents d
+         |  JOIN verdicts ON d.n_chars = verdicts.n_chars
+         |  JOIN canon ON d.doc_id = canon.doc_id
+         |  WHERE NOT cut_short AND NOT cut_long
+         |), c2 AS (
+         |  SELECT doc_id, ntok,
+         |    CAST(SUM(ntok) OVER (ORDER BY doc_id) AS BIGINT) - ntok AS start_off
+         |  FROM kept
+         |)
+         |SELECT start_off // ${ShardTokens} AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c2 GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shards" -> pipelineShards _,
     "vocab_growth_curve" -> vocabGrowthCurve _,
     "length_outlier_trim" -> lengthOutlierTrim _,
     "emb_coverage_audit" -> embCoverageAudit _,
@@ -675,6 +756,7 @@ object Curation7 {
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "pipeline_shards" -> pipelineShardsSql,
     "vocab_growth_curve" -> vocabGrowthCurveSql,
     "length_outlier_trim" -> lengthOutlierTrimSql,
     "emb_coverage_audit" -> embCoverageAuditSql,

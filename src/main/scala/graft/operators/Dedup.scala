@@ -367,6 +367,33 @@ object Dedup {
     ccFixpoint(dedupMinhashLsh(s, d).select($"a_id", $"b_id"))
   }
 
+  /** The STANDING cluster map — [[dedupClusters]] committed through the
+    * [[Models]] train-once store, keyed on the corpus fingerprint. The
+    * production shape: a corpus is clustered ONCE per ingest and every
+    * downstream consumer (survivor selection, cluster stats, cross-corpus
+    * merge accounting, composed pipelines) reads the standing index
+    * instead of re-running the CC kernel — the same argument as
+    * `q58_dedup_index`. The KERNEL rows (`dedup_cc`, `dedup_cc_lsh`)
+    * deliberately do NOT use this cache: they measure the kernel. */
+  private[graft] def clusterMap(s: SparkSession, d: String): DataFrame = {
+    val dir = Models.root(s"cc-clusters|$d|cap=$CcDfCap" +
+        s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
+      dedupClusters(s, d).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The standing cluster map over the LSH candidate path — identical
+    * components on the fixtures (see [[dedupClustersLsh]]); consumed by
+    * the leakage-safe splitter. */
+  private[graft] def clusterMapLsh(s: SparkSession, d: String): DataFrame = {
+    val dir = Models.root(s"cc-clusters-lsh|$d|cap=$CcDfCap" +
+        s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
+      dedupClustersLsh(s, d).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
   /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->
     * `(doc_id, cluster_id, cluster_size)` over clustered docs. */
   private def ccFixpoint(pairs: DataFrame): DataFrame = {
@@ -477,7 +504,7 @@ object Dedup {
     * cluster map on an 8-byte key, one per-cluster window ranking —
     * both shuffle on keys bounded by the corpus, no fan-out. */
   def dedupKeepCanonical(s: SparkSession, d: String): DataFrame =
-    dedupKeepCanonical(s, d, dedupClusters(s, d))
+    dedupKeepCanonical(s, d, clusterMap(s, d))
 
   /** Survivor selection over a PRECOMPUTED cluster map (`doc_id,
     * cluster_id, cluster_size` — [[dedupClusters]]'s schema). */
@@ -528,7 +555,7 @@ object Dedup {
     * a crossJoin of two one-row counts (bounded, whitelisted). */
   def dedupClusterStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val clusters = dedupClusters(s, d)
+    val clusters = clusterMap(s, d)
     val hist = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
       .groupBy($"sz".as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .select($"cluster_size", $"n_clusters",

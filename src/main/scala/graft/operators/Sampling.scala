@@ -151,7 +151,7 @@ object Sampling {
     * CC kernel. */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val comp = Dedup.dedupClustersLsh(s, d).select($"doc_id", $"cluster_id")
+    val comp = Dedup.clusterMapLsh(s, d).select($"doc_id", $"cluster_id")
     Tables.documents(s, d).select($"doc_id", $"n_chars")
       .join(comp, Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_id", $"doc_id"))

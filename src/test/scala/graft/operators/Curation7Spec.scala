@@ -163,6 +163,46 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cluster map is a train-once artifact: consumers share one build per corpus") {
+    val d = "/root/testdata/sf0.001"
+    Curation7.dedupCrossCorpus(spark, d).collect()
+    Dedup.dedupClusterStats(spark, d).collect()
+    Dedup.dedupKeepCanonical(spark, d).collect()
+    val key = s"cc-clusters|$d|cap=${Dedup.CcDfCap}" +
+      s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}"
+    assert(Models.builds(key) == 1,
+      s"cluster map must build exactly once per JVM, built ${Models.builds(key)} times")
+  }
+
+  test("pipeline_shards: composition equals trim-replica ∩ canonical survivors, resharded") {
+    val d = "/root/testdata/sf0.001"
+    val s = spark; import s.implicits._
+    val got = Curation7.pipelineShards(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replica: JVM trim verdicts (histogram math) ∩ the
+    // already-spec'd keep-canonical verdicts, then the prefix-sum shards
+    val docs = graft.queries.Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).trim.split("\\s+").length.toLong))
+    val byLen = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val lowCnt = n * Curation7.TrimPct / 100
+    val lens = byLen.keys.toSeq.sorted
+    val cums = lens.scanLeft(0L)(_ + byLen(_)).tail
+    val cumOf = lens.zip(cums).toMap
+    def keptLen(l: Long): Boolean =
+      !(cumOf(l) <= lowCnt) && !((n - cumOf(l) + byLen(l)) <= lowCnt)
+    val canon = Dedup.dedupKeepCanonical(spark, d).filter($"keep")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    var cum = 0L
+    val exp = docs.filter(x => keptLen(x._2) && canon(x._1)).sortBy(_._1).map { case (id, _, t) =>
+      val start = cum; cum += t; (start / Curation7.ShardTokens, id, t)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (sid, rows) =>
+      (sid, rows.length.toLong, rows.map(_._3).sum)
+    }
+    assert(got.toSeq == exp, s"composed shards must equal the stagewise replica")
+  }
+
   test("vocab_growth_curve: planted first appearances produce the hand-computed curve with explicit zeros") {
     val s = spark
     import s.implicits._
