@@ -603,6 +603,33 @@ object Similarity {
        |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Recall@5 of the sign-LSH index (`ann_lsh_recall`) against brute
+    * ground truth — the second index family's quality gate, mirroring
+    * [[annRecall]] (IVF). With both gates green, every approximate
+    * index this engine ships carries a MEASURED, oracle-checked recall
+    * row rather than an asserted one — and a banding change that hurts
+    * recall fails the gate by name. */
+  def annLshRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = annTopKBrute(s, d).select($"query_id", $"neighbor_id")
+    val approx = annTopKLsh(s, d).select($"query_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy($"query_id")
+  }
+  val annLshRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annTopKBruteSql)),
+       |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($annTopKLshSql))
+       |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       |  CAST((SUM(COALESCE(a.hit, 0)) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+       |FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   // ------------------------------------------------------- ANN nDCG
   /** Rank discount 1/log2(i+1) for approx rank i — computed once in
     * Scala and INLINED as full-precision literals into both plans, so
@@ -662,6 +689,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ndcg" -> annNdcg _,
     "ann_recall" -> annRecall _,
+    "ann_lsh_recall" -> annLshRecall _,
     "decontaminate_emb" -> decontaminateEmb _,
     "ann_topk_brute" -> annTopKBrute _,
     // production operator, corpus-faithful (empty on the raw fixture —
@@ -676,6 +704,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_ndcg" -> annNdcgSql,
     "ann_recall" -> annRecallSql,
+    "ann_lsh_recall" -> annLshRecallSql,
     "decontaminate_emb" -> decontaminateEmbSql,
     "ann_topk_brute" -> annTopKBruteSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

@@ -44,6 +44,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ann_topk_brute" -> "broadcast probe set is NProbes=64 rows by construction",
     "ann_recall" -> "composes ann_topk_brute + ann_topk_ivf; every broadcast is their NProbes=64 / k=16 bounded frames",
     "ann_ndcg" -> "composes ann_topk_brute + ann_topk_ivf; every broadcast is their NProbes=64 / k=16 bounded frames",
+    "ann_lsh_recall" -> "composes ann_topk_brute + ann_topk_lsh; every broadcast is their NProbes=64 bounded probe frames",
     "ann_hard_negatives" -> "broadcast probe set is NProbes=64 rows by construction",
     "source_overlap_kmv" -> "broadcast side is the distinct-source dimension (corpus-size-independent); pair stage input is <= K rows per source by construction",
     "ann_topk_ivf" -> "broadcast coarse-centroid table is k=16 rows by construction",
