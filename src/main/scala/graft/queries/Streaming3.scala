@@ -514,7 +514,104 @@ object Streaming3 {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Single running-offset state cell for the streaming shard manifest:
+    * input (doc_id, ntok), output (doc_id, shard_id, ntok). Rows within
+    * a batch are sorted by doc_id before assignment, so emission is a
+    * pure function of accumulated state + the (deterministic) batch
+    * sequence. */
+  private class ShardManifestProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var off: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      off = getHandle.getValueState("off", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var cur = if (off.exists()) off.get() else 0L
+      val out = rows.toArray.sortBy(_._1).map { case (docId, ntok) =>
+        val sid = cur / graft.operators.Curation7.ShardTokens
+        cur += ntok
+        (docId, sid, ntok)
+      }
+      off.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming shard manifest (stream_shard_manifest): the ingest-side
+    * twin of the batch `shard_plan` — documents arrive in id order over
+    * deterministic micro-batches (range-staged files, timestamp-sorted
+    * admission) and a `transformWithState` coordinator with EXACTLY ONE
+    * state cell (the running token offset) assigns each document its
+    * output shard as it lands. The accumulated manifest must hash-equal
+    * the batch prefix-sum plan over the same corpus — state here is a
+    * single long, not O(stream).
+    *
+    * Scale honesty: a sequential offset is inherently a coordinator —
+    * this row demonstrates the always-on manifest writer, while the
+    * batch spelling (`shard_plan`) is the data-plane form (range
+    * partition + boundary exchange). A production ingest shards the
+    * manifest per partition and stitches offsets exactly like the batch
+    * operator; the state cell per manifest partition is still one
+    * long. */
+  def streamShardManifest(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runId = s"sshard${seq.incrementAndGet()}_${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(runId)
+      val stage = Files.createTempDirectory(s"graft-$runId").toString
+      // RANGE staging: part-00000 carries the low doc_id range, so
+      // timestamp-ordered single-file batches deliver ids in order
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+      val sinkName = s"sink_$runId"
+      val query = s.readStream.format("graft-files").schema(docsSchema)
+        .option("fileFormat", "parquet").option("queueName", runId)
+        .option("queueFetchWaitTimeoutSeconds", "10")
+        .option("maxFilesPerTrigger", "1")
+        .option("sortBatchByTimestamp", "true")
+        .option("minFilesForFirstBatch", files.length.toString)
+        .load()
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast("long").as("ntok"))
+        .as[(Long, Long)]
+        .groupByKey(_ => 0L)
+        .transformWithState(new ShardManifestProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "shard_id", "ntok")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        StreamPlans.capture("stream_shard_manifest", query)
+      } finally query.stop()
+      InMemoryQueueRegistry.remove(runId)
+      s.table(sinkName)
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard_id")
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+  /** Oracle: the batch prefix-sum shard plan over the same corpus. */
+  val streamShardManifestSql: String = graft.operators.Curation7.shardPlanSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_shard_manifest" -> streamShardManifest _,
     "stream_corpus_stats" -> streamCorpusStats _,
     "stream_emb_drift" -> streamEmbDrift _,
     "stream_sample_consistent" -> streamSampleConsistent _,
@@ -524,6 +621,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_shard_manifest" -> streamShardManifestSql,
     "stream_corpus_stats" -> streamCorpusStatsSql,
     "stream_emb_drift" -> streamEmbDriftSql,
     "stream_sample_consistent" -> streamSampleConsistentSql,
