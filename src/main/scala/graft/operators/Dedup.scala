@@ -249,6 +249,43 @@ object Dedup {
     * 1 - 3.6e-15; candidates are verified exactly). */
   val dedupMinhashLshSql: String = dedupNgramJaccardSql
 
+  // ------------------------------------------- minhash estimator bound
+  /** MinHash estimator accuracy gate (`minhash_est_bound`): for every
+    * VERIFIED near-dup pair, the 128-perm signature-agreement estimate
+    * of Jaccard must sit within 0.15 of the exact value — >4σ for
+    * J ≥ 0.8 at K = 128 (σ = √(J(1−J)/K) ≈ 0.035), so a correct
+    * estimator never trips it and a broken permutation/hash spelling
+    * flips the boolean and fails the hash against the all-TRUE oracle.
+    * The `q42_sketch_bound` pattern applied to the dedup estimator: the
+    * sketch internals can't be oracled across engines, so the oracle
+    * pins the exact pairs + the asserted accuracy verdict. */
+  def minhashEstBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = docShingles(s, d).select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("hs"))
+    val sig = ex.groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhashAgg($"hs", MinhashK).as("sig"))
+    dedupMinhashLsh(s, d)
+      .join(sig.select($"doc_id".as("a_id"), $"sig".as("sig_a")), "a_id")
+      .join(sig.select($"doc_id".as("b_id"), $"sig".as("sig_b")), "b_id")
+      .withColumn("match_pos",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"))
+      .withColumn("within_bound",
+        abs(expr(s"(match_pos * 1000000) div $MinhashK")
+          - round($"jaccard" * 1e6).cast("long")) <= 150000L)
+      .select($"a_id", $"b_id", $"jaccard", $"within_bound")
+      .orderBy($"a_id", $"b_id")
+  }
+  val minhashEstBoundSql: String =
+    s"""WITH $ShingleCteSql
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard,
+       |  TRUE AS within_bound
+       |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ------------------------------------------------------------- simhash
   /** SimHash near-dup: 64-bit signature per doc (custom Catalyst
     * expression), candidates from 4x16-bit chunk equality (pigeonhole:
@@ -588,6 +625,7 @@ object Dedup {
     "dedup_fingerprint" -> dedupFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "minhash_est_bound" -> minhashEstBound _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_cc" -> dedupClusters _,
     "dedup_cc_lsh" -> dedupClustersLsh _,
@@ -599,6 +637,7 @@ object Dedup {
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "minhash_est_bound" -> minhashEstBoundSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cc" -> dedupClustersSql,
     "dedup_cc_lsh" -> dedupClustersSql,
