@@ -506,7 +506,7 @@ object Curation7 {
   /** The distributed shard report over a `(doc_id, ntok)` frame —
     * range partition + per-partition cumsum + broadcast offsets; shared
     * by [[shardPlan]] and the composed [[pipelineShards]]. */
-  private[graft] def shardReport(docs: DataFrame): DataFrame = {
+  private[graft] def shardReport(docs: DataFrame, unitBudget: Long = ShardTokens): DataFrame = {
     import docs.sparkSession.implicits._
     val nPart = math.max(2, docs.sparkSession.sparkContext.defaultParallelism)
     val ranged = docs.repartitionByRange(nPart, $"doc_id")
@@ -521,7 +521,7 @@ object Curation7 {
         .select($"pid", $"offset")
       withLocal.join(broadcast(offsets), "pid")
         .withColumn("start_off", $"local_cum" + $"offset" - $"ntok")
-        .withColumn("shard_id", expr(s"start_off div $ShardTokens"))
+        .withColumn("shard_id", expr(s"start_off div $unitBudget"))
         .groupBy($"shard_id")
         .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))

@@ -286,7 +286,41 @@ object Multimodal {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Byte budget per media shard (the WebDataset-style tar target,
+    * scaled to the fixture payloads). */
+  private[graft] val MmShardBytes = 16384L
+
+  /** WebDataset-style media sharding (`mm_shard_pack`): pack binary
+    * payloads into byte-budgeted output shards by prefix-sum start
+    * offset — the media twin of `shard_plan` (tokens → bytes), sharing
+    * its distributed boundary-exchange kernel
+    * ([[Curation7.shardReport]]). No payload is split across shards and
+    * shard sizes deviate from the budget by at most one item — what a
+    * dataloader wants from a tar-shard layout. */
+  def mmShardPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Curation7.shardReport(
+        Tables.documents(s, d).select($"doc_id",
+          length(encode($"text", "UTF-8")).cast("long").as("ntok")),
+        MmShardBytes)
+      .select($"shard_id", $"n_docs".as("n_items"), $"sum_tokens".as("sum_bytes"),
+        $"first_doc".as("first_id"), $"last_doc".as("last_id"))
+  }
+  val mmShardPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents
+       |), c AS (
+       |  SELECT doc_id, nb,
+       |    CAST(SUM(nb) OVER (ORDER BY doc_id) AS BIGINT) - nb AS start_off
+       |  FROM t
+       |)
+       |SELECT start_off // $MmShardBytes AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(nb) AS BIGINT) AS sum_bytes,
+       |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> mmShardPack _,
     "mm_phash_dedup" -> mmPhashDedup _,
     "mm_manifest" -> mmManifest _,
     "mm_frame_sample" -> mmFrameSample _,
@@ -295,6 +329,7 @@ object Multimodal {
     "mm_dedup_payload" -> mmDedupPayload _,
   )
   val oracles: Map[String, String] = Map(
+    "mm_shard_pack" -> mmShardPackSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_manifest" -> mmManifestSql,
     "mm_frame_sample" -> mmFrameSampleSql,
