@@ -727,8 +727,56 @@ object Relational3 {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
        |FROM daily ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ q68 journey Markov
+  /** First-order user-journey transition matrix (`q68_journey_markov`):
+    * for every consecutive event pair within a user's timeline, the
+    * count and probability (ppm) of moving from one event type to the
+    * next — the Markov chain product analytics reads funnels, loops,
+    * and dead-ends from (an `error → error` self-loop spike is an
+    * incident signature; a fat `view → purchase` edge is conversion
+    * health).
+    *
+    * Scale shape: one `lead` window per user partition (the journey
+    * order), one (from,to)-keyed aggregate of at most |types|² rows,
+    * and a per-from normalizing window over that K-bounded frame.
+    * Probabilities are non-negative integer divisions to ppm — exact in
+    * both engines. Ties inside a user's timeline break on event_id, so
+    * the chain is deterministic. */
+  def q68JourneyMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val base = ev.select($"user_id", $"event_id", $"event_type",
+      Tables.tsUs(ev).as("ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val trans = base
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val wFrom = Window.partitionBy($"from_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trans
+      .withColumn("from_total", sum($"n_transitions").over(wFrom))
+      .withColumn("p_ppm", expr("(n_transitions * 1000000) div from_total"))
+      .select($"from_type", $"to_type", $"n_transitions", $"p_ppm")
+      .orderBy($"from_type", $"to_type")
+  }
+  val q68JourneyMarkovSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+       |  FROM events
+       |), g AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+       |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |)
+       |SELECT from_type, to_type, n_transitions,
+       |  (n_transitions * 1000000) // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+       |FROM g ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_cumulative_unique" -> q67CumulativeUnique _,
+    "q68_journey_markov" -> q68JourneyMarkov _,
     "q66_period_movers" -> q66PeriodMovers _,
     "twa_value" -> twaValue _,
     "gap_fill_ffill" -> gapFillFfill _,
@@ -744,6 +792,7 @@ object Relational3 {
   )
   val oracles: Map[String, String] = Map(
     "q67_cumulative_unique" -> q67CumulativeUniqueSql,
+    "q68_journey_markov" -> q68JourneyMarkovSql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,
