@@ -610,7 +610,114 @@ object Streaming3 {
   /** Oracle: the batch prefix-sum shard plan over the same corpus. */
   val streamShardManifestSql: String = graft.operators.Curation7.shardPlanSql
 
+  /** Per-user last-event cell for the streaming journey chain: input
+    * (ts_us, event_id, type), output (from_type, to_type). The batch's
+    * rows sort by (ts_us, event_id) per user; the chain stitches across
+    * micro-batches through the ValueState. */
+  private class JourneyChainProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (String, String)] {
+    @transient private var last: ValueState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last",
+        Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, String)],
+        tv: TimerValues): Iterator[(String, String)] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var prev: Option[(Long, Long, String)] =
+        if (last.exists()) Some(last.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      sorted.foreach { case (_, tsUs, eventId, typ) =>
+        prev.foreach { case (_, _, fromTyp) => out += ((fromTyp, typ)) }
+        prev = Some((tsUs, eventId, typ))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming journey-transition monitor (stream_journey_markov): the
+    * q68 Markov matrix maintained AT INGEST — per-user event chains
+    * stitched ACROSS micro-batches through one last-event ValueState per
+    * user, transitions emitted as events land, normalized in the
+    * read-back. This is the state pattern none of the other rows
+    * exercise: cross-batch SEQUENCE stitching (a user's last event in
+    * batch k pairs with their first event in batch k+1), which no
+    * complete-mode aggregate can express. Events are range-staged by
+    * timestamp (equal keys never split across files), so each user's
+    * chain arrives in order and the accumulated matrix must hash-equal
+    * the batch q68 kernel over the same slice. State is one scalar cell
+    * per live user — O(users), not O(events). */
+  def streamJourneyMarkov(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runId = s"sjm${seq.incrementAndGet()}_${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(runId)
+      val stage = Files.createTempDirectory(s"graft-$runId").toString
+      val ev = Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      ev.repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+      val sinkName = s"sink_$runId"
+      val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+        .option("fileFormat", "parquet").option("queueName", runId)
+        .option("queueFetchWaitTimeoutSeconds", "10")
+        .option("maxFilesPerTrigger", "1")
+        .option("sortBatchByTimestamp", "true")
+        .option("minFilesForFirstBatch", files.length.toString)
+        .load()
+        .withColumn("ts_us", unix_micros(Streaming.eventTs))
+        .select($"user_id", $"ts_us", $"event_id", $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new JourneyChainProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("from_type", "to_type")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        StreamPlans.capture("stream_journey_markov", query)
+      } finally query.stop()
+      InMemoryQueueRegistry.remove(runId)
+      val wFrom = org.apache.spark.sql.expressions.Window.partitionBy($"from_type")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      s.table(sinkName)
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("from_total", sum($"n_transitions").over(wFrom))
+        .withColumn("p_ppm", expr("(n_transitions * 1000000) div from_total"))
+        .select($"from_type", $"to_type", $"n_transitions", $"p_ppm")
+        .orderBy($"from_type", $"to_type")
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+  val streamJourneyMarkovSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+       |  FROM events WHERE event_id < $CUTOFF
+       |), g AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+       |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |)
+       |SELECT from_type, to_type, n_transitions,
+       |  (n_transitions * 1000000) // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+       |FROM g ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_journey_markov" -> streamJourneyMarkov _,
     "stream_shard_manifest" -> streamShardManifest _,
     "stream_corpus_stats" -> streamCorpusStats _,
     "stream_emb_drift" -> streamEmbDrift _,
@@ -621,6 +728,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_journey_markov" -> streamJourneyMarkovSql,
     "stream_shard_manifest" -> streamShardManifestSql,
     "stream_corpus_stats" -> streamCorpusStatsSql,
     "stream_emb_drift" -> streamEmbDriftSql,
