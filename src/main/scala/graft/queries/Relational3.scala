@@ -774,7 +774,82 @@ object Relational3 {
        |  (n_transitions * 1000000) // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
        |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------ q69 value anomaly
+  /** Robust daily-anomaly flags (`q69_value_anomaly`): per event type,
+    * each day's value sum against the type's median and MAD (median
+    * absolute deviation) — a day is anomalous when it deviates from the
+    * median by more than 3×MAD, the standard robust alternative to
+    * z-scores (one incident day cannot drag the baseline the way it
+    * drags a mean/stddev). The ops dashboard row: an `error`-type spike
+    * day lights up here without any threshold tuning.
+    *
+    * Engine-exactness: per-event values quantize to integer micros
+    * before summing; median and MAD use the RANK rule (lower median at
+    * position (n+1) div 2, ties broken by day) — never interpolation —
+    * so every comparison is integer. The daily frame is types × days
+    * (bounded by the retention window, not event volume); both medians
+    * are windows over that K-bounded frame and join back broadcast. */
+  def q69ValueAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .select($"event_type", Tables.tsUs(ev).as("ts_us"),
+        round($"value" * 1e6).cast("long").as("v_micro"))
+      .withColumn("day_idx", expr("ts_us div 86400000000"))
+      .groupBy($"event_type", $"day_idx")
+      .agg(sum($"v_micro").as("day_sum_micro"))
+    val wRank = Window.partitionBy($"event_type").orderBy($"day_sum_micro", $"day_idx")
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"day_sum_micro".as("med_micro"))
+    val withMed = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"day_sum_micro" - $"med_micro"))
+    val wDev = Window.partitionBy($"event_type").orderBy($"dev", $"day_idx")
+    val mad = withMed
+      .withColumn("rn", row_number().over(wDev))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"dev".as("mad_micro"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_anomaly", $"dev" > $"mad_micro" * 3)
+      .select($"event_type", $"day_idx", $"day_sum_micro", $"med_micro",
+        $"mad_micro", $"is_anomaly")
+      .orderBy($"event_type", $"day_idx")
+  }
+  val q69ValueAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS day_sum_micro
+       |  FROM events GROUP BY 1, 2
+       |), med AS (
+       |  SELECT event_type, day_sum_micro AS med_micro FROM (
+       |    SELECT event_type, day_sum_micro,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_sum_micro, day_idx) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM daily)
+       |  WHERE rn = (n + 1) // 2
+       |), wm AS (
+       |  SELECT d.*, m.med_micro, abs(d.day_sum_micro - m.med_micro) AS dev
+       |  FROM daily d JOIN med m USING (event_type)
+       |), mad AS (
+       |  SELECT event_type, dev AS mad_micro FROM (
+       |    SELECT event_type, dev, day_idx,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day_idx) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM wm)
+       |  WHERE rn = (n + 1) // 2
+       |)
+       |SELECT wm.event_type, wm.day_idx, wm.day_sum_micro, wm.med_micro,
+       |  mad.mad_micro, (wm.dev > mad.mad_micro * 3) AS is_anomaly
+       |FROM wm JOIN mad USING (event_type)
+       |ORDER BY wm.event_type, wm.day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_value_anomaly" -> q69ValueAnomaly _,
     "q67_cumulative_unique" -> q67CumulativeUnique _,
     "q68_journey_markov" -> q68JourneyMarkov _,
     "q66_period_movers" -> q66PeriodMovers _,
@@ -793,6 +868,7 @@ object Relational3 {
   val oracles: Map[String, String] = Map(
     "q67_cumulative_unique" -> q67CumulativeUniqueSql,
     "q68_journey_markov" -> q68JourneyMarkovSql,
+    "q69_value_anomaly" -> q69ValueAnomalySql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,
