@@ -716,7 +716,112 @@ object Streaming3 {
        |  (n_transitions * 1000000) // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
        |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  /** Streaming anomaly monitor (stream_value_anomaly): the q69 robust
+    * daily-anomaly table maintained over streamed events. The state is
+    * the (type, day) micro-sum table — bounded by types × the retention
+    * window, associative, hence batch-invariant in complete mode; the
+    * rank-rule median/MAD verdicts run in the read-back exactly as the
+    * batch kernel spells them, so the accumulated dashboard hash-equals
+    * q69 over the same slice. The always-on incident detector: state
+    * stays bounded while events stream past it. */
+  def streamValueAnomaly(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val runId = s"svan${seq.incrementAndGet()}_${System.nanoTime()}"
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+      .repartition(2, col("event_id"))
+      .write.mode("overwrite").parquet(stage)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+    val sinkName = s"sink_$runId"
+    val query = s.readStream.format("graft-files").schema(Streaming.eventsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "1")
+      .option("sortBatchByTimestamp", "true")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .withColumn("ts_us", unix_micros(Streaming.eventTs))
+      .select($"event_type", expr("ts_us div 86400000000").as("day_idx"),
+        round($"value" * 1e6).cast("long").as("v_micro"))
+      .groupBy($"event_type", $"day_idx")
+      .agg(sum($"v_micro").as("day_sum_micro"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      StreamPlans.capture("stream_value_anomaly", query)
+    } finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    // rank-rule median/MAD verdicts over the accumulated (bounded) table —
+    // the exact batch q69 read-side. The sink view is re-materialized as a
+    // fresh local frame (it is types × retention-days rows BY CONSTRUCTION)
+    // so the med/mad self-joins don't alias the memory sink's attributes.
+    val daily = {
+      val acc = s.table(sinkName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      acc.toDF("event_type", "day_idx", "day_sum_micro")
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day_sum_micro", $"day_idx")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"day_sum_micro".as("med_micro"))
+    val withMed = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"day_sum_micro" - $"med_micro"))
+    val wDev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"dev", $"day_idx")
+    val mad = withMed
+      .withColumn("rn", row_number().over(wDev))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"dev".as("mad_micro"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_anomaly", $"dev" > $"mad_micro" * 3)
+      .select($"event_type", $"day_idx", $"day_sum_micro", $"med_micro",
+        $"mad_micro", $"is_anomaly")
+      .orderBy($"event_type", $"day_idx")
+  }
+  val streamValueAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS day_sum_micro
+       |  FROM events WHERE event_id < $CUTOFF GROUP BY 1, 2
+       |), med AS (
+       |  SELECT event_type, day_sum_micro AS med_micro FROM (
+       |    SELECT event_type, day_sum_micro,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_sum_micro, day_idx) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM daily)
+       |  WHERE rn = (n + 1) // 2
+       |), wm AS (
+       |  SELECT d.*, m.med_micro, abs(d.day_sum_micro - m.med_micro) AS dev
+       |  FROM daily d JOIN med m USING (event_type)
+       |), mad AS (
+       |  SELECT event_type, dev AS mad_micro FROM (
+       |    SELECT event_type, dev, day_idx,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day_idx) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM wm)
+       |  WHERE rn = (n + 1) // 2
+       |)
+       |SELECT wm.event_type, wm.day_idx, wm.day_sum_micro, wm.med_micro,
+       |  mad.mad_micro, (wm.dev > mad.mad_micro * 3) AS is_anomaly
+       |FROM wm JOIN mad USING (event_type)
+       |ORDER BY wm.event_type, wm.day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_value_anomaly" -> streamValueAnomaly _,
     "stream_journey_markov" -> streamJourneyMarkov _,
     "stream_shard_manifest" -> streamShardManifest _,
     "stream_corpus_stats" -> streamCorpusStats _,
@@ -728,6 +833,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_value_anomaly" -> streamValueAnomalySql,
     "stream_journey_markov" -> streamJourneyMarkovSql,
     "stream_shard_manifest" -> streamShardManifestSql,
     "stream_corpus_stats" -> streamCorpusStatsSql,
