@@ -742,7 +742,58 @@ object Curation7 {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c2 GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // ------------------------------------------------ embedding drift score
+  /** Embedding drift quantification (`emb_drift_score`): per label, the
+    * L1 distance between the centroid of the REFERENCE slice (even
+    * vec_ids — yesterday's snapshot stand-in) and the CURRENT slice
+    * (odd vec_ids), reported as an exact integer fraction
+    * `l1_num / (l1_den · Q)`: l1_num = Σ_dim |s_ref·n_cur − s_cur·n_ref|
+    * over quantized coordinate sums, l1_den = n_ref·n_cur. This is the
+    * READ side of the drift alarm `stream_emb_drift` maintains — a
+    * cross-multiplied integer form, so no division ever happens before
+    * the comparison and both engines agree bit-for-bit.
+    *
+    * Scale shape: two interleaved slices of one scan, one (label, pos,
+    * slice) aggregate of 2·K·dim rows, and a K·dim-bounded reshape —
+    * nothing corpus-sized after the first aggregate. */
+  def embDriftScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Par.spread(Tables.embeddings(s, d), $"vec_id")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"label", $"pos", ($"vec_id" % 2 === 0).as("is_ref"),
+        round($"x".cast("double") * OutlierQ).cast("long").as("fx"))
+    val g = ex.groupBy($"label", $"pos")
+      .agg(sum(when($"is_ref", $"fx").otherwise(0L)).as("s_ref"),
+        sum(when(!$"is_ref", $"fx").otherwise(0L)).as("s_cur"),
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+    g.groupBy($"label")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        sum(abs($"s_ref" * $"n_cur" - $"s_cur" * $"n_ref")).as("l1_num"))
+      .withColumn("l1_den", $"n_ref" * $"n_cur")
+      .select($"label", $"n_ref", $"n_cur", $"l1_num", $"l1_den")
+      .orderBy($"label")
+  }
+  val embDriftScoreSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, CAST(gs - 1 AS BIGINT) AS pos, vec_id % 2 = 0 AS is_ref,
+       |    CAST(round(CAST(embedding[gs] AS DOUBLE) * $OutlierQ) AS BIGINT) AS fx
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(gs)
+       |), g AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CASE WHEN is_ref THEN fx ELSE 0 END) AS BIGINT) AS s_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN fx ELSE 0 END) AS BIGINT) AS s_cur,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM ex GROUP BY label, pos
+       |)
+       |SELECT label, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+       |  CAST(SUM(abs(s_ref * n_cur - s_cur * n_ref)) AS BIGINT) AS l1_num,
+       |  MAX(n_ref) * MAX(n_cur) AS l1_den
+       |FROM g GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift_score" -> embDriftScore _,
     "pipeline_shards" -> pipelineShards _,
     "vocab_growth_curve" -> vocabGrowthCurve _,
     "length_outlier_trim" -> lengthOutlierTrim _,
@@ -756,6 +807,7 @@ object Curation7 {
     "dedup_cross_corpus" -> dedupCrossCorpus _,
   )
   val oracles: Map[String, String] = Map(
+    "emb_drift_score" -> embDriftScoreSql,
     "pipeline_shards" -> pipelineShardsSql,
     "vocab_growth_curve" -> vocabGrowthCurveSql,
     "length_outlier_trim" -> lengthOutlierTrimSql,
