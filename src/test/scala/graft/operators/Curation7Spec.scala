@@ -163,6 +163,48 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q69_value_anomaly: only the planted spike day is flagged; the rank-rule medians are exact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7an").toString
+    // 7 days of value 10.0 + one spike day of 1000.0 for one event type
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 12, 0, 0)
+    val rows = (0 until 7).map { day =>
+      (day.toLong, t0.plusDays(day), 1L, "view", 10.0, "{}")
+    } :+ ((7L, t0.plusDays(7), 1L, "view", 1000.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.q69ValueAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // median of 8 days = lower median = 10e6; MAD = 0 -> any deviation flags
+    got.foreach { case (_, sumMicro, med, mad, flag) =>
+      assert(med == 10000000L && mad == 0L)
+      assert(flag == (sumMicro != 10000000L), s"only the spike day flags: $got")
+    }
+    assert(got.count(_._5) == 1)
+  }
+
+  test("emb_drift_score: identical slices score zero, a shifted slice scores positive") {
+    val s = spark
+    import s.implicits._
+    val dirSame = Files.createTempDirectory("graft-c7ds").toString
+    // even/odd ids carry identical vectors -> drift numerator must be 0
+    val same = (0L until 20L).map(i => (i, Array.fill(4)(0.25f + (i / 2 % 3) * 0.01f), 0))
+    same.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirSame/embeddings.parquet")
+    val zero = Curation7.embDriftScore(spark, dirSame).collect().head
+    assert(zero.getLong(3) == 0L, s"identical slices must score 0: $zero")
+    val dirShift = Files.createTempDirectory("graft-c7ds2").toString
+    val shifted = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.2f else 0.4f
+      (i, Array.fill(4)(base), 0)
+    }
+    shifted.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirShift/embeddings.parquet")
+    val drift = Curation7.embDriftScore(spark, dirShift).collect().head
+    assert(drift.getLong(3) > 0L, "shifted slice must score positive drift")
+  }
+
   test("cluster map is a train-once artifact: consumers share one build per corpus") {
     val d = "/root/testdata/sf0.001"
     Curation7.dedupCrossCorpus(spark, d).collect()
