@@ -848,7 +848,64 @@ object Relational3 {
        |FROM wm JOIN mad USING (event_type)
        |ORDER BY wm.event_type, wm.day_idx""".stripMargin
 
+  // ------------------------------------------- q70 seasonal baseline
+  /** Seasonal-naive forecast audit (`q70_seasonal_baseline`): per event
+    * type and weekday, how well the classic same-weekday-average
+    * baseline would have predicted each day — the first question any
+    * forecasting effort answers ("beat the seasonal naive or go home"),
+    * and a capacity-planning sanity row in its own right. For each day,
+    * the baseline is the LEAVE-ONE-OUT mean of the other same-weekday
+    * days; the absolute error sums as an exact integer numerator
+    * against the common (n−1) denominator, so no division happens
+    * before comparison and both engines agree bit-for-bit:
+    * err = Σ_days |x·(n−1) − (S−x)|, reported with its denominator.
+    *
+    * Scale shape: the daily frame is types × retention-window days; one
+    * weekday aggregate over it and a broadcast join back — K-bounded
+    * after the first event-table aggregate. */
+  def q70SeasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .select($"event_type", Tables.tsUs(ev).as("ts_us"),
+        round($"value" * 1e6).cast("long").as("v_micro"))
+      .withColumn("day_idx", expr("ts_us div 86400000000"))
+      .groupBy($"event_type", $"day_idx")
+      .agg(sum($"v_micro").as("x"))
+      .withColumn("weekday", expr("day_idx % 7"))
+    val wd = daily.groupBy($"event_type", $"weekday")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("s"))
+    daily.join(broadcast(wd), Seq("event_type", "weekday"))
+      .filter($"n_days" > 1)
+      .groupBy($"event_type", $"weekday")
+      .agg(max($"n_days").as("n_days"),
+        sum(abs($"x" * ($"n_days" - 1) - ($"s" - $"x"))).as("err_num"))
+      .withColumn("err_den", $"n_days" - 1)
+      .select($"event_type", $"weekday", $"n_days", $"err_num", $"err_den")
+      .orderBy($"event_type", $"weekday")
+  }
+  val q70SeasonalBaselineSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), d2 AS (
+       |  SELECT *, day_idx % 7 AS weekday FROM daily
+       |), wd AS (
+       |  SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(x) AS BIGINT) AS s
+       |  FROM d2 GROUP BY 1, 2
+       |)
+       |SELECT d.event_type, d.weekday, MAX(w.n_days) AS n_days,
+       |  CAST(SUM(abs(d.x * (w.n_days - 1) - (w.s - d.x))) AS BIGINT) AS err_num,
+       |  MAX(w.n_days) - 1 AS err_den
+       |FROM d2 d JOIN wd w ON d.event_type = w.event_type AND d.weekday = w.weekday
+       |WHERE w.n_days > 1
+       |GROUP BY d.event_type, d.weekday
+       |ORDER BY d.event_type, d.weekday""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_seasonal_baseline" -> q70SeasonalBaseline _,
     "q69_value_anomaly" -> q69ValueAnomaly _,
     "q67_cumulative_unique" -> q67CumulativeUnique _,
     "q68_journey_markov" -> q68JourneyMarkov _,
@@ -869,6 +926,7 @@ object Relational3 {
     "q67_cumulative_unique" -> q67CumulativeUniqueSql,
     "q68_journey_markov" -> q68JourneyMarkovSql,
     "q69_value_anomaly" -> q69ValueAnomalySql,
+    "q70_seasonal_baseline" -> q70SeasonalBaselineSql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,
