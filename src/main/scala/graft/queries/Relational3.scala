@@ -904,7 +904,61 @@ object Relational3 {
        |GROUP BY d.event_type, d.weekday
        |ORDER BY d.event_type, d.weekday""".stripMargin
 
+  // ------------------------------------------- q71 FK integrity audit
+  /** Star-schema referential-integrity audit (`q71_fk_integrity`): for
+    * every foreign-key edge in the warehouse, the child row count and
+    * the orphan count (child keys with no parent) — the data-quality
+    * dashboard a lakehouse runs after every load, because parquet
+    * enforces nothing. Zero orphans is the healthy state; any non-zero
+    * cell names the edge that broke.
+    *
+    * Scale shape: one anti-join per edge, each keyed on the FK (the
+    * dimension side broadcasts where small); the result is
+    * edges-count rows. */
+  def q71FkIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key)).join(
+        parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphan")
+    }
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val p = Tables.part(s, d)
+    val su = Tables.supplier(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    Seq(
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+      edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"),
+      edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ).reduce(_ unionByName _).orderBy($"fk_edge")
+  }
+  val q71FkIntegritySql: String = {
+    def edgeSql(name: String, child: String, key: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS n_orphan""".stripMargin
+    Seq(
+      edgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edgeSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edgeSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edgeSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edgeSql("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_fk_integrity" -> q71FkIntegrity _,
     "q70_seasonal_baseline" -> q70SeasonalBaseline _,
     "q69_value_anomaly" -> q69ValueAnomaly _,
     "q67_cumulative_unique" -> q67CumulativeUnique _,
@@ -927,6 +981,7 @@ object Relational3 {
     "q68_journey_markov" -> q68JourneyMarkovSql,
     "q69_value_anomaly" -> q69ValueAnomalySql,
     "q70_seasonal_baseline" -> q70SeasonalBaselineSql,
+    "q71_fk_integrity" -> q71FkIntegritySql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,

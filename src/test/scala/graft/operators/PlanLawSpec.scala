@@ -61,6 +61,7 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dedup_cluster_stats" -> "singleton row crossJoins two ONE-row count aggregates by construction",
     "diversity_sample" -> "cell assignment broadcasts the k=16 IVF centroid table by construction",
     "vocab_growth_curve" -> "broadcast side is the ONE-row doc-count aggregate by construction",
+    "q71_fk_integrity" -> "each edge row crossJoins two ONE-row count aggregates by construction",
   )
 
   private lazy val batchPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
