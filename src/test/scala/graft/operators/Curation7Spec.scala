@@ -205,6 +205,46 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drift.getLong(3) > 0L, "shifted slice must score positive drift")
   }
 
+  test("q70_seasonal_baseline: leave-one-out error replays by hand on a planted fortnight") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-c7sb").toString
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 12, 0, 0)
+    // two observations of the same weekday: values 10.0 and 16.0
+    val rows = Seq(
+      (0L, t0, 1L, "view", 10.0, "{}"),
+      (1L, t0.plusDays(7), 1L, "view", 16.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Relational3.q70SeasonalBaseline(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // n=2: each day's baseline is the OTHER day; err = |10-16|e6 per day,
+    // num = sum over both days with den = n-1 = 1
+    assert(got.toSeq == Seq((2L, 12000000L, 1L)), s"hand replica: ${got.toSeq}")
+  }
+
+  test("q71_fk_integrity: a planted orphan order is counted on exactly its edge") {
+    val s = spark
+    import s.implicits._
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-c7fk").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "lineitem"))
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val orphan = orders.limit(1)
+      .withColumn("o_orderkey",
+        org.apache.spark.sql.functions.lit(999999999L))
+      .withColumn("o_custkey",
+        org.apache.spark.sql.functions.lit(888888888L)) // no such customer
+    orders.unionByName(orphan).write.parquet(s"$dir/orders.parquet")
+    val got = graft.queries.Relational3.q71FkIntegrity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("orders->customer")._2 == 1L, s"planted orphan must count: $got")
+    assert(got("nation->region")._2 == 0L && got("customer->nation")._2 == 0L)
+    // the orphan ORDER also strands no lineitem (no lineitem references it)
+    assert(got("lineitem->orders")._2 == 0L)
+  }
+
   test("cluster map is a train-once artifact: consumers share one build per corpus") {
     val d = "/root/testdata/sf0.001"
     Curation7.dedupCrossCorpus(spark, d).collect()
