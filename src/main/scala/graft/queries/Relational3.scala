@@ -957,7 +957,52 @@ object Relational3 {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  // ------------------------------------------- q72 PK uniqueness audit
+  /** Primary-key uniqueness audit (`q72_pk_uniqueness`): for every
+    * table's declared key, row count, distinct-key count, and duplicate
+    * surplus — [[q71FkIntegrity]]'s sibling and the other half of the
+    * after-load data-quality dashboard (a double-applied CDC batch
+    * shows up here before any downstream join fans out). One aggregate
+    * per table; the lineitem key is composite (orderkey, linenumber). */
+  def q72PkUniqueness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(keys.head, keys.tail: _*).as("n_distinct_keys"))
+        .select(lit(name).as("table_key"), $"n_rows", $"n_distinct_keys",
+          ($"n_rows" - $"n_distinct_keys").as("n_dup_surplus"))
+    Seq(
+      audit("customer(c_custkey)", Tables.customer(s, d), Seq("c_custkey")),
+      audit("events(event_id)", Tables.events(s, d), Seq("event_id")),
+      audit("lineitem(l_orderkey,l_linenumber)", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")),
+      audit("nation(n_nationkey)", Tables.nation(s, d), Seq("n_nationkey")),
+      audit("orders(o_orderkey)", Tables.orders(s, d), Seq("o_orderkey")),
+      audit("part(p_partkey)", Tables.part(s, d), Seq("p_partkey")),
+      audit("region(r_regionkey)", Tables.region(s, d), Seq("r_regionkey")),
+      audit("supplier(s_suppkey)", Tables.supplier(s, d), Seq("s_suppkey")),
+    ).reduce(_ unionByName _).orderBy($"table_key")
+  }
+  val q72PkUniquenessSql: String = {
+    def a(name: String, table: String, keyExpr: String): String =
+      s"""SELECT '$name' AS table_key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT $keyExpr) AS BIGINT) AS n_distinct_keys,
+         |  CAST(COUNT(*) - COUNT(DISTINCT $keyExpr) AS BIGINT) AS n_dup_surplus
+         |FROM $table""".stripMargin
+    Seq(
+      a("customer(c_custkey)", "customer", "c_custkey"),
+      a("events(event_id)", "events", "event_id"),
+      a("lineitem(l_orderkey,l_linenumber)", "lineitem", "(l_orderkey, l_linenumber)"),
+      a("nation(n_nationkey)", "nation", "n_nationkey"),
+      a("orders(o_orderkey)", "orders", "o_orderkey"),
+      a("part(p_partkey)", "part", "p_partkey"),
+      a("region(r_regionkey)", "region", "r_regionkey"),
+      a("supplier(s_suppkey)", "supplier", "s_suppkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY table_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_pk_uniqueness" -> q72PkUniqueness _,
     "q71_fk_integrity" -> q71FkIntegrity _,
     "q70_seasonal_baseline" -> q70SeasonalBaseline _,
     "q69_value_anomaly" -> q69ValueAnomaly _,
@@ -982,6 +1027,7 @@ object Relational3 {
     "q69_value_anomaly" -> q69ValueAnomalySql,
     "q70_seasonal_baseline" -> q70SeasonalBaselineSql,
     "q71_fk_integrity" -> q71FkIntegritySql,
+    "q72_pk_uniqueness" -> q72PkUniquenessSql,
     "q66_period_movers" -> q66PeriodMoversSql,
     "twa_value" -> twaValueSql,
     "gap_fill_ffill" -> gapFillFfillSql,
