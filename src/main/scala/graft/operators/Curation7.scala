@@ -67,15 +67,43 @@ object Curation7 {
     * join), a per-vector partial-aggregated sum (exploded rows of one
     * vector are co-located, so the combine is local), and a window over
     * labels. The only data-sized shuffles key on vec_id and label. */
-  def embOutlier(s: SparkSession, d: String): DataFrame = {
+  def embOutlier(s: SparkSession, d: String): DataFrame =
+    embOutlierOf(Tables.embeddings(s, d))
+
+  /** The kernel over an explicit embeddings frame (`vec_id, embedding,
+    * label`) — lets the headroom spec inject a group that exceeds the
+    * i64 bound without a fixture. */
+  private[graft] def embOutlierOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val ex = Par.spread(Tables.embeddings(s, d), $"vec_id")
+    val ex = Par.spread(emb, $"vec_id")
       .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
       .select($"vec_id", $"label", $"pos",
         round($"x".cast("double") * OutlierQ).cast("long").as("fx"))
+    // persisted: the guard action below materializes the K·dim-row frame
+    // once; the broadcast side of the final join then reads the cache
+    // instead of re-running the explode+aggregate
     val stats = ex.groupBy($"label", $"pos")
-      .agg(count(lit(1)).as("n"), sum($"fx").as("s"))
-    val d2 = ex.join(broadcast(stats), Seq("label", "pos"))
+      .agg(count(lit(1)).as("n"), sum($"fx").as("s"), max(abs($"fx")).as("mfx"))
+      .persist()
+    // i64 headroom guard: per position |delta| = |fx·n − Σfx| <= 2·mfx·n,
+    // so d2n <= Σ_pos (2·mfx·n)². Assert that bound (computed in double —
+    // it only guards, it never enters the result) stays under 2^63 with a
+    // 2% margin for every label, failing LOUDLY instead of silently
+    // wrapping d2n. The stats frame is K·dim rows, so the check is one
+    // extra narrow job over an already-tiny aggregate.
+    val worst = stats.groupBy($"label")
+      .agg(sum(pow($"mfx".cast("double") * 2.0 * $"n", 2.0)).as("bound"),
+        max($"n").as("n"))
+      .orderBy($"bound".desc).limit(1).collect()
+    worst.headOption.filter(_.getDouble(1) >= 9.0e18).foreach { r =>
+      throw new IllegalStateException(
+        s"emb_outlier fixed-point headroom exceeded: label=${r.get(0)} " +
+          s"(n=${r.getLong(2)}) has Σ(2·mfx·n)² = ${r.getDouble(1)} >= 2^63·0.98 " +
+          s"at Q=$OutlierQ — d2n would overflow i64. Shrink the group, lower " +
+          "the quantizer scale, or raise dims-per-pass.")
+    }
+    val d2 = ex.join(broadcast(stats.drop("mfx")), Seq("label", "pos"))
       .withColumn("delta", $"fx" * $"n" - $"s")
       .groupBy($"vec_id", $"label")
       .agg(sum($"delta" * $"delta").as("d2n"), max($"n").as("n"))
@@ -197,7 +225,12 @@ object Curation7 {
     val asg = docs.join(clusters, Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"),
-        regexp_extract($"source", "\\d+", 0).cast("long").as("prio"))
+        // guarded like epoch_plan's spelling: a digit-less source yields
+        // prio 0 on BOTH engines (unguarded, DuckDB CASTs '' and crashes
+        // while Spark yields NULL — and the two engines then disagree on
+        // NULL ordering); substring(1,18) bounds the digits below i64
+        substring(coalesce(nullif(regexp_extract($"source", "(\\d+)", 1), lit("")),
+          lit("0")), 1, 18).cast("long").as("prio"))
     val w = Window.partitionBy($"cluster_id").orderBy($"prio", $"doc_id")
     val ranked = asg
       .withColumn("keep", row_number().over(w) === 1)
@@ -213,7 +246,7 @@ object Curation7 {
     s"""WITH RECURSIVE ${Dedup.CcCteSql},
        |asg AS (
        |  SELECT d.doc_id, d.source, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
-       |    CAST(regexp_extract(d.source, '[0-9]+') AS BIGINT) AS prio
+       |    CAST(substring(COALESCE(NULLIF(regexp_extract(d.source, '([0-9]+)', 1), ''), '0'), 1, 18) AS BIGINT) AS prio
        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
        |), ranked AS (
        |  SELECT source,

@@ -963,12 +963,25 @@ object Relational3 {
     * surplus — [[q71FkIntegrity]]'s sibling and the other half of the
     * after-load data-quality dashboard (a double-applied CDC batch
     * shows up here before any downstream join fans out). One aggregate
-    * per table; the lineitem key is composite (orderkey, linenumber). */
+    * per table; the lineitem key is composite (orderkey, linenumber).
+    *
+    * NULL-key semantics, pinned explicitly on both engines: single-column
+    * COUNT(DISTINCT k) drops NULL keys identically in Spark and DuckDB;
+    * composite keys diverge (Spark's countDistinct(a,b) drops a tuple if
+    * ANY component is NULL, DuckDB's COUNT(DISTINCT (a,b)) keeps it), so
+    * the composite audit counts a canonical NULL-tagged concat spelled
+    * the same way in both engines — a tuple with a NULL component counts
+    * as one distinct key, matching the single-column "a NULL key is
+    * still a row the surplus must explain" reading. */
   def q72PkUniqueness(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    def canon(keys: Seq[String]): Column =
+      keys.map(k => coalesce(col(k).cast("string"), lit("<null>")))
+        .reduce((a, b) => concat(a, lit("|"), b))
     def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-          countDistinct(keys.head, keys.tail: _*).as("n_distinct_keys"))
+          (if (keys.size == 1) countDistinct(keys.head)
+           else countDistinct(canon(keys))).as("n_distinct_keys"))
         .select(lit(name).as("table_key"), $"n_rows", $"n_distinct_keys",
           ($"n_rows" - $"n_distinct_keys").as("n_dup_surplus"))
     Seq(
@@ -992,7 +1005,9 @@ object Relational3 {
     Seq(
       a("customer(c_custkey)", "customer", "c_custkey"),
       a("events(event_id)", "events", "event_id"),
-      a("lineitem(l_orderkey,l_linenumber)", "lineitem", "(l_orderkey, l_linenumber)"),
+      a("lineitem(l_orderkey,l_linenumber)", "lineitem",
+        "concat(COALESCE(CAST(l_orderkey AS VARCHAR), '<null>'), '|', " +
+          "COALESCE(CAST(l_linenumber AS VARCHAR), '<null>'))"),
       a("nation(n_nationkey)", "nation", "n_nationkey"),
       a("orders(o_orderkey)", "orders", "o_orderkey"),
       a("part(p_partkey)", "part", "p_partkey"),

@@ -250,7 +250,8 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     Curation7.dedupCrossCorpus(spark, d).collect()
     Dedup.dedupClusterStats(spark, d).collect()
     Dedup.dedupKeepCanonical(spark, d).collect()
-    val key = s"cc-clusters|$d|cap=${Dedup.CcDfCap}" +
+    // since round 15 the standing map builds from the LSH kernel
+    val key = s"cc-clusters-lsh|$d|cap=${Dedup.CcDfCap}" +
       s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}"
     assert(Models.builds(key) == 1,
       s"cluster map must build exactly once per JVM, built ${Models.builds(key)} times")
@@ -423,6 +424,23 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
           s"anchor $a: negative must be the global ring successor $expSucc, got ${negs.get(a)}")
     }
     assert(negs.keySet.subsetOf(anchors), "negatives only for anchors")
+  }
+
+  test("emb_outlier: i64 headroom guard fires loudly on an over-bound group") {
+    val s = spark; import s.implicits._
+    // coordinates of ~1e7 make |fx| ~ 4e10, so Σ_pos (2·mfx·n)² blows past
+    // 2^63 with just 3 vectors — the guard must throw, not wrap d2n
+    val big = (0L until 3L).map(i => (i, Array.fill(4)(1.0e7f + i), 0))
+    val ex = intercept[IllegalStateException] {
+      Curation7.embOutlierOf(big.toDF("vec_id", "embedding", "label")).collect()
+    }
+    assert(ex.getMessage.contains("headroom exceeded"), ex.getMessage)
+  }
+
+  test("emb_outlier: guard stays silent at fixture coordinate range") {
+    // sanity companion: the gate corpus shape never trips the guard
+    val got = Curation7.embOutlier(spark, "/root/testdata/sf0.001").count()
+    assert(got > 0)
   }
 
   test("diversity_sample: K-bounded output and prefix ranks per cell") {
