@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.timestamp_micros
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -401,6 +402,34 @@ object PerfHarness {
       (id, v, label)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // events: USER COUNT scales with the corpus while events-per-user
+    // (~20), the type alphabet (5), and the calendar window (30 days)
+    // stay fixed — so per-user journey length, the types² transition
+    // frame, and the types×days daily frame are all scale-invariant,
+    // which is exactly the self-similarity the event-time operators'
+    // K-bounded-state claims are measured against. ts is fixture-shaped
+    // (parquet timestamp[us]; the scale session pins UTC).
+    val nEvents = nDocs * 4
+    val nUsers = math.max(1L, nDocs / 5)
+    val types = Array("view", "click", "cart", "purchase", "error")
+    val evParts = math.max(8, math.min(256, (nEvents / 20000L).toInt))
+    val baseUs = 1767225600000000L // 2026-01-01T00:00:00Z
+    spark.range(0L, nEvents, 1L, evParts).map { idBoxed =>
+      val id: Long = idBoxed
+      val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 99)
+      val user = id % nUsers
+      val t = { val r = rnd.nextDouble()
+        if (r < 0.45) "view" else if (r < 0.70) "click"
+        else if (r < 0.85) "cart" else if (r < 0.97) "purchase" else "error" }
+      val tsUs = baseUs + (rnd.nextInt(30).toLong * 86400L +
+        rnd.nextInt(86400).toLong) * 1000000L
+      val value = math.abs(types.indexOf(t) * 10.0 + 5.0 * rnd.nextGaussian())
+      (id, tsUs, user, t, value, s"""{"k":${rnd.nextInt(8)}}""")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   /** Least-squares slope of ln(y) on ln(x) — the scaling exponent. */
@@ -451,7 +480,17 @@ object PerfHarness {
     spark.sparkContext.addSparkListener(listener)
     // scale-only comparison arms that are deliberately NOT gate queries
     val qs = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
-      "dedup_cc_uncapped" -> ((s, d) => graft.operators.Dedup.dedupClustersUncapped(s, d)))
+      "dedup_cc_uncapped" -> ((s, d) => graft.operators.Dedup.dedupClustersUncapped(s, d)),
+      // the standing-index BUILD (LSH kernel + parquet commit) measured
+      // uncached — the ingest-time cost every cluster-map consumer
+      // amortizes; writes to a fresh dir per rep so the Models store
+      // never short-circuits the measurement
+      "cluster_map_build" -> ((s, d) => {
+        val out = Files.createTempDirectory("graft-cmb")
+        graft.operators.Dedup.dedupClustersLsh(s, d)
+          .write.mode("overwrite").parquet(s"$out/cc.parquet")
+        s.read.parquet(s"$out/cc.parquet")
+      }))
     try {
       val baseDocs = 5000L; val baseVecs = 2000L
       val perScale = scales.map { k =>
@@ -555,7 +594,8 @@ object PerfHarness {
         val scales = args.lift(1).getOrElse("1,10,100").split(",").toSeq.map(_.trim.toInt)
         val ops = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
           "dedup_cc", "dedup_minhash_lsh", "heavy_hitters", "budget_select", "ann_topk_ivf"))
-        val unknown = ops.toSet -- SparkEntry.queries.keySet - "dedup_cc_uncapped"
+        val unknown = ops.toSet -- SparkEntry.queries.keySet -
+          "dedup_cc_uncapped" - "cluster_map_build"
         require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")}")
         val reps = args.lift(3).map(_.toInt).getOrElse(2)
         println(scaleRun(spark, scales, ops, reps))

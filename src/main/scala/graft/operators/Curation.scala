@@ -355,7 +355,7 @@ object Curation {
     * alias, CollapseProject keeps the single evaluation (the repo's
     * fusion-trap guidance) instead of re-running the tokenizer in every
     * when-branch. */
-  private[operators] def cascadeRule(toks: Column): Column =
+  private[graft] def cascadeRule(toks: Column): Column =
     when(size(toks) < CascadeMinTokens, "too_short")
       .when(length(col("text")) > CascadeMaxChars, "too_long")
       .when(punctRatio(col("text")) > CascadePunctMax, "high_punct")

@@ -22,8 +22,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamPlans {
   private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stateRows = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Record `q`'s most recent micro-batch executed plan under `name`. */
+  /** Record `q`'s most recent micro-batch executed plan under `name`,
+    * plus the total state-store row count from the final progress — the
+    * measured side of each harness's "state is O(key domain), not
+    * O(events)" claim (StateInvarianceSpec replays volumes against it). */
   private[queries] def capture(name: String, q: StreamingQuery): Unit = try {
     val exec: StreamExecution = q match {
       case w: StreamingQueryWrapper => w.streamingQuery
@@ -31,6 +35,9 @@ object StreamPlans {
       case other => sys.error(s"unexpected StreamingQuery impl ${other.getClass}")
     }
     Option(exec.lastExecution).foreach(e => plans.put(name, e.executedPlan.toString))
+    Option(q.lastProgress).filter(_.stateOperators.nonEmpty).foreach { p =>
+      stateRows.put(name, java.lang.Long.valueOf(p.stateOperators.map(_.numRowsTotal).sum))
+    }
   } catch { case NonFatal(_) => () } // missing plan => law spec fails by name
 
   /** Record an explicitly-planned frame. For `foreachBatch` harnesses the
@@ -43,4 +50,9 @@ object StreamPlans {
 
   def get(name: String): Option[String] = Option(plans.get(name))
   def all: Map[String, String] = plans.asScala.toMap
+
+  /** Total state rows of `name`'s final progress (absent if the harness
+    * hasn't run in this JVM or the query carries no state operator). */
+  def stateRowsOf(name: String): Option[Long] =
+    Option(stateRows.get(name)).map(_.longValue)
 }

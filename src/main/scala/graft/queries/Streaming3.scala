@@ -820,7 +820,146 @@ object Streaming3 {
        |FROM wm JOIN mad USING (event_type)
        |ORDER BY wm.event_type, wm.day_idx""".stripMargin
 
+  /** Exactly-once fingerprint admission for the composed pipeline: key =
+    * content fingerprint, ONE boolean cell per DISTINCT fingerprint ever
+    * seen (O(distinct content), not O(stream)); the first arrival (min
+    * doc_id — per-batch rows sorted, batches id-ordered by staging) is
+    * emitted, every later copy is dropped. */
+  private class DedupAdmitProcessor
+      extends StatefulProcessor[String, (String, Long, Long), (Long, Long)] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(fp: String, rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        val first = rows.minBy(_._2)
+        Iterator.single((first._2, first._3))
+      }
+    }
+  }
+
+  /** Composed streaming curation pipeline (stream_pipeline_curate): the
+    * batch `pipeline_shards` idea AT INGEST — one streaming query that
+    * chains a stateless quality cascade (the `filter_cascade` rule), an
+    * exactly-once content-fingerprint dedup ([[DedupAdmitProcessor]],
+    * state O(distinct fingerprints)), and the running shard coordinator
+    * ([[ShardManifestProcessor]], state = one offset cell) — THREE
+    * pipeline stages, two of them stateful, in a single micro-batch
+    * DAG. Every other streaming row exercises one state pattern in
+    * isolation; a real ingest runs them fused exactly like this, and
+    * the fusion is where operator interactions (append-mode chaining,
+    * per-batch ordering through a keyed shuffle) can break.
+    *
+    * Determinism: documents are range-staged by doc_id and admitted in
+    * timestamp order, so batches deliver ids monotonically; the dedup
+    * winner is the min doc_id (per-batch min + monotone batches), and
+    * the shard processor sorts each batch's survivors — the accumulated
+    * manifest must hash-equal the batch composition (cascade pass →
+    * min-doc_id-per-fingerprint → doc_id-ordered prefix-sum shards),
+    * which is what the oracle replays. */
+  def streamPipelineCurate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 4) {
+    import s.implicits._
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val runId = s"spc${seq.incrementAndGet()}_${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(runId)
+      val stage = Files.createTempDirectory(s"graft-$runId").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
+
+      val sinkName = s"sink_$runId"
+      val query = s.readStream.format("graft-files").schema(docsSchema)
+        .option("fileFormat", "parquet").option("queueName", runId)
+        .option("queueFetchWaitTimeoutSeconds", "10")
+        .option("maxFilesPerTrigger", "1")
+        .option("sortBatchByTimestamp", "true")
+        .option("minFilesForFirstBatch", files.length.toString)
+        .load()
+        // stage 1: the quality cascade, stateless (projected tokens so
+        // the tokenizer runs once — the CollapseProject discipline)
+        .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+        .filter(graft.operators.Curation.cascadeRule($"toks") === "pass")
+        // stage 2: exactly-once content admission keyed on md5(text)
+        .select(md5($"text").as("fp"), $"doc_id",
+          size($"toks").cast("long").as("ntok"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new DedupAdmitProcessor,
+          TimeMode.None(), OutputMode.Append())
+        // stage 3: the running shard coordinator over survivors
+        .groupByKey(_ => 0L)
+        .transformWithState(new ShardManifestProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "shard_id", "ntok")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        StreamPlans.capture("stream_pipeline_curate", query)
+      } finally query.stop()
+      InMemoryQueueRegistry.remove(runId)
+      s.table(sinkName)
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard_id")
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+  /** The batch composition, replayed: cascade-pass → first-copy-per-
+    * fingerprint → doc_id-ordered prefix-sum shards. */
+  val streamPipelineCurateSql: String = {
+    val stops = graft.functions.TextFunctions.StopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val C = graft.operators.Curation
+    raw"""WITH scored AS (
+         |  SELECT doc_id, lang, text, LENGTH(text) AS len, len(toks) AS nt,
+         |    CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) / len(toks) AS sr,
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / LENGTH(text) AS pr,
+         |    CAST(len(toks) AS BIGINT) AS ntok
+         |  FROM (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+         |), passed AS (
+         |  SELECT doc_id, md5(text) AS fp, ntok FROM scored
+         |  WHERE CASE WHEN nt < ${C.CascadeMinTokens} THEN 'too_short'
+         |             WHEN len > ${C.CascadeMaxChars} THEN 'too_long'
+         |             WHEN pr > ${C.CascadePunctMax} THEN 'high_punct'
+         |             WHEN lang = 'en' AND sr < ${C.CascadeStopMin} THEN 'low_stopword'
+         |             ELSE 'pass' END = 'pass'
+         |), surv AS (
+         |  SELECT doc_id, ntok FROM (
+         |    SELECT doc_id, ntok,
+         |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM passed)
+         |  WHERE rn = 1
+         |), c AS (
+         |  SELECT doc_id, ntok,
+         |    CAST(SUM(ntok) OVER (ORDER BY doc_id) AS BIGINT) - ntok AS start_off
+         |  FROM surv
+         |)
+         |SELECT start_off // ${graft.operators.Curation7.ShardTokens} AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_pipeline_curate" -> streamPipelineCurate _,
     "stream_value_anomaly" -> streamValueAnomaly _,
     "stream_journey_markov" -> streamJourneyMarkov _,
     "stream_shard_manifest" -> streamShardManifest _,
@@ -833,6 +972,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_pipeline_curate" -> streamPipelineCurateSql,
     "stream_value_anomaly" -> streamValueAnomalySql,
     "stream_journey_markov" -> streamJourneyMarkovSql,
     "stream_shard_manifest" -> streamShardManifestSql,
