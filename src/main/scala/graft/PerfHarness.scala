@@ -327,6 +327,72 @@ object PerfHarness {
       s"""${perBackend.mkString(",")}}"""
   }
 
+  /** Bulk-replay decomposition (the 48k-crossover adjudication): drain
+    * the SAME pre-generated backlog once per `maxFilesPerTrigger`
+    * setting, push source vs listing source. If the push side's bulk
+    * gap closes as triggers get bigger, the gap is per-trigger fixed
+    * cost (query planning + `resolveRelation` per micro-batch), not
+    * per-file work — and a bulk-replay user can turn the same knob the
+    * reference documents (DataConsumer.scala:28 precedent). Each config
+    * validates row counts. */
+  def bulkSweep(spark: SparkSession, nFiles: Int, rowsPerFile: Int,
+      mfpts: Seq[Int]): String = {
+    val root = Files.createTempDirectory("graft-bulk")
+    val dataDir = Files.createDirectory(root.resolve("data"))
+    val paths = generate(dataDir, 0, nFiles, rowsPerFile)
+    val expected = nFiles.toLong * rowsPerFile
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def drain(out: Path, cp: Path, build: => org.apache.spark.sql.DataFrame): Double = timed {
+      val q = build.writeStream.format("csv")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // one-time JVM warmup (codegen, committers) so config 1 isn't biased
+    val warmDir = Files.createDirectory(root.resolve("warm"))
+    val warmPath = generate(warmDir, 0, 1, 1).head
+    val warmQ = s"bulk-warm-${System.nanoTime()}"
+    InMemoryQueueRegistry.queue(warmQ)
+      .send(s"""{"path":"$warmPath","timestampMs":${System.currentTimeMillis()}}""")
+    drain(root.resolve("warmOutG"), root.resolve("warmCpG"),
+      spark.readStream.format("graft-files").schema(harnessSchema)
+        .option("fileFormat", "csv").option("queueName", warmQ)
+        .option("queueFetchWaitTimeoutSeconds", "5").load())
+    drain(root.resolve("warmOutF"), root.resolve("warmCpF"),
+      spark.readStream.format("csv").schema(harnessSchema).load(warmDir.toString))
+    val series = mfpts.map { mfpt =>
+      val tag = s"m$mfpt"
+      val queueName = s"bulk-$tag-${System.nanoTime()}"
+      val queue = InMemoryQueueRegistry.queue(queueName)
+      paths.foreach(p => queue.send(
+        s"""{"path":"$p","timestampMs":${System.currentTimeMillis()}}"""))
+      val graftSec = drain(root.resolve(s"outG$tag"), root.resolve(s"cpG$tag"),
+        spark.readStream.format("graft-files").schema(harnessSchema)
+          .option("fileFormat", "csv").option("queueName", queueName)
+          .option("maxFilesPerTrigger", mfpt.toString)
+          .option("queueFetchWaitTimeoutSeconds", "5").load())
+      val fileSec = drain(root.resolve(s"outF$tag"), root.resolve(s"cpF$tag"),
+        spark.readStream.format("csv").schema(harnessSchema)
+          .option("maxFilesPerTrigger", mfpt.toString)
+          .load(dataDir.toString))
+      InMemoryQueueRegistry.remove(queueName)
+      def cnt(p: Path) = spark.read.schema(harnessSchema).csv(p.toString).count()
+      val valid = cnt(root.resolve(s"outG$tag")) == expected &&
+        cnt(root.resolve(s"outF$tag")) == expected
+      System.err.println(f"[bulk] mfpt=$mfpt%6d triggers=${(nFiles + mfpt - 1) / mfpt}%3d " +
+        f"graft=$graftSec%7.2fs file=$fileSec%7.2fs ratio=${graftSec / fileSec}%.2f valid=$valid")
+      s"""{"max_files_per_trigger":$mfpt,"triggers":${(nFiles + mfpt - 1) / mfpt},""" +
+        s""""graft_bulk_sec":${f"$graftSec%.2f"},"file_source_bulk_sec":${f"$fileSec%.2f"},""" +
+        s""""valid":$valid}"""
+    }
+    s"""{"metric":"bulk_sweep","backlog_files":$nFiles,"rows_per_file":$rowsPerFile,""" +
+      s""""series":[${series.mkString(",")}]}"""
+  }
+
   // ----------------------- scale mode: MEASURED scaling exponents
   // The 100 TB claims for the data-curation operators rest on plan-shape
   // arguments; this mode replaces argument with measurement: synthesize
@@ -558,13 +624,16 @@ object PerfHarness {
     * or: layout [sessions] [rounds] [sfDir] (defaults 8 x 3 on sf0.1);
     * or: logsoak [rounds] [newPerRound] [rowsPerFile] (defaults 40 x 8 x 10);
     * or: scale [k1,k2,...] [op1,op2,...] [reps] (defaults 1,10,100 x
-    *     dedup_cc,dedup_minhash_lsh,heavy_hitters,budget_select,ann_topk_ivf x 2). */
+    *     dedup_cc,dedup_minhash_lsh,heavy_hitters,budget_select,ann_topk_ivf x 2);
+    * or: bulk [nFiles] [rowsPerFile] [mfpt1,mfpt2,...] (defaults
+    *     48000 x 10 x 5000,16000,48000). */
   def main(args: Array[String]): Unit = {
     val soakMode = args.headOption.contains("soak")
     val layoutMode = args.headOption.contains("layout")
     val logSoakMode = args.headOption.contains("logsoak")
     val scaleMode = args.headOption.contains("scale")
-    val anyMode = soakMode || layoutMode || logSoakMode || scaleMode
+    val bulkMode = args.headOption.contains("bulk")
+    val anyMode = soakMode || layoutMode || logSoakMode || scaleMode || bulkMode
     val nFiles = if (anyMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
     val rowsPerFile = if (anyMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
@@ -604,6 +673,12 @@ object PerfHarness {
           .split(",").toSeq.map(_.trim.toInt)
         val rows = args.lift(2).map(_.toInt).getOrElse(10)
         println(soak(spark, backlogs, rows))
+      } else if (bulkMode) {
+        val n = args.lift(1).map(_.toInt).getOrElse(48000)
+        val rows = args.lift(2).map(_.toInt).getOrElse(10)
+        val mfpts = args.lift(3).getOrElse("5000,16000,48000")
+          .split(",").toSeq.map(_.trim.toInt)
+        println(bulkSweep(spark, n, rows, mfpts))
       } else {
         val r = run(spark, nFiles, rowsPerFile)
         // one JSON line, same contract style as Bench

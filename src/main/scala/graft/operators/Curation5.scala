@@ -109,33 +109,39 @@ object Curation5 {
     * published definition — short docs (< k + w − 1 chars) have no full
     * window and report nothing, identically on both engines.
     *
-    * Scale shape: gram hashing + window minima are per-doc narrow work
-    * (one shuffle on doc_id for the window sort); the only corpus-wide
-    * stage is the fingerprint document-frequency aggregate — a
-    * dictionary-sized hash agg at ~2/(w+1) gram density — and a keyed
-    * join back. Text never shuffles; 8-byte fingerprints do. */
+    * Scale shape: gram hashing + window minima run ENTIRELY inside the
+    * document row — the k-gram hash array and the sliding minima are
+    * codegen'd higher-order array expressions (one md5 per gram, then
+    * `array_min` over w-slices), so no gram row ever materializes, let
+    * alone shuffles (the round-15 respelling: the original
+    * explode + window-sort spelling shuffled every gram row on doc_id —
+    * 1.2 GB and a measured memory cliff at the x100 scale harness; this
+    * one shuffles only the deduped 8-byte fingerprint set). The only
+    * corpus-wide stages are the fingerprint document-frequency
+    * aggregate — a dictionary-sized hash agg at ~2/(w+1) gram density —
+    * and a keyed join back. Text never shuffles; 8-byte fingerprints
+    * do. */
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // full-window bound npos − (w−1) comes straight off length(text)
-    // BEFORE the explode — no second window pass over the gram rows
-    val grams = Par.spread(Tables.documents(s, d), $"doc_id")
-      .filter(length($"text") >= WinnowK)
+    // docs shorter than k + w − 1 chars have no FULL window and report
+    // nothing (identical to the published definition and the oracle)
+    val docs = Par.spread(Tables.documents(s, d), $"doc_id")
+      .filter(length($"text") >= WinnowK + WinnowW - 1)
       .select($"doc_id", $"text",
-        (length($"text") - (WinnowK - 1)).as("npos"),
-        explode(sequence(lit(1), length($"text") - (WinnowK - 1))).as("pos"))
-      .select($"doc_id", $"npos", $"pos",
-        conv(substring(md5($"text".substr($"pos", lit(WinnowK))), 1, 15), 16, 10)
-          .cast("long").as("h"))
-    val fw = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, WinnowW - 1)
+        (length($"text") - (WinnowK - 1)).as("npos"))
     // persisted: fps feeds BOTH the fingerprint-df aggregate and the
-    // join back — without the cache boundary the whole gram+window
+    // join back — without the cache boundary the whole hash+minima
     // pipeline executes twice (the documented unpersist-trap class;
     // plan-keyed corpus artifact, so it stays cached — see BENCH_NOTES
     // round-13 shakedown)
-    val fps = grams
-      .withColumn("wmin", min($"h").over(fw))
-      .filter($"pos" <= $"npos" - (WinnowW - 1))
-      .select($"doc_id", $"wmin").distinct()
+    val fps = docs
+      .withColumn("hs", expr(
+        s"transform(sequence(1, int(npos)), p -> " +
+          s"cast(conv(substring(md5(substring(text, p, $WinnowK)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("wmin", explode(expr(
+        s"array_distinct(transform(sequence(1, int(npos) - ${WinnowW - 1}), p -> " +
+          s"array_min(slice(hs, p, $WinnowW))))")))
+      .select($"doc_id", $"wmin")
       .persist()
     fps.count()
     val df = fps.groupBy($"wmin").agg(count(lit(1)).as("ndocs"))
