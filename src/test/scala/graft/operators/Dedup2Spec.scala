@@ -163,4 +163,12 @@ class Dedup2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(a.map(_.getLong(0)).distinct.length == a.length, "every doc exactly once")
   }
+
+  test("dedup_cc_delta: incremental merge equals the full LSH rebuild") {
+    val merged = Dedup.dedupCcDelta(spark, sf).collect().map(_.toString).toSeq
+    val full = Dedup.dedupClustersLsh(spark, sf).collect().map(_.toString).toSeq
+    assert(merged.nonEmpty, "fixture plants near-dup clusters")
+    assert(merged == full,
+      "standing-pairs union delta-touching pairs must reproduce the full rebuild")
+  }
 }
