@@ -48,7 +48,7 @@ object Dedup {
   /** The shingle builder over an explicit documents frame — the
     * incremental rows shingle their corpus and delta slices SEPARATELY
     * so the "only the delta re-shingles" claim is structural. */
-  private[operators] def docShinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def docShinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Two-step projection on purpose: `toks` must be a materialized
@@ -449,7 +449,7 @@ object Dedup {
   // ------------------------------------------- incremental CC maintenance
   /** Minhash signatures of a shingle frame (the [[dedupMinhashLsh]]
     * signature stage, frame-parameterized for the incremental row). */
-  private def lshSignatures(sh: DataFrame): DataFrame = {
+  private[graft] def lshSignatures(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     sh.select($"doc_id", explode($"sh").as("s"))
@@ -460,7 +460,7 @@ object Dedup {
 
   /** Band keys of a signature frame (32 x 4 banding, same spelling as
     * [[dedupMinhashLsh]]). */
-  private def lshBands(sig: DataFrame): DataFrame = {
+  private[graft] def lshBands(sig: DataFrame): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
     val bandKeyCols = (0 until LshBands).map { b =>
@@ -472,7 +472,7 @@ object Dedup {
 
   /** Band-bucket candidate pairs with the BucketW rank-window fan-out
     * bound (see [[dedupMinhashLsh]] for why windowed links suffice). */
-  private def lshCandidates(bands: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(bands: DataFrame): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
     val ranked = bands.withColumn("rn", row_number().over(
@@ -486,7 +486,7 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against a shingle
     * frame covering both endpoints. */
-  private def lshVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def lshVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
     cand
@@ -542,7 +542,7 @@ object Dedup {
 
   /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->
     * `(doc_id, cluster_id, cluster_size)` over clustered docs. */
-  private def ccFixpoint(pairs: DataFrame): DataFrame = {
+  private[graft] def ccFixpoint(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val edges = pairs

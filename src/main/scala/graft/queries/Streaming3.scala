@@ -958,7 +958,100 @@ object Streaming3 {
          |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
   }
 
+  /** Streaming incremental cluster maintenance (stream_cc_delta): the
+    * [[graft.operators.Dedup.dedupCcDelta]] merge run AT INGEST — delta
+    * documents arrive through the push source over multiple
+    * micro-batches, each batch re-shingles/signs ONLY its own documents
+    * (foreachBatch drives the frame-parameterized LSH helpers), appends
+    * its shingles and band keys to the growing standing tables, emits
+    * the verified near-dup edges that TOUCH the batch (the later
+    * endpoint of every pair emits it exactly once), and the final
+    * cluster map is the pointer-doubling fixpoint over standing ∪
+    * accumulated edges — which must hash-equal the full-corpus rebuild
+    * (the shared recursive-CTE oracle). The state between batches is
+    * exactly what a production ingest keeps: the standing shingle/band
+    * tables and the edge list, all on storage, none in executor memory.
+    * Batch-id-addressed edge directories make retried batches replace
+    * their own output (the stream_filter_cascade idempotence
+    * discipline). */
+  def streamCcDelta(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 8) {
+    import s.implicits._
+    import graft.operators.Dedup
+    val runId = s"sccd${seq.incrementAndGet()}_${System.nanoTime()}"
+    val all = Tables.documents(s, dir)
+    val corpus = all.filter($"doc_id" % 5 =!= 0)
+    // standing artifacts a prior ingest committed (persisted once here;
+    // production: standing tables on storage)
+    val corpusSh = Dedup.docShinglesOf(corpus)
+    val corpusBands = Dedup.lshBands(Dedup.lshSignatures(corpusSh)).persist()
+    val standingEdges = Dedup.lshVerify(Dedup.lshCandidates(corpusBands), corpusSh)
+      .select($"a_id", $"b_id").persist()
+    standingEdges.count() // materialize before the stream races it
+
+    // delta staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    all.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .repartition(4, $"doc_id")
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+
+    val seenShDir = Files.createTempDirectory(s"graft-$runId-sh").toString
+    val seenBandsDir = Files.createTempDirectory(s"graft-$runId-bands").toString
+    val edgesDir = Files.createTempDirectory(s"graft-$runId-edges").toString
+    val query = s.readStream.format("graft-files").schema(docsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchSh = Dedup.docShinglesOf(batch)
+        try {
+          // grow the standing tables by exactly this batch's docs
+          batchSh.write.mode("append").parquet(seenShDir)
+          Dedup.lshBands(Dedup.lshSignatures(batchSh))
+            .write.mode("append").parquet(seenBandsDir)
+          val seenBands = corpusBands
+            .unionByName(s.read.parquet(seenBandsDir))
+          val batchIds = batch.select(col("doc_id"))
+          // every pair emits exactly once: in the batch its LATER
+          // endpoint arrives in (the earlier batch can't see it — the
+          // other endpoint isn't in the standing tables yet). Batches
+          // are hash-staged, so the later arrival can sit on EITHER
+          // side of the a<b candidate ordering — filter on both.
+          val cand = Dedup.lshCandidates(seenBands)
+          val touching = cand
+            .join(batchIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "leftsemi")
+            .unionByName(cand
+              .join(batchIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "leftsemi"))
+            .distinct()
+          val allSh = corpusSh.unionByName(s.read.parquet(seenShDir))
+          val fresh = Dedup.lshVerify(touching, allSh).select(col("a_id"), col("b_id"))
+          StreamPlans.capturePlan("stream_cc_delta", fresh)
+          fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
+        } finally batchSh.unpersist()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id")
+    val out = Dedup.ccFixpoint(standingEdges.unionByName(acc))
+    corpusBands.unpersist(); standingEdges.unpersist()
+    out
+  }
+  /** Full-rebuild oracle: the shared CC recursive CTE. */
+  val streamCcDeltaSql: String = graft.operators.Dedup.dedupClustersSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cc_delta" -> streamCcDelta _,
     "stream_pipeline_curate" -> streamPipelineCurate _,
     "stream_value_anomaly" -> streamValueAnomaly _,
     "stream_journey_markov" -> streamJourneyMarkov _,
@@ -972,6 +1065,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_cc_delta" -> streamCcDeltaSql,
     "stream_pipeline_curate" -> streamPipelineCurateSql,
     "stream_value_anomaly" -> streamValueAnomalySql,
     "stream_journey_markov" -> streamJourneyMarkovSql,
