@@ -980,14 +980,10 @@ object Streaming3 {
     import graft.operators.Dedup
     val runId = s"sccd${seq.incrementAndGet()}_${System.nanoTime()}"
     val all = Tables.documents(s, dir)
-    val corpus = all.filter($"doc_id" % 5 =!= 0)
-    // standing artifacts a prior ingest committed (persisted once here;
-    // production: standing tables on storage)
-    val corpusSh = Dedup.docShinglesOf(corpus)
-    val corpusBands = Dedup.lshBands(Dedup.lshSignatures(corpusSh)).persist()
-    val standingEdges = Dedup.lshVerify(Dedup.lshCandidates(corpusBands), corpusSh)
-      .select($"a_id", $"b_id").persist()
-    standingEdges.count() // materialize before the stream races it
+    // standing artifacts a prior ingest committed — read from the Models
+    // train-once store (production: standing tables on storage); already
+    // materialized, so the stream cannot race their build
+    val (corpusSh, corpusBands, standingEdges) = Dedup.ccStandingArtifacts(s, dir)
 
     // delta staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -1012,13 +1008,19 @@ object Streaming3 {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchSh = Dedup.docShinglesOf(batch)
+        val batchBands = Dedup.lshBands(Dedup.lshSignatures(batchSh)).persist()
         try {
           // grow the standing tables by exactly this batch's docs
           batchSh.write.mode("append").parquet(seenShDir)
-          Dedup.lshBands(Dedup.lshSignatures(batchSh))
-            .write.mode("append").parquet(seenBandsDir)
+          batchBands.write.mode("append").parquet(seenBandsDir)
+          // only buckets this batch landed in can yield new pairs, and
+          // the candidate rank is bucket-local — restrict the rank +
+          // pair join to batch-touched buckets (the dedupCcDelta
+          // incremental-candidate discipline)
+          val batchKeys = batchBands.select(col("band_idx"), col("band_key")).distinct()
           val seenBands = corpusBands
             .unionByName(s.read.parquet(seenBandsDir))
+            .join(batchKeys, Seq("band_idx", "band_key"), "leftsemi")
           val batchIds = batch.select(col("doc_id"))
           // every pair emits exactly once: in the batch its LATER
           // endpoint arrives in (the earlier batch can't see it — the
@@ -1035,7 +1037,7 @@ object Streaming3 {
           val fresh = Dedup.lshVerify(touching, allSh).select(col("a_id"), col("b_id"))
           StreamPlans.capturePlan("stream_cc_delta", fresh)
           fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
-        } finally batchSh.unpersist()
+        } finally { batchSh.unpersist(); batchBands.unpersist() }
       }
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-$runId-cp").toString)
@@ -1043,9 +1045,7 @@ object Streaming3 {
     try query.processAllAvailable() finally query.stop()
     InMemoryQueueRegistry.remove(runId)
     val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id")
-    val out = Dedup.ccFixpoint(standingEdges.unionByName(acc))
-    corpusBands.unpersist(); standingEdges.unpersist()
-    out
+    Dedup.ccFixpoint(standingEdges.unionByName(acc))
   }
   /** Full-rebuild oracle: the shared CC recursive CTE. */
   val streamCcDeltaSql: String = graft.operators.Dedup.dedupClustersSql
