@@ -559,21 +559,34 @@ object Dedup {
     // of re-ranking the whole standing band table (measured: the full
     // re-rank cost the entire LSH candidate stage, ~6 s at sf0.1)
     val deltaKeys = deltaBands.select($"band_idx", $"band_key").distinct()
+    // broadcast semi-join, and not only because the delta's distinct
+    // bucket keys are small: with a SHUFFLED semi on both union
+    // branches, the union's children end in exchanges with IDENTICAL
+    // hash partitioning and Spark 4.1 propagates that partitioning
+    // through the Union while the union RDD physically has the SUM of
+    // the children's partitions — the downstream rank-window then skips
+    // its exchange and the pair self-join dies with "Can't zip RDDs
+    // with unequal numbers of partitions" (hit at the x100 harness).
+    // Broadcasting keeps each branch's own partitioning, the union
+    // reports unknown, and the window plans its one exchange.
     val touched = corpusBands.unionByName(deltaBands)
-      .join(deltaKeys, Seq("band_idx", "band_key"), "leftsemi")
+      .join(broadcast(deltaKeys), Seq("band_idx", "band_key"), "leftsemi")
     // fresh edges: candidates with >= 1 delta endpoint, verified against
     // the union shingle table (a fresh-vs-standing join at scale)
     val allSh = corpusSh.unionByName(deltaSh)
     // pinned: the fixpoint reads its edge input twice (forward + swapped
     // union) and then loops — without the pin the whole delta pipeline
-    // (sign + bucket semi-join + rank + verify) re-executes per read
-    // (the contrastive_pairs localCheckpoint discipline); the edge list
-    // is a few hundred rows
+    // (sign + bucket semi-join + rank + verify) re-executes per read.
+    // persist + count, NOT localCheckpoint: eager localCheckpoint
+    // materializes through a pre-AQE RDD path that dies on
+    // unequal-partition SMJ zips (hit at the x100 scale harness —
+    // "Can't zip RDDs with unequal numbers of partitions")
     val fresh = lshVerify(
       lshCandidates(touched)
         .filter($"a_id" % 5 === 0 || $"b_id" % 5 === 0),
       allSh)
-      .select($"a_id", $"b_id").localCheckpoint(true)
+      .select($"a_id", $"b_id").persist()
+    fresh.count()
     ccFixpoint(standing.unionByName(fresh))
   }
 

@@ -1016,11 +1016,12 @@ object Streaming3 {
           // only buckets this batch landed in can yield new pairs, and
           // the candidate rank is bucket-local — restrict the rank +
           // pair join to batch-touched buckets (the dedupCcDelta
-          // incremental-candidate discipline)
+          // incremental-candidate discipline; broadcast for the same
+          // union-partitioning reason documented there)
           val batchKeys = batchBands.select(col("band_idx"), col("band_key")).distinct()
           val seenBands = corpusBands
             .unionByName(s.read.parquet(seenBandsDir))
-            .join(batchKeys, Seq("band_idx", "band_key"), "leftsemi")
+            .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "leftsemi")
           val batchIds = batch.select(col("doc_id"))
           // every pair emits exactly once: in the batch its LATER
           // endpoint arrives in (the earlier batch can't see it — the
