@@ -20,7 +20,7 @@ object Curation {
   /** Contiguous n-grams of a token array as strings. Guarded: sequence()
     * with a stop below its start counts DOWN, so a short doc must yield
     * an empty array, not reversed garbage. */
-  private[operators] def ngrams(toks: Column, n: Int): Column =
+  private[graft] def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
@@ -31,14 +31,14 @@ object Curation {
     * standard trick for contamination checks over TB-scale corpora); a
     * collision would produce the same spurious pair on both engines, so
     * the gate stays consistent, and at 2^60 the odds are irrelevant. */
-  private[operators] def gramKey(g: Column): Column =
+  private[graft] def gramKey(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 
-  private[operators] def gramKeySql(g: String): String =
+  private[graft] def gramKeySql(g: String): String =
     s"CAST(concat('0x', substring(md5($g), 1, 15)) AS BIGINT)"
 
   // ----------------------------------------------------- decontamination
-  private[operators] val ContamN = 8 // gram order; 13 is standard, docs here are short
+  private[graft] val ContamN = 8 // gram order; 13 is standard, docs here are short
 
   /** Benchmark contamination report: for every doc in the held-out eval
     * slice (doc_id % 10 == 7), how many training-corpus docs share at

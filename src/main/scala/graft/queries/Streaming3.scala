@@ -1051,7 +1051,86 @@ object Streaming3 {
   /** Full-rebuild oracle: the shared CC recursive CTE. */
   val streamCcDeltaSql: String = graft.operators.Dedup.dedupClustersSql
 
+  /** Streaming benchmark decontamination (stream_decontaminate): the
+    * batch `decontaminate` report maintained AT INGEST. The eval slice
+    * is the standing fixed benchmark (its distinct gram-key index is
+    * built once and BROADCAST into every micro-batch join — benchmarks
+    * stay small forever, which is exactly why the production plan
+    * broadcasts them); TRAINING documents arrive through the push
+    * source, each batch explodes only its own docs' grams and joins the
+    * broadcast index, and per-batch hit triples (bench_id, corpus doc,
+    * gram key) append to storage. Triples never repeat across batches
+    * (corpus docs partition disjointly and grams are per-doc distinct),
+    * so the read-back COUNT DISTINCT aggregate over the accumulated
+    * hits hash-equals the batch report — zeros included via the eval
+    * left join. The always-on form of the pre-training compliance
+    * check: contamination is known the moment a document lands, not at
+    * the end of the crawl. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 8) {
+    import s.implicits._
+    import graft.operators.Curation
+    val runId = s"sdecon${seq.incrementAndGet()}_${System.nanoTime()}"
+    val docs = Tables.documents(s, dir)
+    def grams(df: DataFrame): DataFrame = df
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .filter(size($"t") >= Curation.ContamN)
+      .select($"doc_id", explode(Curation.ngrams($"t", Curation.ContamN)).as("g"))
+      .select($"doc_id", Curation.gramKey($"g").as("gk"))
+      .distinct()
+    // the standing eval index — built once, broadcast per batch
+    val bench = grams(docs.filter($"doc_id" % 10 === 7))
+      .withColumnRenamed("doc_id", "bench_id").persist()
+    bench.count() // materialize before the stream races it
+
+    // training corpus staged as 4 files -> 2 micro-batches
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    docs.filter($"doc_id" % 10 =!= 7)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .repartition(4, $"doc_id")
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => queue.send(
+        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+
+    val hitsDir = Files.createTempDirectory(s"graft-$runId-hits").toString
+    val query = s.readStream.format("graft-files").schema(docsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val hits = grams(batch).join(broadcast(bench), "gk")
+          .select(col("bench_id"), col("doc_id"), col("gk"))
+        StreamPlans.capturePlan("stream_decontaminate", hits)
+        hits.write.mode("overwrite").parquet(s"$hitsDir/batch=$id")
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    bench.unpersist()
+    val acc = s.read.parquet(hitsDir)
+      .groupBy($"bench_id")
+      .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
+        countDistinct($"gk").as("n_shared_grams"))
+    docs.filter($"doc_id" % 10 === 7)
+      .select($"doc_id".as("bench_id"))
+      .join(acc, Seq("bench_id"), "left")
+      .select($"bench_id",
+        coalesce($"n_contaminated_docs", lit(0L)).as("n_contaminated_docs"),
+        coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"))
+      .orderBy($"bench_id")
+  }
+  /** Stream/batch parity IS the gate: the batch report's oracle. */
+  val streamDecontaminateSql: String = graft.operators.Curation.decontaminateSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_decontaminate" -> streamDecontaminate _,
     "stream_cc_delta" -> streamCcDelta _,
     "stream_pipeline_curate" -> streamPipelineCurate _,
     "stream_value_anomaly" -> streamValueAnomaly _,
@@ -1066,6 +1145,7 @@ object Streaming3 {
     "stream_ab_monitor" -> streamAbMonitor _,
   )
   val oracles: Map[String, String] = Map(
+    "stream_decontaminate" -> streamDecontaminateSql,
     "stream_cc_delta" -> streamCcDeltaSql,
     "stream_pipeline_curate" -> streamPipelineCurateSql,
     "stream_value_anomaly" -> streamValueAnomalySql,
