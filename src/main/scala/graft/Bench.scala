@@ -87,8 +87,19 @@ object Bench {
     var failed = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
+      // FULL materialization via the noop sink, not count(): under
+      // count() Catalyst prunes every row-count-preserving tail — a
+      // left join against a provably-unique aggregate vanishes
+      // entirely (decontaminate measured 0.4s FLAT from x1 to x100 on
+      // the scale harness before this was caught), and sorts/projects
+      // are skipped. The noop sink consumes every column of every row,
+      // which is what the baseline engines measure. Round-15 action
+      // change — BENCH series before/after are not level-comparable.
       // a broken query must not silently "bench": scream, remember, move on
-      val n = try fn(spark, sfDir).count() catch {
+      val n = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        0L
+      } catch {
         case t: Throwable =>
           System.err.println(s"[bench] FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
           failed ::= name
@@ -111,7 +122,7 @@ object Bench {
         // themselves are the repetition.)
         val sec = if (rounds == 1 && sec1 > 1.0) math.min(sec1, timeOnce(name, fn)._1) else sec1
         val tag = if (rounds == 1) "" else s" round=$r"
-        System.err.println(f"[bench] $name%-28s $sec%8.2fs  rows=$n$tag")
+        System.err.println(f"[bench] $name%-28s $sec%8.2fs${if (n < 0) "  FAILED" else ""}$tag")
         name -> sec
       }
     }

@@ -566,6 +566,9 @@ object PerfHarness {
         val genSec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] x$k corpus: ${baseDocs * k} docs, ${baseVecs * k} vecs in $genSec%.1fs")
         val ops = opNames.map { name =>
+          // self-similarity row count, taken ONCE untimed before the
+          // reps (it is part of the record, not of the measurement)
+          val rows = qs(name)(spark, dir.toString).count()
           val samples = (1 to reps).map { rep =>
             // operators may persist/localCheckpoint internally; a later rep
             // silently reusing rep 1's cached frames would report near-zero
@@ -574,7 +577,10 @@ object PerfHarness {
             spark.catalog.clearCache()
             settled(); val (w0, r0) = (sw.sum(), sr.sum())
             val t1 = System.nanoTime()
-            val rows = qs(name)(spark, dir.toString).count()
+            // noop sink = full materialization: count() lets Catalyst
+            // prune row-count-preserving tails (see Bench.timeOnce)
+            qs(name)(spark, dir.toString)
+              .write.mode("overwrite").format("noop").save()
             val sec = (System.nanoTime() - t1) / 1e9
             val (w1, r1) = settled()
             val rounds = if (name == "dedup_cc") graft.operators.Dedup.lastCcRounds else -1

@@ -23,11 +23,15 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      // rows via one untimed count (sanity), timing via the noop sink —
+      // count() lets Catalyst prune row-count-preserving tails (left
+      // joins against unique aggregates vanish entirely; see Bench)
+      val rows = fn(spark, sfDir).count()
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$n")
+        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows")
         sec
       }
       println(f"TIME $name%-26s min  ${times.min}%7.2fs")
