@@ -278,11 +278,15 @@ object Curation {
   private[graft] val DupFracN = 3
   def docDupFrac(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persisted: consumed by both the df aggregate and the join back —
+    // without the pin the explode + per-gram md5 + distinct runs twice
+    // (surfaced by the round-15 noop-sink measurement, 3.4 s -> ~2 s)
     val grams = Par.spread(Tables.documents(s, d), $"doc_id")
       .withColumn("t", tokens($"text"))
       .select($"doc_id", explode(ngrams($"t", DupFracN)).as("g"))
       .select($"doc_id", gramKey($"g").as("k"))
       .distinct()
+      .persist()
     val dfreq = grams.groupBy($"k").agg(count(lit(1)).as("df"))
     val per = grams.join(dfreq, "k")
       .groupBy($"doc_id")

@@ -70,10 +70,15 @@ object Curation2 {
   def dsirResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
+    // persisted: consumed by BOTH the bucket statistics and the weights
+    // join — without the pin the explode + per-gram md5 (the dominant
+    // cost) runs twice (the unpersist-trap class; surfaced by the
+    // round-15 noop-sink measurement, 4.1 s -> ~2 s)
     val grams = docs.select($"doc_id",
         explode(concat(ngrams($"t", 1), ngrams($"t", 2))).as("g"))
       .select($"doc_id", pmod(gramKey($"g"), lit(DsirBuckets)).as("b"),
         ($"doc_id" % 10 === 7).as("is_target"))
+      .persist()
     val perBucket = grams.groupBy($"b")
       .agg(sum(when($"is_target", 1L).otherwise(0L)).as("t_cnt"),
         sum(when(!$"is_target", 1L).otherwise(0L)).as("r_cnt"))
@@ -159,9 +164,13 @@ object Curation2 {
   def dedupSubstrings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
+    // persisted: consumed by both the occurrence aggregate and the join
+    // back — without the pin the window explode + per-gram md5 runs
+    // twice (surfaced by the round-15 noop-sink measurement)
     val wins = docs
       .select($"doc_id", size($"t").as("n_tokens"), posexplode(ngrams($"t", SubW)))
       .select($"doc_id", $"n_tokens", ($"pos" + 1).as("p"), gramKey($"col").as("k"))
+      .persist()
     val hot = wins.groupBy($"k").agg(count(lit(1)).as("occ")).filter($"occ" >= 2)
     val dupStarts = wins.join(hot, "k").select($"doc_id", $"p")
     val w = Window.partitionBy($"doc_id").orderBy($"p")

@@ -96,6 +96,10 @@ object Curation6 {
   def fuzzyJoinWildcard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = Par.spread(Tables.customer(s, d).select($"c_custkey", $"c_name"), $"c_custkey")
+    // persisted: BOTH sides of the blocking self-join read this frame
+    // (exchange reuse does not kick in for aliased sides) — without the
+    // pin the explode + masked-variant construction runs twice
+    // (surfaced by the round-15 noop-sink measurement)
     val variants = c
       .select($"c_custkey", $"c_name",
         explode(sequence(lit(1), length($"c_name"))).as("pos"))
@@ -103,6 +107,7 @@ object Curation6 {
         $"c_name".substr(lit(1), $"pos" - 1),
         $"c_name".substr($"pos" + 1, length($"c_name"))))
       .select($"pos", $"masked", $"c_custkey", $"c_name")
+      .persist()
     val a = variants.toDF("pos", "masked", "a_key", "a_name")
     val b = variants.toDF("pos", "masked", "b_key", "b_name")
     a.join(b, Seq("pos", "masked"))
