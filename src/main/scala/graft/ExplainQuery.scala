@@ -7,7 +7,16 @@ import org.apache.spark.sql.SparkSession
   * The plan-shape companion to [[TimeQueries]]: when a query dies at a
   * scale the fixtures never reach (partitioning lies, zip mismatches,
   * codegen fallbacks), the plan names the offending operator without a
-  * 10-minute run. */
+  * 10-minute run.
+  *
+  * Exception to the no-execute contract: queries whose FRAME
+  * CONSTRUCTION already runs Spark jobs execute for real here —
+  * every `stream_*` harness (building the returned frame runs the
+  * whole stream to completion) and guard-bearing rows like
+  * `emb_outlier` (its i64-headroom guard is a collect at construction
+  * time). For those names this tool prints the plan of the FINAL
+  * read-back frame and pays the run; prefer [[TimeQueries]] when the
+  * run itself is what you want measured. */
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -547,6 +547,21 @@ object PerfHarness {
     // scale-only comparison arms that are deliberately NOT gate queries
     val qs = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "dedup_cc_uncapped" -> ((s, d) => graft.operators.Dedup.dedupClustersUncapped(s, d)),
+      // the PRODUCTION decontamination regime: eval pinned at the x1
+      // slice (doc_id < 5000, the scale corpus's base size) while the
+      // corpus grows with K — the gate arm's %10 slice grows eval WITH
+      // the corpus, which bakes a Σ df_bench·df_corpus quadratic into
+      // the slope by construction (r15 verdict, What's wrong #1)
+      "decon_fixed_eval" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Curation.decontaminateWith(s, d,
+          col("doc_id") % 10 === 7 && col("doc_id") < 5000L)
+      }),
+      "decon_fixed_eval_bloom" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Curation.decontaminateBloomWith(s, d,
+          col("doc_id") % 10 === 7 && col("doc_id") < 5000L)
+      }),
       // the standing-index BUILD (LSH kernel + parquet commit) measured
       // uncached — the ingest-time cost every cluster-map consumer
       // amortizes; writes to a fresh dir per rep so the Models store

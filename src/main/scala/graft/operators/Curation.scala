@@ -53,6 +53,21 @@ object Curation {
     * the big relation and shuffles once, partitioned by gram key. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    decontaminateWith(s, d, $"doc_id" % 10 === 7)
+  }
+
+  /** [[decontaminate]] parameterized by the eval-slice membership
+    * predicate (a boolean Column over doc_id). The gate row passes the
+    * `% 10 == 7` slice — which GROWS with the corpus, a harness
+    * convenience that bakes a Σ df_bench·df_corpus quadratic into the
+    * scale arm by construction. Production contamination checks run a
+    * FIXED benchmark against a growing corpus; the scale harness's
+    * `decon_fixed_eval` arm passes `% 10 == 7 AND doc_id < base` to
+    * measure THAT regime (eval pinned at the ×1 slice, every other doc
+    * is corpus). */
+  private[graft] def decontaminateWith(s: SparkSession, d: String,
+      isEval: Column): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= ContamN)
@@ -60,14 +75,14 @@ object Curation {
       .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
       .select($"doc_id", gramKey($"g").as("gk"))
       .distinct()
-    val bench = explodeGrams(docs.filter($"doc_id" % 10 === 7))
+    val bench = explodeGrams(docs.filter(isEval))
       .withColumnRenamed("doc_id", "bench_id")
-    val corpus = explodeGrams(docs.filter($"doc_id" % 10 =!= 7))
+    val corpus = explodeGrams(docs.filter(!isEval))
     val hits = bench.join(corpus, "gk")
       .groupBy($"bench_id")
       .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
         countDistinct($"gk").as("n_shared_grams"))
-    Tables.documents(s, d).filter($"doc_id" % 10 === 7)
+    Tables.documents(s, d).filter(isEval)
       .select($"doc_id".as("bench_id"))
       .join(hits, Seq("bench_id"), "left")
       .select($"bench_id",
@@ -123,13 +138,21 @@ object Curation {
     * spellings stay in the gate so the trade is measured, not assumed. */
   def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    decontaminateBloomWith(s, d, $"doc_id" % 10 === 7)
+  }
+
+  /** [[decontaminateBloom]] parameterized by the eval-slice predicate —
+    * same fixed-vs-growing-eval rationale as [[decontaminateWith]]. */
+  private[graft] def decontaminateBloomWith(s: SparkSession, d: String,
+      isEval: Column): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.graftshim.GraftShims
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val docs = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= ContamN)
-    val bench = docs.filter($"doc_id" % 10 === 7)
+    val bench = docs.filter(isEval)
       .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
       .select($"doc_id", gramKey($"g").as("gk"))
       .distinct()
@@ -139,7 +162,7 @@ object Curation {
         new BloomFilterAggregate(GraftShims.expression(xxhash64($"gk")))
           .toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
-    val corpusGrams = docs.filter($"doc_id" % 10 =!= 7)
+    val corpusGrams = docs.filter(!isEval)
       .select($"doc_id", explode(ngrams($"t", ContamN)).as("g"))
       .select($"doc_id", gramKey($"g").as("gk"))
     val probe = // empty eval slice => nothing can be contaminated
@@ -151,7 +174,7 @@ object Curation {
       .groupBy($"bench_id")
       .agg(countDistinct($"doc_id").as("n_contaminated_docs"),
         countDistinct($"gk").as("n_shared_grams"))
-    Tables.documents(s, d).filter($"doc_id" % 10 === 7)
+    Tables.documents(s, d).filter(isEval)
       .select($"doc_id".as("bench_id"))
       .join(hits, Seq("bench_id"), "left")
       .select($"bench_id",

@@ -286,7 +286,11 @@ object Dedup {
         abs(expr(s"(match_pos * 1000000) div $MinhashK")
           - round($"jaccard" * 1e6).cast("long")) > 150000L)
       .agg(count(lit(1)).as("n_pairs"),
-        sum(when($"out_of_bound", 1L).otherwise(0L)).as("n_out_of_bound"))
+        // coalesce: sum over an EMPTY input is NULL in Spark, while the
+        // oracle emits a literal 0 — a pair-free corpus must read (0, 0)
+        // on both engines, not (0, NULL) vs (0, 0)
+        coalesce(sum(when($"out_of_bound", 1L).otherwise(0L)), lit(0L))
+          .as("n_out_of_bound"))
   }
   val minhashEstBoundSql: String =
     s"""WITH $ShingleCteSql,
@@ -500,13 +504,17 @@ object Dedup {
   }
 
   /** The standing corpus's LSH artifacts — shingle table, band table,
-    * verified pair list — committed ONCE through the [[Models]]
-    * train-once store keyed on the corpus fingerprint: exactly what a
-    * prior ingest leaves on storage, and what both incremental rows
-    * ([[dedupCcDelta]], the streaming twin) read instead of re-running
-    * the corpus-side kernel. Returns (shingles, bands, pairs). */
+    * verified pair list, AND the standing cluster map — committed ONCE
+    * through the [[Models]] train-once store keyed on the corpus
+    * fingerprint: exactly what a prior ingest leaves on storage, and
+    * what both incremental rows ([[dedupCcDelta]], the streaming twin)
+    * read instead of re-running the corpus-side kernel. The map is an
+    * artifact too (a prior ingest necessarily labeled its own corpus),
+    * which is what lets the delta merge be COMPONENT-LOCAL
+    * ([[ccFixpointDelta]]) instead of re-running the fixpoint over
+    * every standing edge. Returns (shingles, bands, pairs, map). */
   private[graft] def ccStandingArtifacts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val fp = Models.inputFingerprint(s"$d/documents.parquet")
     val shDir = Models.root(s"ccdelta-sh|$d|in=$fp") { out =>
@@ -522,7 +530,64 @@ object Dedup {
       lshVerify(lshCandidates(bands), sh).select($"a_id", $"b_id")
         .write.mode("overwrite").parquet(out)
     }
-    (sh, bands, s.read.parquet(pairsDir))
+    val mapDir = Models.root(s"ccdelta-map|$d|in=$fp") { out =>
+      ccFixpoint(s.read.parquet(pairsDir)).write.mode("overwrite").parquet(out)
+    }
+    (sh, bands, s.read.parquet(pairsDir), s.read.parquet(mapDir))
+  }
+
+  /** COMPONENT-LOCAL incremental merge: given the standing corpus's
+    * cluster map and edge list (both storage artifacts of the prior
+    * ingest) and the delta's verified fresh edges, re-run the label
+    * fixpoint ONLY over standing components incident to a fresh edge
+    * and pass every untouched cluster's rows through unchanged.
+    *
+    * Why one level of cluster closure suffices (no iteration): a chain
+    * of standing clusters merged by fresh edges has a fresh ENDPOINT
+    * inside every cluster on the chain, so "clusters containing a fresh
+    * endpoint" is already the transitive touched set. And no connecting
+    * path can detour through an untouched cluster: standing clusters
+    * are maximal under standing edges, so any intermediate doc on a
+    * merged path sits in a cluster that itself contains a fresh
+    * endpoint. Hence fixpoint(touched-cluster edges ∪ fresh) computes
+    * exactly the full rebuild's labels for the touched zone, and the
+    * untouched rows are bit-identical pass-throughs — the result equals
+    * [[ccFixpoint]] over ALL standing ∪ fresh edges, at merge cost
+    * O(delta-touched component mass × log diameter) instead of O(total
+    * corpus dup mass × log diameter): the "100 GB arrived at a 100 TB
+    * corpus" cost shape.
+    *
+    * Broadcast precondition (documented, not hidden): the touched
+    * cluster-id set is ≤ one id per fresh endpoint, and the touched
+    * MEMBER set is that times the bounded cluster size — both delta-
+    * bounded, so both are broadcast to keep the standing map and the
+    * standing edge list scan-only (columnar read, ZERO shuffle of
+    * either full artifact; only touched-zone survivors shuffle into the
+    * fixpoint). A delta so large its touched membership exceeds
+    * broadcast limits should run the full [[ccFixpoint]] rebuild
+    * instead — at that size it is no longer an increment. */
+  private[graft] def ccFixpointDelta(standingMap: DataFrame,
+      standingEdges: DataFrame, fresh: DataFrame): DataFrame = {
+    val s = standingMap.sparkSession
+    import s.implicits._
+    val touchedDocs = fresh.select($"a_id".as("doc_id"))
+      .unionByName(fresh.select($"b_id".as("doc_id"))).distinct()
+    val touchedClusters = standingMap
+      .join(touchedDocs, Seq("doc_id"), "leftsemi")
+      .select($"cluster_id").distinct()
+    val touchedMembers = standingMap
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "leftsemi")
+      .select($"doc_id".as("a_id"))
+    // a standing edge is intra-cluster by construction, so membership
+    // of its a_id endpoint decides the whole edge
+    val touchedEdges = standingEdges
+      .join(broadcast(touchedMembers), Seq("a_id"), "leftsemi")
+    val relabeled = ccFixpoint(touchedEdges.unionByName(fresh))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val untouched = standingMap
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    untouched.unionByName(relabeled).orderBy($"doc_id")
   }
 
   /** Incremental cluster-map maintenance (`dedup_cc_delta`): a DELTA of
@@ -537,19 +602,28 @@ object Dedup {
     * band table union the delta's bands (band keys are 8-byte rows —
     * the cheap, unavoidable re-rank, since new docs change bucket
     * membership), exact verification touches only delta-touching pairs,
-    * and the merged map is the shared pointer-doubling fixpoint over
-    * standing ∪ fresh edges.
+    * and the merged map is the COMPONENT-LOCAL fixpoint
+    * [[ccFixpointDelta]]: only standing clusters a fresh edge touches
+    * are re-labeled, every untouched cluster passes through from the
+    * standing map artifact.
     *
     * Correctness: standing-internal pairs ∪ delta-touching pairs = ALL
     * near-dup pairs of the merged corpus, so the result equals the full
     * [[dedupClustersLsh]] rebuild — the oracle is the same recursive
-    * CTE every CC row shares. This is the ingest-shape answer to "do I
-    * re-cluster 100 TB because 100 GB arrived": no — re-shingle the
-    * 100 GB, re-rank band keys, verify the touched pairs, re-run the
-    * O(log diameter) fixpoint over the (tiny) edge list. */
+    * CTE every CC row shares. PRECONDITION (same as
+    * [[dedupMinhashLsh]]): the "= ALL pairs" claim needs every band
+    * bucket to fit the BucketW rank window — standing pairs were
+    * windowed by standing-only rank while a rebuild windows union rank,
+    * so in an OVERSIZED bucket the incremental candidate set is a
+    * strict superset and merged components could diverge from the
+    * shared oracle; at the gate parameters every bucket is far inside
+    * the window (asserted by the LSH recall gates). This is the
+    * ingest-shape answer to "do I re-cluster 100 TB because 100 GB
+    * arrived": no — re-shingle the 100 GB, re-rank band keys, verify
+    * the touched pairs, re-label only the touched components. */
   def dedupCcDelta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (corpusSh, corpusBands, standing) = ccStandingArtifacts(s, d)
+    val (corpusSh, corpusBands, standing, standingMap) = ccStandingArtifacts(s, d)
     val deltaSh = docShinglesOf(Tables.documents(s, d).filter($"doc_id" % 5 === 0))
     val deltaBands = lshBands(lshSignatures(deltaSh)).persist()
     // new pairs can only form inside band BUCKETS a delta doc landed in,
@@ -587,7 +661,7 @@ object Dedup {
       allSh)
       .select($"a_id", $"b_id").persist()
     fresh.count()
-    ccFixpoint(standing.unionByName(fresh))
+    ccFixpointDelta(standingMap, standing, fresh)
   }
 
   /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->

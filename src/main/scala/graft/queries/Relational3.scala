@@ -975,6 +975,13 @@ object Relational3 {
     * still a row the surplus must explain" reading. */
   def q72PkUniqueness(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NUMERIC-KEY assumption: '|' and '<null>' are unambiguous because
+    // every composite key here is numeric (lineitem's orderkey +
+    // linenumber). A STRING component containing '|' or the literal
+    // '<null>' could make distinct tuples collide and undercount — if
+    // audit() ever gains a string composite key, switch to hashing the
+    // components individually (e.g. countDistinct over xxhash64 of a
+    // struct, spelled equivalently in the oracle).
     def canon(keys: Seq[String]): Column =
       keys.map(k => coalesce(col(k).cast("string"), lit("<null>")))
         .reduce((a, b) => concat(a, lit("|"), b))

@@ -966,9 +966,12 @@ object Streaming3 {
     * its shingles and band keys to the growing standing tables, emits
     * the verified near-dup edges that TOUCH the batch (the later
     * endpoint of every pair emits it exactly once), and the final
-    * cluster map is the pointer-doubling fixpoint over standing ∪
-    * accumulated edges — which must hash-equal the full-corpus rebuild
-    * (the shared recursive-CTE oracle). The state between batches is
+    * cluster map is the COMPONENT-LOCAL delta merge
+    * ([[graft.operators.Dedup.ccFixpointDelta]]): only standing
+    * clusters an accumulated edge touches are re-labeled, untouched
+    * clusters pass through from the standing map artifact — which must
+    * hash-equal the full-corpus rebuild (the shared recursive-CTE
+    * oracle). The state between batches is
     * exactly what a production ingest keeps: the standing shingle/band
     * tables and the edge list, all on storage, none in executor memory.
     * Batch-id-addressed edge directories make retried batches replace
@@ -983,7 +986,8 @@ object Streaming3 {
     // standing artifacts a prior ingest committed — read from the Models
     // train-once store (production: standing tables on storage); already
     // materialized, so the stream cannot race their build
-    val (corpusSh, corpusBands, standingEdges) = Dedup.ccStandingArtifacts(s, dir)
+    val (corpusSh, corpusBands, standingEdges, standingMap) =
+      Dedup.ccStandingArtifacts(s, dir)
 
     // delta staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -992,10 +996,10 @@ object Streaming3 {
       .repartition(4, $"doc_id")
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)
-    new java.io.File(stage).listFiles()
+    val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .foreach(f => queue.send(
-        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    files.foreach(f => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
 
     val seenShDir = Files.createTempDirectory(s"graft-$runId-sh").toString
     val seenBandsDir = Files.createTempDirectory(s"graft-$runId-bands").toString
@@ -1004,6 +1008,12 @@ object Streaming3 {
       .option("fileFormat", "parquet").option("queueName", runId)
       .option("queueFetchWaitTimeoutSeconds", "10")
       .option("maxFilesPerTrigger", "2")
+      // pre-enqueued corpus: block the first offset until the async
+      // fetch loop has admitted every staged file, or
+      // processAllAvailable() can return on an early no-data trigger
+      // and silently drop part of the corpus (the r12 flake class,
+      // GraftFileSource admission notes)
+      .option("minFilesForFirstBatch", files.length.toString)
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1045,8 +1055,9 @@ object Streaming3 {
       .start()
     try query.processAllAvailable() finally query.stop()
     InMemoryQueueRegistry.remove(runId)
-    val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id")
-    Dedup.ccFixpoint(standingEdges.unionByName(acc))
+    val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id").persist()
+    acc.count() // the delta merge reads the edge frame several times
+    Dedup.ccFixpointDelta(standingMap, standingEdges, acc)
   }
   /** Full-rebuild oracle: the shared CC recursive CTE. */
   val streamCcDeltaSql: String = graft.operators.Dedup.dedupClustersSql
@@ -1090,16 +1101,19 @@ object Streaming3 {
       .repartition(4, $"doc_id")
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)
-    new java.io.File(stage).listFiles()
+    val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .foreach(f => queue.send(
-        s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+    files.foreach(f => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
 
     val hitsDir = Files.createTempDirectory(s"graft-$runId-hits").toString
     val query = s.readStream.format("graft-files").schema(docsSchema)
       .option("fileFormat", "parquet").option("queueName", runId)
       .option("queueFetchWaitTimeoutSeconds", "10")
       .option("maxFilesPerTrigger", "2")
+      // same admission guard as stream_cc_delta: all staged files must
+      // be admitted before the first offset is cut
+      .option("minFilesForFirstBatch", files.length.toString)
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
