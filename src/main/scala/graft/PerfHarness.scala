@@ -640,6 +640,176 @@ object PerfHarness {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // ----------------------- ccsoak mode: multi-delta incremental CC
+  /** Production incremental clustering is not ONE delta: a standing
+    * corpus absorbs a STREAM of ingest batches, each merged by
+    * [[graft.operators.Dedup.ccFixpointDelta]]. This mode applies
+    * `nDeltas` successive deltas of `deltaFrac`·base docs each and,
+    * after EVERY delta:
+    *
+    *  (a) asserts the component-local merge equals the from-scratch
+    *      full LSH rebuild over the union corpus (row-exact, both
+    *      directions — `require`s, so a divergence kills the soak);
+    *  (b) records the delta pipeline's wall + shuffle bytes — the
+    *      100 TB claim under test is that per-delta cost tracks the
+    *      DELTA (flat series), not the growing standing mass;
+    *  (c) maintains the standing artifacts the way an ingest would:
+    *      shingle/band tables append one generation per delta and
+    *      COMPACT back to a single generation once the generation
+    *      count passes `CompactAfter` (the per-batch-dir GC the
+    *      streaming row's scaladoc promises), pair list appends, map
+    *      swaps — artifact file counts are recorded per delta, so
+    *      unbounded small-file growth is measured, not assumed.
+    *
+    * The rebuild check (a) runs OUTSIDE the timed window; the timed
+    * window covers exactly what an ingest pays: delta shingle/sign/
+    * band, bucket-restricted candidates, verify, component-local
+    * merge, artifact commit (including any compaction — amortized GC
+    * is part of the standing cost, so it is timed). */
+  private val CompactAfter = 4
+  def ccSoakRun(spark: SparkSession, nBase: Long, nDeltas: Int,
+      deltaFrac: Double): String = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.operators.Dedup
+    val sw = new java.util.concurrent.atomic.LongAdder
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) sw.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def settled(): Long = {
+      Thread.sleep(500)
+      var cur = sw.sum(); var stableMs = 0; var waited = 0
+      while (stableMs < 1000 && waited < 20000) {
+        Thread.sleep(200); waited += 200
+        val next = sw.sum()
+        if (next == cur) stableMs += 200 else stableMs = 0
+        cur = next
+      }
+      cur
+    }
+    val nDelta = math.max(1L, (nBase * deltaFrac).toLong)
+    val nTotal = nBase + nDelta * nDeltas
+    val dir = Files.createTempDirectory("graft-ccsoak")
+    synthCorpus(spark, dir, nTotal, 2000)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val root = Files.createTempDirectory("graft-ccsoak-art").toString
+    def parquetFiles(sub: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val f = new java.io.File(s"$root/$sub")
+      if (f.exists()) walk(f) else 0
+    }
+    def gens(sub: String): Seq[java.io.File] =
+      new java.io.File(s"$root/$sub").listFiles().filter(_.isDirectory).toSeq
+    def rmdir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmdir)
+      f.delete()
+    }
+    // standing init: the artifacts a prior ingest committed
+    Dedup.docShinglesOf(docs.filter(col("doc_id") < nBase))
+      .write.parquet(s"$root/sh/gen=0")
+    val sh0 = spark.read.parquet(s"$root/sh/gen=0")
+    Dedup.lshBands(Dedup.lshSignatures(sh0)).write.parquet(s"$root/bands/gen=0")
+    val bands0 = spark.read.parquet(s"$root/bands/gen=0")
+    Dedup.lshVerify(Dedup.lshCandidates(bands0), sh0)
+      .select(col("a_id"), col("b_id")).write.parquet(s"$root/pairs")
+    Dedup.ccFixpoint(spark.read.parquet(s"$root/pairs"))
+      .write.parquet(s"$root/map")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val recs = (1 to nDeltas).map { i =>
+        val start = nBase + (i - 1) * nDelta
+        val end = start + nDelta
+        spark.catalog.clearCache()
+        settled(); val w0 = sw.sum()
+        val t0 = System.nanoTime()
+        // ---- timed ingest window ----
+        Dedup.docShinglesOf(
+            docs.filter(col("doc_id") >= start && col("doc_id") < end))
+          .write.parquet(s"$root/sh/gen=$i")
+        val deltaSh = spark.read.parquet(s"$root/sh/gen=$i")
+        Dedup.lshBands(Dedup.lshSignatures(deltaSh))
+          .write.parquet(s"$root/bands/gen=$i")
+        val deltaKeys = spark.read.parquet(s"$root/bands/gen=$i")
+          .select(col("band_idx"), col("band_key")).distinct()
+        val touched = spark.read.parquet(s"$root/bands")
+          .select(col("doc_id"), col("band_idx"), col("band_key"))
+          .join(broadcast(deltaKeys), Seq("band_idx", "band_key"), "leftsemi")
+        val allSh = spark.read.parquet(s"$root/sh").select(col("doc_id"), col("sh"))
+        val fresh = Dedup.lshVerify(
+            Dedup.lshCandidates(touched)
+              .filter(col("a_id") >= start || col("b_id") >= start),
+            allSh)
+          .select(col("a_id"), col("b_id")).persist()
+        val freshEdges = fresh.count()
+        val merged = Dedup.ccFixpointDelta(
+          spark.read.parquet(s"$root/map"),
+          spark.read.parquet(s"$root/pairs"), fresh)
+        merged.write.parquet(s"$root/map.next")
+        fresh.write.mode("append").parquet(s"$root/pairs")
+        fresh.unpersist()
+        rmdir(new java.io.File(s"$root/map"))
+        new java.io.File(s"$root/map.next")
+          .renameTo(new java.io.File(s"$root/map"))
+        // amortized compaction: bound the generation count (and with it
+        // the artifact file count) regardless of how many deltas arrive
+        var compacted = false
+        Seq("sh", "bands").foreach { sub =>
+          if (gens(sub).size > CompactAfter) {
+            compacted = true
+            val all = spark.read.parquet(s"$root/$sub")
+              .drop("gen").repartition(spark.sparkContext.defaultParallelism)
+            all.write.parquet(s"$root/$sub.next/gen=0")
+            rmdir(new java.io.File(s"$root/$sub"))
+            new java.io.File(s"$root/$sub.next")
+              .renameTo(new java.io.File(s"$root/$sub"))
+          }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val w1 = settled()
+        // ---- untimed: full-rebuild equality check ----
+        val unionSh = Dedup.docShinglesOf(docs.filter(col("doc_id") < end))
+          .persist()
+        val rebuild = Dedup.ccFixpoint(
+          Dedup.lshVerify(
+              Dedup.lshCandidates(Dedup.lshBands(Dedup.lshSignatures(unionSh))),
+              unionSh)
+            .select(col("a_id"), col("b_id")))
+        val mergedBack = spark.read.parquet(s"$root/map")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        val d1 = mergedBack.except(rebuild).count()
+        val d2 = rebuild.except(mergedBack).count()
+        unionSh.unpersist()
+        require(d1 == 0 && d2 == 0,
+          s"ccsoak delta $i: merged map diverged from full rebuild " +
+            s"(merged-only=$d1, rebuild-only=$d2)")
+        val mapRows = mergedBack.count()
+        System.err.println(f"[ccsoak] delta $i%2d wall=$sec%6.2fs " +
+          f"shufW=${(w1 - w0) / 1e6}%8.1fMB fresh=$freshEdges%6d " +
+          f"map=$mapRows%7d files(sh=${parquetFiles("sh")}," +
+          f"bands=${parquetFiles("bands")},pairs=${parquetFiles("pairs")})" +
+          (if (compacted) " COMPACTED" else ""))
+        (i, sec, w1 - w0, freshEdges, mapRows, compacted,
+          parquetFiles("sh") + parquetFiles("bands") + parquetFiles("pairs"))
+      }
+      val walls = recs.map(_._2)
+      s"""{"metric":"cc_multi_delta_soak","base_docs":$nBase,""" +
+        s""""delta_docs":$nDelta,"n_deltas":$nDeltas,""" +
+        s""""wall_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""shuffle_write_mb":[${recs.map(_._3 / 1e6).map(b => f"$b%.1f").mkString(",")}],""" +
+        s""""fresh_edges":[${recs.map(_._4).mkString(",")}],""" +
+        s""""map_rows":[${recs.map(_._5).mkString(",")}],""" +
+        s""""artifact_files":[${recs.map(_._7).mkString(",")}],""" +
+        s""""compactions":${recs.count(_._6)},""" +
+        s""""rebuild_equal":true,""" +
+        s""""wall_last_over_first":${f"${walls.last / walls.head}%.2f"}}"""
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** args: [nFiles] [rowsPerFile], defaults 200 x 1000;
     * or: soak [n1,n2,...] [rowsPerFile] (defaults 1000,4000,12000 x 10);
     * or: layout [sessions] [rounds] [sfDir] (defaults 8 x 3 on sf0.1);
@@ -647,14 +817,18 @@ object PerfHarness {
     * or: scale [k1,k2,...] [op1,op2,...] [reps] (defaults 1,10,100 x
     *     dedup_cc,dedup_minhash_lsh,heavy_hitters,budget_select,ann_topk_ivf x 2);
     * or: bulk [nFiles] [rowsPerFile] [mfpt1,mfpt2,...] (defaults
-    *     48000 x 10 x 5000,16000,48000). */
+    *     48000 x 10 x 5000,16000,48000);
+    * or: ccsoak [baseDocs] [nDeltas] [deltaFrac] (defaults
+    *     50000 x 8 x 0.05 — multi-delta incremental-CC soak). */
   def main(args: Array[String]): Unit = {
     val soakMode = args.headOption.contains("soak")
     val layoutMode = args.headOption.contains("layout")
     val logSoakMode = args.headOption.contains("logsoak")
     val scaleMode = args.headOption.contains("scale")
     val bulkMode = args.headOption.contains("bulk")
-    val anyMode = soakMode || layoutMode || logSoakMode || scaleMode || bulkMode
+    val ccSoakMode = args.headOption.contains("ccsoak")
+    val anyMode = soakMode || layoutMode || logSoakMode || scaleMode ||
+      bulkMode || ccSoakMode
     val nFiles = if (anyMode) 0 else args.headOption.map(_.toInt).getOrElse(200)
     val rowsPerFile = if (anyMode) 0 else args.lift(1).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
@@ -685,7 +859,8 @@ object PerfHarness {
         val ops = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
           "dedup_cc", "dedup_minhash_lsh", "heavy_hitters", "budget_select", "ann_topk_ivf"))
         val unknown = ops.toSet -- SparkEntry.queries.keySet -
-          "dedup_cc_uncapped" - "cluster_map_build"
+          "dedup_cc_uncapped" - "cluster_map_build" -
+          "decon_fixed_eval" - "decon_fixed_eval_bloom"
         require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")}")
         val reps = args.lift(3).map(_.toInt).getOrElse(2)
         println(scaleRun(spark, scales, ops, reps))
@@ -700,6 +875,13 @@ object PerfHarness {
         val mfpts = args.lift(3).getOrElse("5000,16000,48000")
           .split(",").toSeq.map(_.trim.toInt)
         println(bulkSweep(spark, n, rows, mfpts))
+      } else if (ccSoakMode) {
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.codegen.maxFields", "256")
+        val nBase = args.lift(1).map(_.toLong).getOrElse(50000L)
+        val nDeltas = args.lift(2).map(_.toInt).getOrElse(8)
+        val frac = args.lift(3).map(_.toDouble).getOrElse(0.05)
+        println(ccSoakRun(spark, nBase, nDeltas, frac))
       } else {
         val r = run(spark, nFiles, rowsPerFile)
         // one JSON line, same contract style as Bench

@@ -50,20 +50,27 @@ object Curation5 {
     * `ent_micro = (n·lnμ(n) − Σ cnt·lnμ(cnt)) div n` — one integer
     * division at the end, no float aggregate anywhere.
     *
-    * Scale shape: char explode is a narrow map; the histogram is a
-    * (doc, char)-keyed hash aggregate (map-side combined — at most
-    * alphabet-size rows survive per doc per partition); the per-doc
-    * reduction is a second keyed aggregate. Text bodies never shuffle —
-    * only (doc_id, char, cnt) triples. */
+    * Scale shape (round-16 respelling, the [[winnowFingerprint]]
+    * discipline): the char histogram never leaves the document row —
+    * [[graft.functions.CharEntropy]] computes (n, distinct, Σ cnt·lnμ)
+    * in ONE codegen'd pass over the string's code points. The old
+    * explode-then-aggregate spelling pushed one row PER CHARACTER
+    * through a two-level corpus-wide hash aggregate (13M rows, 3.4 s at
+    * sf0.1); a higher-order-array respell was tried first and measured
+    * SLOWER than the explode (6.9 s — interpreted lambdas over boxed
+    * per-char strings), which is exactly the case SURVEY §7.2 reserves
+    * the (b)-tier native Expression for. Here a document contributes
+    * one row end-to-end and the only wide stage is the final orderBy. */
   def textEntropy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    charGrams(Tables.documents(s, d), 1)
-      .groupBy($"doc_id", $"g")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_chars_seen"),
-        count(lit(1)).as("distinct_chars"),
-        sum($"cnt" * lnMicro($"cnt")).as("s_cnt"))
+    Par.spread(Tables.documents(s, d), $"doc_id")
+      .filter(length($"text") >= 1)
+      .select($"doc_id",
+        graft.functions.CharEntropy.charEntropyStats($"text").as("h"))
+      .select($"doc_id",
+        $"h.n_chars_seen".as("n_chars_seen"),
+        $"h.distinct_chars".as("distinct_chars"),
+        $"h.s_cnt".as("s_cnt"))
       .withColumn("ent_micro",
         expr("(n_chars_seen * cast(round(ln(cast(n_chars_seen as double)) * 1e6) as bigint) - s_cnt) div n_chars_seen"))
       .select($"doc_id", $"n_chars_seen", $"distinct_chars", $"ent_micro")

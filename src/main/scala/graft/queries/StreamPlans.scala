@@ -55,4 +55,42 @@ object StreamPlans {
     * hasn't run in this JVM or the query carries no state operator). */
   def stateRowsOf(name: String): Option[Long] =
     Option(stateRows.get(name)).map(_.longValue)
+
+  // --------------------------- storage-state ingest accounting
+  /** One micro-batch's contribution to a harness's ON-STORAGE state
+    * (`stream_cc_delta`'s shingle/band/edge dirs, `stream_decontaminate`'s
+    * hit dir live OUTSIDE `stateOperators.numRowsTotal`'s view), plus its
+    * wall seconds — recorded by the harness's own foreachBatch, which is
+    * the only place batch boundaries are visible. */
+  final case class IngestBatch(batchId: Long, appendedBytes: Long, wallSec: Double)
+  private val ingest =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[IngestBatch]]()
+  private val prepSec = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private[queries] def resetIngest(name: String): Unit = {
+    ingest.remove(name); prepSec.remove(name)
+  }
+  private[queries] def recordIngest(name: String, batchId: Long,
+      appendedBytes: Long, wallSec: Double): Unit =
+    ingest.merge(name, Vector(IngestBatch(batchId, appendedBytes, wallSec)), _ ++ _)
+  /** Harness prep wall (standing-artifact read + eval-index build +
+    * materialize) — the cost that must be paid ONCE, not per batch. */
+  private[queries] def recordPrep(name: String, sec: Double): Unit =
+    prepSec.put(name, java.lang.Double.valueOf(sec))
+
+  /** Per-batch on-storage appends of `name`'s last run, batch order. */
+  def ingestLogOf(name: String): Vector[IngestBatch] =
+    Option(ingest.get(name)).getOrElse(Vector.empty)
+  def prepSecOf(name: String): Option[Double] =
+    Option(prepSec.get(name)).map(_.doubleValue)
+
+  /** Recursive byte size of a directory (0 if absent) — filesystem
+    * metadata only, no Spark job. */
+  private[queries] def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (!f.exists()) 0L
+      else if (f.isDirectory) f.listFiles().map(walk).sum
+      else f.length()
+    walk(new java.io.File(path))
+  }
 }

@@ -982,12 +982,15 @@ object Streaming3 {
     import s.implicits._
     import graft.operators.Dedup
     val runId = s"sccd${seq.incrementAndGet()}_${System.nanoTime()}"
+    StreamPlans.resetIngest("stream_cc_delta")
+    val prepT0 = System.nanoTime()
     val all = Tables.documents(s, dir)
     // standing artifacts a prior ingest committed — read from the Models
     // train-once store (production: standing tables on storage); already
     // materialized, so the stream cannot race their build
     val (corpusSh, corpusBands, standingEdges, standingMap) =
       Dedup.ccStandingArtifacts(s, dir)
+    StreamPlans.recordPrep("stream_cc_delta", (System.nanoTime() - prepT0) / 1e9)
 
     // delta staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -1017,6 +1020,12 @@ object Streaming3 {
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // on-storage state accounting: batch boundaries exist only here,
+        // so the harness itself records what each batch appends (the
+        // StateInvarianceSpec claim "appends ∝ batch, not history")
+        val ingestT0 = System.nanoTime()
+        val bytes0 = Seq(seenShDir, seenBandsDir, edgesDir)
+          .map(StreamPlans.dirBytes).sum
         val batchSh = Dedup.docShinglesOf(batch)
         val batchBands = Dedup.lshBands(Dedup.lshSignatures(batchSh)).persist()
         try {
@@ -1048,6 +1057,10 @@ object Streaming3 {
           val fresh = Dedup.lshVerify(touching, allSh).select(col("a_id"), col("b_id"))
           StreamPlans.capturePlan("stream_cc_delta", fresh)
           fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
+          StreamPlans.recordIngest("stream_cc_delta", id,
+            Seq(seenShDir, seenBandsDir, edgesDir)
+              .map(StreamPlans.dirBytes).sum - bytes0,
+            (System.nanoTime() - ingestT0) / 1e9)
         } finally { batchSh.unpersist(); batchBands.unpersist() }
       }
       .option("checkpointLocation",
@@ -1082,6 +1095,8 @@ object Streaming3 {
     import s.implicits._
     import graft.operators.Curation
     val runId = s"sdecon${seq.incrementAndGet()}_${System.nanoTime()}"
+    StreamPlans.resetIngest("stream_decontaminate")
+    val prepT0 = System.nanoTime()
     val docs = Tables.documents(s, dir)
     def grams(df: DataFrame): DataFrame = df
       .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
@@ -1093,6 +1108,10 @@ object Streaming3 {
     val bench = grams(docs.filter($"doc_id" % 10 === 7))
       .withColumnRenamed("doc_id", "bench_id").persist()
     bench.count() // materialize before the stream races it
+    // recorded so the invariance spec can assert per-batch cost excludes
+    // an eval-index REBUILD (the build is this prep, paid once)
+    StreamPlans.recordPrep("stream_decontaminate",
+      (System.nanoTime() - prepT0) / 1e9)
 
     // training corpus staged as 4 files -> 2 micro-batches
     val stage = Files.createTempDirectory(s"graft-$runId").toString
@@ -1117,10 +1136,15 @@ object Streaming3 {
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ingestT0 = System.nanoTime()
+        val bytes0 = StreamPlans.dirBytes(hitsDir)
         val hits = grams(batch).join(broadcast(bench), "gk")
           .select(col("bench_id"), col("doc_id"), col("gk"))
         StreamPlans.capturePlan("stream_decontaminate", hits)
         hits.write.mode("overwrite").parquet(s"$hitsDir/batch=$id")
+        StreamPlans.recordIngest("stream_decontaminate", id,
+          StreamPlans.dirBytes(hitsDir) - bytes0,
+          (System.nanoTime() - ingestT0) / 1e9)
       }
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-$runId-cp").toString)
