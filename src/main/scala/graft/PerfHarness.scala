@@ -698,13 +698,19 @@ object PerfHarness {
     val root = Files.createTempDirectory("graft-ccsoak-art").toString
     def parquetFiles(sub: String): Int = {
       def walk(f: java.io.File): Int =
-        if (f.isDirectory) f.listFiles().map(walk).sum
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1 else 0
       val f = new java.io.File(s"$root/$sub")
       if (f.exists()) walk(f) else 0
     }
     def gens(sub: String): Seq[java.io.File] =
-      new java.io.File(s"$root/$sub").listFiles().filter(_.isDirectory).toSeq
+      Option(new java.io.File(s"$root/$sub").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory).toSeq
+    // a failed swap must fail HERE, not as a path-not-found mid-soak
+    def swap(from: String, to: String): Unit =
+      require(new java.io.File(from).renameTo(new java.io.File(to)),
+        s"artifact swap failed: rename $from -> $to")
     def rmdir(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmdir)
       f.delete()
@@ -753,8 +759,7 @@ object PerfHarness {
         fresh.write.mode("append").parquet(s"$root/pairs")
         fresh.unpersist()
         rmdir(new java.io.File(s"$root/map"))
-        new java.io.File(s"$root/map.next")
-          .renameTo(new java.io.File(s"$root/map"))
+        swap(s"$root/map.next", s"$root/map")
         // amortized compaction: bound the generation count (and with it
         // the artifact file count) regardless of how many deltas arrive
         var compacted = false
@@ -765,8 +770,7 @@ object PerfHarness {
               .drop("gen").repartition(spark.sparkContext.defaultParallelism)
             all.write.parquet(s"$root/$sub.next/gen=0")
             rmdir(new java.io.File(s"$root/$sub"))
-            new java.io.File(s"$root/$sub.next")
-              .renameTo(new java.io.File(s"$root/$sub"))
+            swap(s"$root/$sub.next", s"$root/$sub")
           }
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -783,11 +787,16 @@ object PerfHarness {
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         val d1 = mergedBack.except(rebuild).count()
         val d2 = rebuild.except(mergedBack).count()
-        unionSh.unpersist()
-        require(d1 == 0 && d2 == 0,
-          s"ccsoak delta $i: merged map diverged from full rebuild " +
-            s"(merged-only=$d1, rebuild-only=$d2)")
+        // except is SET semantics: a merged map with duplicated doc_id
+        // rows of identical values would still pass both excepts — pin
+        // the row counts too so rebuild_equal means bag equality
         val mapRows = mergedBack.count()
+        val rebuildRows = rebuild.count()
+        unionSh.unpersist()
+        require(d1 == 0 && d2 == 0 && mapRows == rebuildRows,
+          s"ccsoak delta $i: merged map diverged from full rebuild " +
+            s"(merged-only=$d1, rebuild-only=$d2, " +
+            s"rows merged=$mapRows rebuild=$rebuildRows)")
         System.err.println(f"[ccsoak] delta $i%2d wall=$sec%6.2fs " +
           f"shufW=${(w1 - w0) / 1e6}%8.1fMB fresh=$freshEdges%6d " +
           f"map=$mapRows%7d files(sh=${parquetFiles("sh")}," +

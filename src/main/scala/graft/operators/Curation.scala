@@ -187,24 +187,34 @@ object Curation {
   /** Gopher-style repetition filters, per document: the fraction of all
     * 2-grams (and 3-grams) taken by the single most frequent one, and the
     * distinct-token fraction. High top-gram fractions flag boilerplate /
-    * looping text; low distinct fractions flag token spam. One narrow
-    * explode + two hash aggregates per order, all keyed by doc_id —
-    * embarrassingly parallel at any corpus size. */
+    * looping text; low distinct fractions flag token spam.
+    *
+    * Spelling: every metric is a PER-DOCUMENT reduction, so the whole
+    * row is one shuffle-free projection — `max(c)/sum(c)` over a doc's
+    * gram counts is [[graft.functions.ArrayTopCount]] (a codegen'd
+    * one-pass histogram inside the row), distinct fraction is
+    * `array_distinct`. The previous explode-then-aggregate spelling
+    * shuffled every 2-gram and 3-gram occurrence of the corpus twice
+    * each (groupBy(doc,g) then groupBy(doc)) plus a token explode and
+    * two doc-keyed joins — five corpus-wide shuffles that this
+    * projection deletes outright (measured at sf0.1: 1.53 s -> see
+    * BENCH_NOTES round-17 table). The `size >= 3` filter reproduces the
+    * old inner joins' row set exactly: a doc was kept iff it had at
+    * least one 3-gram. */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
-    def topFrac(n: Int, out: String): DataFrame = docs
-      .select($"doc_id", explode(ngrams($"t", n)).as("g"))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg((max($"c").cast("double") / sum($"c")).as(out))
-    val distinctFrac = docs
-      .select($"doc_id", explode($"t").as("tok"))
-      .groupBy($"doc_id")
-      .agg((countDistinct($"tok").cast("double") / count(lit(1))).as("distinct_frac"))
-    topFrac(2, "top2_frac")
-      .join(topFrac(3, "top3_frac"), "doc_id")
-      .join(distinctFrac, "doc_id")
+    import graft.functions.ArrayTopCount.arrayTopCount
+    Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        arrayTopCount(ngrams($"t", 2)).as("g2"),
+        arrayTopCount(ngrams($"t", 3)).as("g3"),
+        (size(array_distinct($"t")).cast("double") / size($"t"))
+          .as("distinct_frac"))
+      .select($"doc_id",
+        ($"g2.top_cnt".cast("double") / $"g2.total").as("top2_frac"),
+        ($"g3.top_cnt".cast("double") / $"g3.total").as("top3_frac"),
+        $"distinct_frac")
       .orderBy($"doc_id")
   }
   val textRepetitionSql: String = {
@@ -246,9 +256,13 @@ object Curation {
     * token string. */
   def textCooccur(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // doc-level presence = per-doc distinct, computable INSIDE the row:
+    // array_distinct before the explode replaces the corpus-wide
+    // shuffled .distinct() the explode-first spelling needed (measured
+    // at sf0.1: see BENCH_NOTES round-17 table) — the biggest shuffle
+    // of this row deleted, and exactly the same (doc, tok) set
     val docTok = Tables.documents(s, d)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .distinct()
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
     val nDocs = Tables.documents(s, d).count()
     val vocab = docTok.groupBy($"tok").agg(count(lit(1)).as("df"))
       .orderBy($"df".desc, $"tok").limit(VocabSize)

@@ -531,7 +531,9 @@ object Dedup {
         .write.mode("overwrite").parquet(out)
     }
     val mapDir = Models.root(s"ccdelta-map|$d|in=$fp") { out =>
-      ccFixpoint(s.read.parquet(pairsDir)).write.mode("overwrite").parquet(out)
+      val m = ccFixpoint(s.read.parquet(pairsDir))
+      m.write.mode("overwrite").parquet(out)
+      m.unpersist() // the artifact lives on storage; drop the build's cache
     }
     (sh, bands, s.read.parquet(pairsDir), s.read.parquet(mapDir))
   }
@@ -557,17 +559,34 @@ object Dedup {
     * corpus dup mass × log diameter): the "100 GB arrived at a 100 TB
     * corpus" cost shape.
     *
-    * Broadcast precondition (documented, not hidden): the touched
-    * cluster-id set is ≤ one id per fresh endpoint, and the touched
-    * MEMBER set is that times the bounded cluster size — both delta-
-    * bounded, so both are broadcast to keep the standing map and the
-    * standing edge list scan-only (columnar read, ZERO shuffle of
+    * Broadcast precondition (ENFORCED, not just documented): the
+    * touched cluster-id set is ≤ one id per fresh endpoint, and the
+    * touched MEMBER set is that times the bounded cluster size — both
+    * delta-bounded, so both are broadcast to keep the standing map and
+    * the standing edge list scan-only (columnar read, ZERO shuffle of
     * either full artifact; only touched-zone survivors shuffle into the
-    * fixpoint). A delta so large its touched membership exceeds
-    * broadcast limits should run the full [[ccFixpoint]] rebuild
-    * instead — at that size it is no longer an increment. */
+    * fixpoint). The touched membership is COUNTED before the broadcast
+    * (one extra semi-join scan, cheap next to the fixpoint) and a delta
+    * whose touched membership exceeds `maxBroadcastMembers` falls back
+    * to the full [[ccFixpoint]] rebuild over standing ∪ fresh edges —
+    * at that size it is no longer an increment, and silently exceeding
+    * Spark's broadcast/driver limits would fail at runtime instead.
+    *
+    * Cost scoping: the O(delta-touched) claim covers the MERGE COMPUTE.
+    * The trailing `orderBy(doc_id)` re-materializes (and so shuffles)
+    * the full merged map once, because the gate contract needs one
+    * deterministic output frame; a production ingest would emit only
+    * the relabeled zone and leave untouched cluster artifacts in place
+    * on storage, paying nothing per delta for the pass-through rows.
+    *
+    * Cache contract: the returned map is the ONE persisted frame this
+    * call leaves behind (materialized here, inner fixpoint cache
+    * released before returning) — callers that are done with it
+    * (e.g. after committing it to storage) own its `unpersist()`. */
+  private[graft] val DeltaBroadcastMaxMembers = 2000000L
   private[graft] def ccFixpointDelta(standingMap: DataFrame,
-      standingEdges: DataFrame, fresh: DataFrame): DataFrame = {
+      standingEdges: DataFrame, fresh: DataFrame,
+      maxBroadcastMembers: Long = DeltaBroadcastMaxMembers): DataFrame = {
     val s = standingMap.sparkSession
     import s.implicits._
     val touchedDocs = fresh.select($"a_id".as("doc_id"))
@@ -578,16 +597,26 @@ object Dedup {
     val touchedMembers = standingMap
       .join(broadcast(touchedClusters), Seq("cluster_id"), "leftsemi")
       .select($"doc_id".as("a_id"))
-    // a standing edge is intra-cluster by construction, so membership
-    // of its a_id endpoint decides the whole edge
-    val touchedEdges = standingEdges
-      .join(broadcast(touchedMembers), Seq("a_id"), "leftsemi")
-    val relabeled = ccFixpoint(touchedEdges.unionByName(fresh))
-      .select($"doc_id", $"cluster_id", $"cluster_size")
-    val untouched = standingMap
-      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
-      .select($"doc_id", $"cluster_id", $"cluster_size")
-    untouched.unionByName(relabeled).orderBy($"doc_id")
+    if (touchedMembers.count() > maxBroadcastMembers) {
+      // the delta touches too much standing mass to stay broadcast-side:
+      // run the full fixpoint (same result by the closure argument above,
+      // with shuffled joins instead of an over-limit broadcast)
+      ccFixpoint(standingEdges.unionByName(fresh))
+    } else {
+      // a standing edge is intra-cluster by construction, so membership
+      // of its a_id endpoint decides the whole edge
+      val touchedEdges = standingEdges
+        .join(broadcast(touchedMembers), Seq("a_id"), "leftsemi")
+      val inner = ccFixpoint(touchedEdges.unionByName(fresh))
+      val relabeled = inner.select($"doc_id", $"cluster_id", $"cluster_size")
+      val untouched = standingMap
+        .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+        .select($"doc_id", $"cluster_id", $"cluster_size")
+      val out = untouched.unionByName(relabeled).orderBy($"doc_id").persist()
+      out.count() // materialize while the inner fixpoint is still cached
+      inner.unpersist()
+      out
+    }
   }
 
   /** Incremental cluster-map maintenance (`dedup_cc_delta`): a DELTA of
@@ -661,7 +690,12 @@ object Dedup {
       allSh)
       .select($"a_id", $"b_id").persist()
     fresh.count()
-    ccFixpointDelta(standingMap, standing, fresh)
+    // the merge returns fully materialized, so the delta pipeline's pins
+    // can be released here — the merged map is the one cache left behind
+    val merged = ccFixpointDelta(standingMap, standing, fresh)
+    fresh.unpersist()
+    deltaBands.unpersist()
+    merged
   }
 
   /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->

@@ -122,9 +122,18 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
   }
 
-  /** Core scorer, parameterized by input for testability on planted docs. */
+  /** Core scorer, parameterized by input for testability on planted docs.
+    *
+    * Two-step projection on purpose (the docShinglesOf discipline):
+    * `toks` is materialized as an attribute BEFORE the per-language
+    * filter lambdas reference it. Embedding `tokens(lower(text))`
+    * straight into the lambdas re-runs the regex split once PER
+    * LANGUAGE per document; one alias referenced by every language
+    * splits once (multiple references to a non-trivial alias also keep
+    * CollapseProject from re-inlining it). Measured at sf0.1: see
+    * BENCH_NOTES round-17 table. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    val toks = col("toks")
     def hitRatio(words: Seq[String]): Column = {
       val arr = array(words.map(lit): _*)
       size(filter(toks, t => array_contains(arr, t))).cast("double") / size(toks)
@@ -136,6 +145,7 @@ object TextAnalysis {
       struct(hitRatio(words).as("score"), lit(lang).as("lang"))
     } :+ struct((cjkRatio * 3).as("score"), lit("zh").as("lang"))
     docs
+      .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("toks"))
       .withColumn("best", sort_array(array(scored: _*), asc = false).getItem(0))
       .select(col("doc_id"), col("best.lang").as("pred_lang"),
         round(col("best.score"), 6).as("confidence"))

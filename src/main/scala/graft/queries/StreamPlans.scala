@@ -62,7 +62,8 @@ object StreamPlans {
     * hit dir live OUTSIDE `stateOperators.numRowsTotal`'s view), plus its
     * wall seconds — recorded by the harness's own foreachBatch, which is
     * the only place batch boundaries are visible. */
-  final case class IngestBatch(batchId: Long, appendedBytes: Long, wallSec: Double)
+  final case class IngestBatch(batchId: Long, appendedBytes: Long,
+      wallSec: Double, compacted: Boolean = false, filesAfter: Int = 0)
   private val ingest =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[IngestBatch]]()
   private val prepSec = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
@@ -71,8 +72,11 @@ object StreamPlans {
     ingest.remove(name); prepSec.remove(name)
   }
   private[queries] def recordIngest(name: String, batchId: Long,
-      appendedBytes: Long, wallSec: Double): Unit =
-    ingest.merge(name, Vector(IngestBatch(batchId, appendedBytes, wallSec)), _ ++ _)
+      appendedBytes: Long, wallSec: Double, compacted: Boolean = false,
+      filesAfter: Int = 0): Unit =
+    ingest.merge(name,
+      Vector(IngestBatch(batchId, appendedBytes, wallSec, compacted, filesAfter)),
+      _ ++ _)
   /** Harness prep wall (standing-artifact read + eval-index build +
     * materialize) — the cost that must be paid ONCE, not per batch. */
   private[queries] def recordPrep(name: String, sec: Double): Unit =
@@ -89,8 +93,24 @@ object StreamPlans {
   private[queries] def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (!f.exists()) 0L
-      else if (f.isDirectory) f.listFiles().map(walk).sum
+      // listFiles() is null if the dir vanished or errored between the
+      // exists() check and the list (TOCTOU) — accounting must not NPE
+      // the streaming query it rides in
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
       else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** Count of `.parquet` data files under `path` (0 if absent) — the
+    * small-file-growth measurement for on-storage standing tables. */
+  private[queries] def parquetFileCount(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (!f.exists()) 0
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
     walk(new java.io.File(path))
   }
 }

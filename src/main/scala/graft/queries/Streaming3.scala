@@ -978,7 +978,28 @@ object Streaming3 {
     * their own output (the stream_filter_cascade idempotence
     * discipline). */
   def streamCcDelta(s: SparkSession, dir: String): DataFrame =
-      Streaming.withStateShuffle(s, 8) {
+    streamCcDeltaRun(s, dir, nStageFiles = 4, maxFilesPerTrigger = 2)
+
+  /** The parameterized harness behind `stream_cc_delta`: `nStageFiles`
+    * delta files admitted `maxFilesPerTrigger` at a time (the gate row
+    * runs 4/2 = 2 micro-batches; the storage-state invariance spec runs
+    * MORE batches so the compaction below actually fires). Standing
+    * on-storage tables append one batch-id-addressed GENERATION per
+    * micro-batch (also making sh/band appends replay-idempotent, not
+    * just the edge dirs) and compact back to a single generation once
+    * the generation count passes `compactAfter` — the ccsoak GC
+    * discipline (PerfHarness.ccSoakRun), so artifact file counts stay
+    * bounded no matter how many batches arrive. Compaction is part of
+    * the accounted batch cost (amortized GC is standing cost) and is
+    * flagged in the ingest log so the invariance spec bands
+    * non-compaction batches only. Compacted edge generations land under
+    * a NEGATIVE batch id, so a replayed real batch can never overwrite
+    * a compacted generation (worst case a replay re-adds edges also
+    * present in the compacted gen — duplicate edges are harmless to the
+    * label fixpoint). */
+  private[graft] def streamCcDeltaRun(s: SparkSession, dir: String,
+      nStageFiles: Int, maxFilesPerTrigger: Int, compactAfter: Int = 4)
+      : DataFrame = Streaming.withStateShuffle(s, 8) {
     import s.implicits._
     import graft.operators.Dedup
     val runId = s"sccd${seq.incrementAndGet()}_${System.nanoTime()}"
@@ -992,11 +1013,11 @@ object Streaming3 {
       Dedup.ccStandingArtifacts(s, dir)
     StreamPlans.recordPrep("stream_cc_delta", (System.nanoTime() - prepT0) / 1e9)
 
-    // delta staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
+    // delta staged as nStageFiles files -> ceil(n/mfpt) micro-batches
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     all.filter($"doc_id" % 5 === 0)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-      .repartition(4, $"doc_id")
+      .repartition(nStageFiles, $"doc_id")
       .write.mode("overwrite").parquet(stage)
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
@@ -1010,7 +1031,7 @@ object Streaming3 {
     val query = s.readStream.format("graft-files").schema(docsSchema)
       .option("fileFormat", "parquet").option("queueName", runId)
       .option("queueFetchWaitTimeoutSeconds", "10")
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       // pre-enqueued corpus: block the first offset until the async
       // fetch loop has admitted every staged file, or
       // processAllAvailable() can return on an early no-data trigger
@@ -1029,9 +1050,10 @@ object Streaming3 {
         val batchSh = Dedup.docShinglesOf(batch)
         val batchBands = Dedup.lshBands(Dedup.lshSignatures(batchSh)).persist()
         try {
-          // grow the standing tables by exactly this batch's docs
-          batchSh.write.mode("append").parquet(seenShDir)
-          batchBands.write.mode("append").parquet(seenBandsDir)
+          // grow the standing tables by exactly this batch's docs — one
+          // batch-id generation each (replay overwrites its own gen)
+          batchSh.write.mode("overwrite").parquet(s"$seenShDir/gen=$id")
+          batchBands.write.mode("overwrite").parquet(s"$seenBandsDir/gen=$id")
           // only buckets this batch landed in can yield new pairs, and
           // the candidate rank is bucket-local — restrict the rank +
           // pair join to batch-touched buckets (the dedupCcDelta
@@ -1039,7 +1061,8 @@ object Streaming3 {
           // union-partitioning reason documented there)
           val batchKeys = batchBands.select(col("band_idx"), col("band_key")).distinct()
           val seenBands = corpusBands
-            .unionByName(s.read.parquet(seenBandsDir))
+            .unionByName(s.read.parquet(seenBandsDir)
+              .select(col("doc_id"), col("band_idx"), col("band_key")))
             .join(broadcast(batchKeys), Seq("band_idx", "band_key"), "leftsemi")
           val batchIds = batch.select(col("doc_id"))
           // every pair emits exactly once: in the batch its LATER
@@ -1053,14 +1076,50 @@ object Streaming3 {
             .unionByName(cand
               .join(batchIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "leftsemi"))
             .distinct()
-          val allSh = corpusSh.unionByName(s.read.parquet(seenShDir))
+          val allSh = corpusSh.unionByName(
+            s.read.parquet(seenShDir).select(col("doc_id"), col("sh")))
           val fresh = Dedup.lshVerify(touching, allSh).select(col("a_id"), col("b_id"))
           StreamPlans.capturePlan("stream_cc_delta", fresh)
           fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
+          // standing-dir GC: compact once the generation count passes the
+          // cap, so file counts stay bounded over an unbounded batch stream
+          def gensOf(d: String): Int =
+            Option(new java.io.File(d).listFiles())
+              .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
+          def compact(d: String, genDir: String, cols: Seq[String]): Unit = {
+            s.read.parquet(d).select(cols.map(col): _*)
+              .coalesce(s.sparkContext.defaultParallelism)
+              .write.parquet(s"$d.next/$genDir")
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles())
+                .getOrElse(Array.empty[java.io.File]).foreach(rm)
+              f.delete()
+            }
+            rm(new java.io.File(d))
+            require(new java.io.File(s"$d.next").renameTo(new java.io.File(d)),
+              s"compaction swap failed: $d")
+          }
+          var compacted = false
+          if (gensOf(seenShDir) > compactAfter) {
+            compacted = true
+            compact(seenShDir, s"gen=${-(id + 1)}", Seq("doc_id", "sh"))
+          }
+          if (gensOf(seenBandsDir) > compactAfter) {
+            compacted = true
+            compact(seenBandsDir, s"gen=${-(id + 1)}",
+              Seq("doc_id", "band_idx", "band_key"))
+          }
+          if (gensOf(edgesDir) > compactAfter) {
+            compacted = true
+            compact(edgesDir, s"batch=${-(id + 1)}", Seq("a_id", "b_id"))
+          }
           StreamPlans.recordIngest("stream_cc_delta", id,
             Seq(seenShDir, seenBandsDir, edgesDir)
               .map(StreamPlans.dirBytes).sum - bytes0,
-            (System.nanoTime() - ingestT0) / 1e9)
+            (System.nanoTime() - ingestT0) / 1e9,
+            compacted = compacted,
+            filesAfter = Seq(seenShDir, seenBandsDir, edgesDir)
+              .map(StreamPlans.parquetFileCount).sum)
         } finally { batchSh.unpersist(); batchBands.unpersist() }
       }
       .option("checkpointLocation",
@@ -1070,7 +1129,15 @@ object Streaming3 {
     InMemoryQueueRegistry.remove(runId)
     val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id").persist()
     acc.count() // the delta merge reads the edge frame several times
-    Dedup.ccFixpointDelta(standingMap, standingEdges, acc)
+    // commit the merged map the way an ingest would (to storage), then
+    // release every cache this run pinned — the returned frame reads
+    // the committed artifact, so nothing leaks into the session
+    val merged = Dedup.ccFixpointDelta(standingMap, standingEdges, acc)
+    val mapDir = Files.createTempDirectory(s"graft-$runId-map").toString
+    merged.write.mode("overwrite").parquet(mapDir)
+    merged.unpersist()
+    acc.unpersist()
+    s.read.parquet(mapDir).orderBy($"doc_id")
   }
   /** Full-rebuild oracle: the shared CC recursive CTE. */
   val streamCcDeltaSql: String = graft.operators.Dedup.dedupClustersSql

@@ -110,4 +110,75 @@ class StateInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 == keyDomain,
       s"state must be the labels x dim centroid frame ($keyDomain), got $s1")
   }
+
+  // ------------------- ON-STORAGE state: the ingest-accounting claims.
+  // The harnesses above keep state in Spark's state store; stream_cc_delta
+  // and stream_decontaminate keep it on STORAGE (standing shingle/band/
+  // edge/hit dirs), outside numRowsTotal's view. Their foreachBatch
+  // records per-batch appended bytes + the one-time prep wall; these
+  // tests consume that log and pin the two claims the scaladocs make:
+  // appends track the BATCH (not the accumulated history) and prep
+  // (standing-artifact read / eval-index build) is paid once, not per
+  // batch — plus the compaction GC bounding standing-dir file counts.
+
+  private val docsSf = "/root/testdata/sf0.001"
+
+  test("stream_cc_delta: appends track the batch, prep paid once, GC bounds files") {
+    // 10 one-file batches at compactAfter=3 so compaction actually fires
+    val merged = Streaming3.streamCcDeltaRun(spark, docsSf,
+      nStageFiles = 10, maxFilesPerTrigger = 1, compactAfter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged.nonEmpty)
+
+    val prep = StreamPlans.prepSecOf("stream_cc_delta")
+      .getOrElse(fail("no prep wall recorded"))
+    assert(prep > 0.0, "prep (standing-artifact read) must be a paid, one-time cost")
+    val log = StreamPlans.ingestLogOf("stream_cc_delta")
+    assert(log.size == 10, s"expected 10 micro-batches, got ${log.size}")
+    assert(log.map(_.batchId) == log.map(_.batchId).sorted, "batch order")
+
+    // appends ∝ batch: equal-sized batches must append flat bytes. A
+    // regime that rewrote the accumulated standing tables per batch
+    // would grow the tail ~5x over the head at 10 batches.
+    val steady = log.filterNot(_.compacted)
+    assert(steady.size >= 5, s"too few non-compaction batches: ${steady.size}")
+    assert(steady.forall(_.appendedBytes > 0), s"empty append in $steady")
+    val head = steady.take(3).map(_.appendedBytes.toDouble).sum / 3
+    val tail = steady.takeRight(3).map(_.appendedBytes.toDouble).sum / 3
+    assert(tail <= 2.5 * head,
+      s"appends grew with history: head-avg=$head tail-avg=$tail bytes " +
+        s"(full log: ${log.map(b => s"b${b.batchId}=${b.appendedBytes}${if (b.compacted) "C" else ""}").mkString(", ")})")
+
+    // GC: compaction fired and standing-dir file counts stayed bounded
+    // (without it, 10 batches x 3 dirs accumulate a generation each)
+    assert(log.exists(_.compacted), "compaction never fired at compactAfter=3")
+    val maxFiles = log.map(_.filesAfter).max
+    assert(maxFiles <= 60,
+      s"standing-dir parquet files unbounded: $maxFiles " +
+        s"(per batch: ${log.map(_.filesAfter).mkString(",")})")
+
+    // hashes unchanged: the many-batch streamed merge equals the batch
+    // twin (same standing artifacts, same delta slice)
+    val batchTwin = graft.operators.Dedup.dedupCcDelta(spark, docsSf)
+    val twin = batchTwin
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    batchTwin.unpersist()
+    assert(merged == twin, "streamed merge diverged from the batch twin")
+  }
+
+  test("stream_decontaminate: eval index built once, per-batch hit appends") {
+    Streaming3.streamDecontaminate(spark, docsSf).collect()
+    val prep = StreamPlans.prepSecOf("stream_decontaminate")
+      .getOrElse(fail("no prep wall recorded"))
+    assert(prep > 0.0, "eval-index build must be recorded as one-time prep")
+    val log = StreamPlans.ingestLogOf("stream_decontaminate")
+    assert(log.size == 2, s"expected 2 micro-batches, got ${log.size}")
+    assert(log.forall(_.appendedBytes > 0),
+      s"each batch must append its own hit triples: $log")
+    // halves are hash-staged and near-equal; a batch that re-appended
+    // the accumulated history would land at ~2x its twin
+    val Seq(b0, b1) = log.map(_.appendedBytes.toDouble)
+    assert(b1 <= 1.8 * b0 && b0 <= 1.8 * b1,
+      s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
+  }
 }
