@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: steady-state timing of a query subset without the full
   * [[Bench]] sweep. `runMain graft.TimeQueries <sfDir> <n1,n2,...> [reps]`
   * prints per-run and min seconds per query (min = least-noise estimate,
-  * same rationale as Bench's re-run rule).
+  * same rationale as Bench's re-run rule), plus per-run SHUFFLE WRITE
+  * bytes — the metric that binds at cluster scale, and the one a flat
+  * sf0.1 wall can hide (a deleted corpus-wide shuffle reads as noise on
+  * one box but is the whole win on 1000 executors).
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
@@ -21,21 +24,43 @@ object TimeQueries {
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shufW = new java.util.concurrent.atomic.LongAdder
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shufW.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       // rows via one untimed count (sanity), timing via the noop sink —
       // count() lets Catalyst prune row-count-preserving tails (left
       // joins against unique aggregates vanish entirely; see Bench)
       val rows = fn(spark, sfDir).count()
       val times = (1 to reps).map { i =>
+        shufW.reset()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows")
-        sec
+        // the listener bus posts async (same drain discipline as
+        // PerfHarness.settled, shortened: this is a dev tool)
+        Thread.sleep(300)
+        var cur = shufW.sum(); var stableMs = 0; var waited = 0
+        while (stableMs < 600 && waited < 10000) {
+          Thread.sleep(200); waited += 200
+          val next = shufW.sum()
+          if (next == cur) stableMs += 200 else stableMs = 0
+          cur = next
+        }
+        val mb = cur / 1e6
+        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows shufW=$mb%.1fMB")
+        (sec, mb)
       }
-      println(f"TIME $name%-26s min  ${times.min}%7.2fs")
-    }
+      println(f"TIME $name%-26s min  ${times.map(_._1).min}%7.2fs " +
+        f"shufW=${times.map(_._2).min}%.1fMB")
+    } finally spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

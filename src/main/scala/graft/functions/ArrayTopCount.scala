@@ -40,17 +40,25 @@ object ArrayTopCount {
     * the groupBy used). */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    val counts = new java.util.HashMap[UTF8String, Long](Math.max(16, n * 2))
+    // mutable long[1] cells: one allocation per DISTINCT key, not a
+    // boxed Long per element occurrence (Zipfy gram arrays repeat a
+    // lot — merge(.., Long, ..) re-boxed on every increment)
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](Math.max(16, n * 2))
     var nulls = 0L
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) nulls += 1L
-      else counts.merge(arr.getUTF8String(i), 1L, (a, b) => a + b)
+      else {
+        val k = arr.getUTF8String(i)
+        var cell = counts.get(k)
+        if (cell == null) { cell = new Array[Long](1); counts.put(k, cell) }
+        cell(0) += 1L
+      }
       i += 1
     }
     var top = nulls // the null group is one key, like groupBy(null)
     val it = counts.values().iterator()
-    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    while (it.hasNext) { val c = it.next()(0); if (c > top) top = c }
     new GenericInternalRow(Array[Any](top, n.toLong))
   }
 
