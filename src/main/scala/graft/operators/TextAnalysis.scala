@@ -204,6 +204,103 @@ object TextAnalysis {
          |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- Kneser-Ney bigram LM scoring
+  /** Interpolated Kneser-Ney bigram LM quality scoring — the
+    * CCNet/Gopher-style "train an n-gram LM, score every document"
+    * curation signal, one order up from [[textPerplexity]]'s unigram:
+    * a document full of individually-common tokens in IMPLAUSIBLE
+    * order (shuffled text, keyword stuffing, word-salad spam) scores
+    * well under a unigram model and badly here.
+    *
+    * Model (fixed discount D=0.75, the standard KN estimate):
+    * {{{ P(w2|w1) = (c(w1,w2) - D)/c(w1·)
+    *              + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··)) }}}
+    * where c(w1·) is the bigram-token count starting with w1,
+    * N1+(w1·)/N1+(·w2) are distinct-continuation counts and N1+(··)
+    * the bigram-type total. The LM is trained on the scored corpus
+    * itself, so every scored bigram has c >= 1 and the max(c-D, 0)
+    * clamp is vacuous — no OOV path needed. Scores are avg
+    * negative-log-likelihood in nats per bigram (monotone in
+    * perplexity); docs under 2 tokens have no bigram and drop, like
+    * the unigram row drops token-less docs.
+    *
+    * Scale shape: bigram extraction is a pure map (zip_with inside the
+    * row, no explode-then-self-join); the three LM tables are
+    * map-side-combined hash aggregates bounded by bigram-TYPE count
+    * (Zipf-bounded, << token count); scoring re-joins the bigram
+    * stream to the LM — broadcast at gate scale, ordinary shuffle
+    * equi-joins at web-scale vocabularies (the joins are all on LM
+    * keys, never on doc text, so document bytes move zero times);
+    * one per-doc aggregate ends the plan.
+    *
+    * Engine parity: same micro-nats discipline as [[textPerplexity]]
+    * (per-bigram ln rounds to integer micro-nats before the order-free
+    * integer sum), and P itself is built from the SAME
+    * parenthesization of exact-IEEE +,-,*,/ on both engines, so the
+    * only cross-engine wobble is a last-ulp `ln` difference absorbed
+    * by the rounding — with the same acknowledged
+    * within-an-ulp-of-.5 residual risk. */
+  private val KnDiscount = 0.75
+  def textBigramKn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bi = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val fwd = big.groupBy($"w1")
+      .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f"))
+    val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    // one scalar action, same as textPerplexity's token total: the
+    // bigram-type count is the continuation normalizer
+    val nTypes = big.count().toDouble
+    val p = ($"c".cast("double") - KnDiscount) / $"ctot".cast("double") +
+      (lit(KnDiscount) * $"n1f".cast("double") / $"ctot".cast("double")) *
+        ($"n1b".cast("double") / lit(nTypes))
+    bi.join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(fwd), Seq("w1"))
+      .join(broadcast(bwd), Seq("w2"))
+      .withColumn("nll_micro", -round(log(p) * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum($"nll_micro").cast("double") / (count(lit(1)) * 1e6)).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+  val textBigramKnSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+         |), bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+         |), big AS (
+         |  SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+         |), fwd AS (
+         |  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1f
+         |  FROM big GROUP BY w1
+         |), bwd AS (
+         |  SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2
+         |), scored AS (
+         |  SELECT bi.doc_id,
+         |    -CAST(round(ln(
+         |      (CAST(big.c AS DOUBLE) - 0.75) / CAST(fwd.ctot AS DOUBLE)
+         |      + (0.75 * CAST(fwd.n1f AS DOUBLE) / CAST(fwd.ctot AS DOUBLE))
+         |        * (CAST(bwd.n1b AS DOUBLE)
+         |           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM big))
+         |    ) * 1000000.0) AS BIGINT) AS nll_micro
+         |  FROM bi
+         |  JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN fwd ON bi.w1 = fwd.w1
+         |  JOIN bwd ON bi.w2 = bwd.w2
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ corpus heavy hitters
   /** Corpus-level heavy hitters: the [[NgramTopK]] adjacent bigrams with
     * the highest DOCUMENT frequency (each doc votes once per distinct
@@ -538,6 +635,7 @@ object TextAnalysis {
     "text_fingerprint_groups" -> textFingerprintGroups _,
     "text_lang_id" -> textLangId _,
     "text_perplexity" -> textPerplexity _,
+    "text_bigram_kn" -> textBigramKn _,
   )
   val oracles: Map[String, String] = Map(
     "tokenizer_fertility" -> tokenizerFertilitySql,
@@ -550,5 +648,6 @@ object TextAnalysis {
     "text_fingerprint_groups" -> textFingerprintGroupsSql,
     "text_lang_id" -> textLangIdSql,
     "text_perplexity" -> textPerplexitySql,
+    "text_bigram_kn" -> textBigramKnSql,
   )
 }
