@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Dedup, Dedup2, Multimodal, PipelineOps, Sampling, Similarity, Sketches, TextAnalysis}
-import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2, Streaming3}
+import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2, Streaming3, Streaming4}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++
       Streaming.queries ++ Streaming2.queries ++ Streaming3.queries ++
+      Streaming4.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ PipelineOps.queries ++ Clustering.queries ++
       Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++
       Streaming.oracles ++ Streaming2.oracles ++ Streaming3.oracles ++
+      Streaming4.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ PipelineOps.oracles ++ Clustering.oracles ++
       Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++

@@ -1,0 +1,208 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.InMemoryQueueRegistry
+
+/** Streaming consumers of standing MODEL artifacts: rows where the
+  * expensive thing (an n-gram LM, an index) is trained once on the
+  * standing corpus and every arriving micro-batch is scored against it
+  * — the always-on form of "train the filter, then run it over the
+  * crawl". Same gate discipline as [[Streaming2]]/[[Streaming3]]: a
+  * real micro-batch pipeline over the `graft-files` source whose
+  * accumulated sink must hash-equal batch SQL over the same slice.
+  */
+object Streaming4 {
+  private val seq = new AtomicInteger(0)
+
+  private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  private val KnDiscount = 0.75
+
+  /** Streaming LM quality gate (`stream_lm_score`): the interpolated
+    * Kneser-Ney bigram LM of `text_bigram_kn`, trained ONCE on the
+    * standing corpus (doc_id % 5 != 0) as prep, scoring every ARRIVING
+    * document (doc_id % 5 == 0, staged through the push source) at
+    * ingest — the quality filter a crawl pipeline runs on each batch
+    * the moment it lands, against a model that does NOT retrain per
+    * batch.
+    *
+    * Unlike the batch row (LM trained on the scored corpus itself, no
+    * OOV possible), arriving text is held-out, so the scorer needs the
+    * full KN backoff ladder, spelled identically on both engines:
+    *  - bigram seen:  (c-D)/ctot + (D·n1f/ctot)·Pc(w2)
+    *  - only w1 seen: (D·n1f/ctot)·Pc(w2)   (the bigram mass is all
+    *    discount — the backoff weight times the continuation prob)
+    *  - w1 unseen:    Pc(w2)
+    * with Pc(w2) = n1b(w2)/nTypes for a seen continuation and a
+    * deterministic 1/(V+1) floor for an unseen token (V = standing
+    * vocabulary size) — a floor, not a normalized distribution, which
+    * is fine for a monotone quality signal and keeps ln defined.
+    *
+    * Scale shape: the LM tables are bigram-TYPE-bounded (built once,
+    * broadcast per batch — at web-scale vocabularies they'd be
+    * shuffle equi-joins, still on LM keys only); each batch explodes
+    * only its own bigrams and aggregates per doc before the
+    * storage append, so appended bytes track the BATCH (one row per
+    * arriving doc), never the history. Per-batch accounting feeds the
+    * StateInvarianceSpec family via [[StreamPlans]]. */
+  def streamLmScore(s: SparkSession, dir: String): DataFrame =
+      Streaming.withStateShuffle(s, 8) {
+    import s.implicits._
+    val runId = s"slm${seq.incrementAndGet()}_${System.nanoTime()}"
+    StreamPlans.resetIngest("stream_lm_score")
+    val prepT0 = System.nanoTime()
+    val docs = Tables.documents(s, dir)
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+
+    // ---- prep: train the standing LM once (the Models-artifact shape;
+    // persisted frames here since the gate's LM is session-lived)
+    val train = bigrams(docs.filter($"doc_id" % 5 =!= 0))
+    val big = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).persist()
+    val fwd = big.groupBy($"w1")
+      .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f")).persist()
+    val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b")).persist()
+    val nTypes = big.count().toDouble
+    val vSize = docs.filter($"doc_id" % 5 =!= 0)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .agg(countDistinct($"tok")).first().getLong(0).toDouble
+    fwd.count(); bwd.count() // materialize before the stream races them
+    StreamPlans.recordPrep("stream_lm_score", (System.nanoTime() - prepT0) / 1e9)
+
+    // ---- arriving corpus staged as 4 files -> 2 micro-batches
+    val stage = Files.createTempDirectory(s"graft-$runId").toString
+    docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .repartition(4, $"doc_id")
+      .write.mode("overwrite").parquet(stage)
+    val queue = InMemoryQueueRegistry.queue(runId)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.foreach(f => queue.send(
+      s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
+
+    val scoresDir = Files.createTempDirectory(s"graft-$runId-scores").toString
+    val query = s.readStream.format("graft-files").schema(docsSchema)
+      .option("fileFormat", "parquet").option("queueName", runId)
+      .option("queueFetchWaitTimeoutSeconds", "10")
+      .option("maxFilesPerTrigger", "2")
+      .option("minFilesForFirstBatch", files.length.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ingestT0 = System.nanoTime()
+        val bytes0 = StreamPlans.dirBytes(scoresDir)
+        // Pc materialized as a column FIRST so both engines build the
+        // identical expression tree (the oracle's `parts` CTE)
+        val parts = bigrams(batch)
+          .join(broadcast(big), Seq("w1", "w2"), "left")
+          .join(broadcast(fwd), Seq("w1"), "left")
+          .join(broadcast(bwd), Seq("w2"), "left")
+          .withColumn("pc",
+            when($"n1b".isNotNull, $"n1b".cast("double") / lit(nTypes))
+              .otherwise(lit(1.0) / lit(vSize + 1.0)))
+        val p =
+          when($"c".isNotNull,
+            ($"c".cast("double") - KnDiscount) / $"ctot".cast("double") +
+              (lit(KnDiscount) * $"n1f".cast("double") / $"ctot".cast("double")) * $"pc")
+          .when($"ctot".isNotNull,
+            (lit(KnDiscount) * $"n1f".cast("double") / $"ctot".cast("double")) * $"pc")
+          .otherwise($"pc")
+        val scores = parts
+          .withColumn("nll_micro", -round(log(p) * 1e6).cast("long"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum($"nll_micro").cast("double") / (count(lit(1)) * 1e6)).as("avg_nll"))
+        StreamPlans.capturePlan("stream_lm_score", scores)
+        scores.write.mode("overwrite").parquet(s"$scoresDir/batch=$id")
+        StreamPlans.recordIngest("stream_lm_score", id,
+          StreamPlans.dirBytes(scoresDir) - bytes0,
+          (System.nanoTime() - ingestT0) / 1e9)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-$runId-cp").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    InMemoryQueueRegistry.remove(runId)
+    big.unpersist(); fwd.unpersist(); bwd.unpersist()
+    // each arriving doc lives in exactly one staged file, so the
+    // accumulated sink is one row per doc already — no re-aggregation
+    s.read.parquet(scoresDir)
+      .select($"doc_id", $"n_bigrams", $"avg_nll")
+      .orderBy($"doc_id")
+  }
+
+  /** Batch-equivalent oracle: standing-LM KN scoring of the held-out
+    * slice, backoff ladder spelled with the same parenthesization. */
+  val streamLmScoreSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), train_idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE doc_id % 5 <> 0
+         |), train_bi AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2 FROM train_idx
+         |), big AS (
+         |  SELECT w1, w2, COUNT(*) AS c FROM train_bi GROUP BY w1, w2
+         |), fwd AS (
+         |  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1f
+         |  FROM big GROUP BY w1
+         |), bwd AS (
+         |  SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2
+         |), nt AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS ntypes FROM big
+         |), vsz AS (
+         |  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 5 <> 0)
+         |), eval_idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE doc_id % 5 = 0
+         |), eval_bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM eval_idx
+         |), parts AS (
+         |  SELECT e.doc_id, big.c, fwd.ctot, fwd.n1f,
+         |    CASE WHEN bwd.n1b IS NOT NULL
+         |      THEN CAST(bwd.n1b AS DOUBLE) / (SELECT ntypes FROM nt)
+         |      ELSE 1.0 / ((SELECT v FROM vsz) + 1.0) END AS pc
+         |  FROM eval_bi e
+         |  LEFT JOIN big ON e.w1 = big.w1 AND e.w2 = big.w2
+         |  LEFT JOIN fwd ON e.w1 = fwd.w1
+         |  LEFT JOIN bwd ON e.w2 = bwd.w2
+         |), scored AS (
+         |  SELECT doc_id,
+         |    -CAST(round(ln(
+         |      CASE
+         |        WHEN c IS NOT NULL THEN
+         |          (CAST(c AS DOUBLE) - 0.75) / CAST(ctot AS DOUBLE)
+         |          + (0.75 * CAST(n1f AS DOUBLE) / CAST(ctot AS DOUBLE)) * pc
+         |        WHEN ctot IS NOT NULL THEN
+         |          (0.75 * CAST(n1f AS DOUBLE) / CAST(ctot AS DOUBLE)) * pc
+         |        ELSE pc
+         |      END) * 1000000.0) AS BIGINT) AS nll_micro
+         |  FROM parts
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_lm_score" -> streamLmScore _,
+  )
+  val oracles: Map[String, String] = Map(
+    "stream_lm_score" -> streamLmScoreSql,
+  )
+}

@@ -181,4 +181,20 @@ class StateInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b1 <= 1.8 * b0 && b0 <= 1.8 * b1,
       s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
   }
+
+  test("stream_lm_score: LM trained once, per-batch score appends") {
+    Streaming4.streamLmScore(spark, docsSf).collect()
+    val prep = StreamPlans.prepSecOf("stream_lm_score")
+      .getOrElse(fail("no prep wall recorded"))
+    assert(prep > 0.0, "LM training must be recorded as one-time prep")
+    val log = StreamPlans.ingestLogOf("stream_lm_score")
+    assert(log.size == 2, s"expected 2 micro-batches, got ${log.size}")
+    assert(log.forall(_.appendedBytes > 0),
+      s"each batch must append its own per-doc scores: $log")
+    // one row per arriving doc: a batch that re-scored (and re-appended)
+    // the accumulated history would land at ~2x its half-sized twin
+    val Seq(b0, b1) = log.map(_.appendedBytes.toDouble)
+    assert(b1 <= 1.8 * b0 && b0 <= 1.8 * b1,
+      s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
+  }
 }
