@@ -228,10 +228,15 @@ object TextAnalysis {
     * row, no explode-then-self-join); the three LM tables are
     * map-side-combined hash aggregates bounded by bigram-TYPE count
     * (Zipf-bounded, << token count); scoring re-joins the bigram
-    * stream to the LM — broadcast at gate scale, ordinary shuffle
-    * equi-joins at web-scale vocabularies (the joins are all on LM
-    * keys, never on doc text, so document bytes move zero times);
-    * one per-doc aggregate ends the plan.
+    * stream to the LM. Unlike a benchmark index, bigram-type counts
+    * GROW with the corpus (near-linearly under Zipf), so the broadcast
+    * is GUARDED, not assumed — the type count (already paid for the
+    * continuation normalizer) picks broadcast under
+    * [[LmBroadcastMaxTypes]] and otherwise leaves the strategy to
+    * AQE's runtime statistics (shuffle equi-joins on LM keys; document
+    * text never moves either way). Same enforced-precondition
+    * discipline as ccFixpointDelta's membership guard. One per-doc
+    * aggregate ends the plan.
     *
     * Engine parity: same micro-nats discipline as [[textPerplexity]]
     * (per-bigram ln rounds to integer micro-nats before the order-free
@@ -241,6 +246,7 @@ object TextAnalysis {
     * by the rounding — with the same acknowledged
     * within-an-ulp-of-.5 residual risk. */
   private val KnDiscount = 0.75
+  private[graft] val LmBroadcastMaxTypes = 2000000L
   def textBigramKn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bi = Tables.documents(s, d)
@@ -255,15 +261,28 @@ object TextAnalysis {
     val fwd = big.groupBy($"w1")
       .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f"))
     val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
-    // one scalar action, same as textPerplexity's token total: the
-    // bigram-type count is the continuation normalizer
-    val nTypes = big.count().toDouble
+    // ONE scalar action (same as textPerplexity's token total) yields
+    // the continuation normalizer AND all three broadcast-guard sizes —
+    // no extra pass over the un-persisted train pipeline
+    val stats = big.agg(count(lit(1)), countDistinct($"w1"),
+      countDistinct($"w2")).first()
+    val (nTypesL, nFwd, nBwd) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val nTypes = nTypesL.toDouble
+    // PER-TABLE guard: the context tables (fwd/bwd) are VOCAB-bounded —
+    // one row per distinct context/continuation token — while big has a
+    // row per bigram TYPE (measured 8.3x larger at the x100 synth
+    // corpus, 11.6M vs vocab-scale). Above the guard only the oversized
+    // table's join shuffles the scoring stream; a still-small context
+    // table keeps broadcasting.
+    def lm(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= LmBroadcastMaxTypes) broadcast(df) else df
     val p = ($"c".cast("double") - KnDiscount) / $"ctot".cast("double") +
       (lit(KnDiscount) * $"n1f".cast("double") / $"ctot".cast("double")) *
         ($"n1b".cast("double") / lit(nTypes))
-    bi.join(broadcast(big), Seq("w1", "w2"))
-      .join(broadcast(fwd), Seq("w1"))
-      .join(broadcast(bwd), Seq("w2"))
+    bi.join(lm(big, nTypesL), Seq("w1", "w2"))
+      .join(lm(fwd, nFwd), Seq("w1"))
+      .join(lm(bwd, nBwd), Seq("w2"))
       .withColumn("nll_micro", -round(log(p) * 1e6).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

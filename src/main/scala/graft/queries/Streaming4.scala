@@ -78,11 +78,22 @@ object Streaming4 {
     val fwd = big.groupBy($"w1")
       .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f")).persist()
     val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b")).persist()
-    val nTypes = big.count().toDouble
+    // bigram types GROW with the standing corpus, so each table's
+    // per-batch broadcast is guarded by its own (already-paid) count —
+    // same per-table discipline as the batch row: fwd/bwd are
+    // vocab-bounded and usually keep broadcasting after big (a row per
+    // bigram TYPE) has to fall back to a shuffle equi-join
+    val nTypesL = big.count()
+    val nTypes = nTypesL.toDouble
+    def lm(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= graft.operators.TextAnalysis.LmBroadcastMaxTypes)
+        broadcast(df) else df
     val vSize = docs.filter($"doc_id" % 5 =!= 0)
       .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
       .agg(countDistinct($"tok")).first().getLong(0).toDouble
-    fwd.count(); bwd.count() // materialize before the stream races them
+    // materialize before the stream races them; the counts double as
+    // the per-table broadcast guards
+    val nFwd = fwd.count(); val nBwd = bwd.count()
     StreamPlans.recordPrep("stream_lm_score", (System.nanoTime() - prepT0) / 1e9)
 
     // ---- arriving corpus staged as 4 files -> 2 micro-batches
@@ -111,9 +122,9 @@ object Streaming4 {
         // Pc materialized as a column FIRST so both engines build the
         // identical expression tree (the oracle's `parts` CTE)
         val parts = bigrams(batch)
-          .join(broadcast(big), Seq("w1", "w2"), "left")
-          .join(broadcast(fwd), Seq("w1"), "left")
-          .join(broadcast(bwd), Seq("w2"), "left")
+          .join(lm(big, nTypesL), Seq("w1", "w2"), "left")
+          .join(lm(fwd, nFwd), Seq("w1"), "left")
+          .join(lm(bwd, nBwd), Seq("w2"), "left")
           .withColumn("pc",
             when($"n1b".isNotNull, $"n1b".cast("double") / lit(nTypes))
               .otherwise(lit(1.0) / lit(vSize + 1.0)))
