@@ -144,6 +144,10 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       p => p.contains("topk_min_agg") && "Window ".r.findAllIn(p).size == 1),
     ("diversity_sample", "round-robin limit plans as TakeOrderedAndProject, never a global sort",
       _.contains("TakeOrderedAndProject")),
+    ("text_bigram_kn", "all three LM joins broadcast under the counted guard at gate scale, never a sort-merge of the scoring stream",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("text_repetition", "respelled as a shuffle-free projection: no hash exchange anywhere (the one range exchange is the output-contract sort)",
+      p => !p.contains("Exchange hashpartitioning") && p.contains("array_top_count")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
       p => {
         val ex = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
