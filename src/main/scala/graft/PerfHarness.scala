@@ -712,7 +712,10 @@ object PerfHarness {
       require(new java.io.File(from).renameTo(new java.io.File(to)),
         s"artifact swap failed: rename $from -> $to")
     def rmdir(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmdir)
+      // null-guard like the sibling walkers: listFiles() is null on a
+      // vanished/erroring dir and must not NPE the soak mid-run
+      if (f.isDirectory) Option(f.listFiles())
+        .getOrElse(Array.empty[java.io.File]).foreach(rmdir)
       f.delete()
     }
     // standing init: the artifacts a prior ingest committed

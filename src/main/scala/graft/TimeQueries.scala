@@ -33,28 +33,35 @@ object TimeQueries {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the listener bus posts async (same drain discipline as
+    // PerfHarness.settled, shortened: this is a dev tool); returns the
+    // settled sum
+    def drainStable(): Long = {
+      Thread.sleep(300)
+      var cur = shufW.sum(); var stableMs = 0; var waited = 0
+      while (stableMs < 600 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        val next = shufW.sum()
+        if (next == cur) stableMs += 200 else stableMs = 0
+        cur = next
+      }
+      cur
+    }
     try names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       // rows via one untimed count (sanity), timing via the noop sink —
       // count() lets Catalyst prune row-count-preserving tails (left
       // joins against unique aggregates vanish entirely; see Bench)
       val rows = fn(spark, sfDir).count()
+      // drain the count's async listener events BEFORE the first reset,
+      // or rep 1's reading absorbs the untimed count's shuffle bytes
+      drainStable()
       val times = (1 to reps).map { i =>
         shufW.reset()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        // the listener bus posts async (same drain discipline as
-        // PerfHarness.settled, shortened: this is a dev tool)
-        Thread.sleep(300)
-        var cur = shufW.sum(); var stableMs = 0; var waited = 0
-        while (stableMs < 600 && waited < 10000) {
-          Thread.sleep(200); waited += 200
-          val next = shufW.sum()
-          if (next == cur) stableMs += 200 else stableMs = 0
-          cur = next
-        }
-        val mb = cur / 1e6
+        val mb = drainStable() / 1e6
         println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows shufW=$mb%.1fMB")
         (sec, mb)
       }

@@ -565,12 +565,15 @@ object Dedup {
     * delta-bounded, so both are broadcast to keep the standing map and
     * the standing edge list scan-only (columnar read, ZERO shuffle of
     * either full artifact; only touched-zone survivors shuffle into the
-    * fixpoint). The touched membership is COUNTED before the broadcast
-    * (one extra semi-join scan, cheap next to the fixpoint) and a delta
-    * whose touched membership exceeds `maxBroadcastMembers` falls back
-    * to the full [[ccFixpoint]] rebuild over standing ∪ fresh edges —
-    * at that size it is no longer an increment, and silently exceeding
-    * Spark's broadcast/driver limits would fail at runtime instead.
+    * fixpoint). The guard is TWO-STAGE so that no broadcast is planned
+    * before a shuffled count has cleared it: first the touched
+    * cluster-id count (shuffled semi-join + distinct, safe at any delta
+    * size), then — only under the bound — the touched MEMBER count via
+    * the now-provably-small cluster broadcast. A delta exceeding
+    * `maxBroadcastMembers` at either stage falls back to the full
+    * [[ccFixpoint]] rebuild over standing ∪ fresh edges — at that size
+    * it is no longer an increment, and silently exceeding Spark's
+    * broadcast/driver limits would fail at runtime instead.
     *
     * Cost scoping: the O(delta-touched) claim covers the MERGE COMPUTE.
     * The trailing `orderBy(doc_id)` re-materializes (and so shuffles)
@@ -594,6 +597,15 @@ object Dedup {
     val touchedClusters = standingMap
       .join(touchedDocs, Seq("doc_id"), "leftsemi")
       .select($"cluster_id").distinct()
+    // guard ORDER matters: the cluster-id count runs on shuffled plans
+    // only (safe at any delta size) and must clear BEFORE the first
+    // broadcast is ever planned — otherwise the guard's own membership
+    // count would materialize an over-limit broadcast(touchedClusters)
+    // and die in exactly the way the guard exists to prevent. Clusters
+    // <= members, so the one bound serves both checks.
+    if (touchedClusters.count() > maxBroadcastMembers) {
+      ccFixpoint(standingEdges.unionByName(fresh))
+    } else {
     val touchedMembers = standingMap
       .join(broadcast(touchedClusters), Seq("cluster_id"), "leftsemi")
       .select($"doc_id".as("a_id"))
@@ -616,6 +628,7 @@ object Dedup {
       out.count() // materialize while the inner fixpoint is still cached
       inner.unpersist()
       out
+    }
     }
   }
 

@@ -113,4 +113,31 @@ object StreamPlans {
       else 0
     walk(new java.io.File(path))
   }
+
+  /** Replay-idempotence marker for batch-generation standing dirs.
+    *
+    * Generation compaction folds gens 0..N into one compacted gen and
+    * DELETES the per-batch dirs — after which a REPLAYED batch id <= N
+    * (micro-batch retried because the failure hit between the
+    * foreachBatch body and the checkpoint commit) must NOT rewrite its
+    * `gen=<id>` dir: its rows already live in the compacted gen, and a
+    * duplicate would not be harmless for SHINGLE/BAND rows (duplicated
+    * band rows occupy rank slots in the bucket-local candidate window
+    * and can push a true pair outside it — unlike duplicate EDGE rows,
+    * which the label fixpoint absorbs). The marker is an
+    * underscore-prefixed file, so Spark's file index ignores it and
+    * `dirBytes` accounting barely sees it. */
+  private val CompactedUptoMarker = "_compacted_upto"
+  private[queries] def markCompactedUpto(dir: String, batchId: Long): Unit = {
+    val f = java.nio.file.Paths.get(dir, CompactedUptoMarker)
+    val prev = compactedUpto(dir)
+    java.nio.file.Files.writeString(f, math.max(prev, batchId).toString)
+  }
+  private[queries] def compactedUpto(dir: String): Long = {
+    val f = java.nio.file.Paths.get(dir, CompactedUptoMarker)
+    if (java.nio.file.Files.exists(f))
+      try java.nio.file.Files.readString(f).trim.toLong
+      catch { case _: NumberFormatException => -1L }
+    else -1L
+  }
 }

@@ -1051,9 +1051,16 @@ object Streaming3 {
         val batchBands = Dedup.lshBands(Dedup.lshSignatures(batchSh)).persist()
         try {
           // grow the standing tables by exactly this batch's docs — one
-          // batch-id generation each (replay overwrites its own gen)
-          batchSh.write.mode("overwrite").parquet(s"$seenShDir/gen=$id")
-          batchBands.write.mode("overwrite").parquet(s"$seenBandsDir/gen=$id")
+          // batch-id generation each. Replay overwrites its own gen —
+          // UNLESS a compaction has already folded this id's gen away
+          // (the _compacted_upto marker), in which case the rows live in
+          // the compacted gen and a rewrite would DUPLICATE them; see
+          // StreamPlans.markCompactedUpto for why duplicated band rows
+          // (unlike duplicated edges) are not harmless
+          if (id > StreamPlans.compactedUpto(seenShDir))
+            batchSh.write.mode("overwrite").parquet(s"$seenShDir/gen=$id")
+          if (id > StreamPlans.compactedUpto(seenBandsDir))
+            batchBands.write.mode("overwrite").parquet(s"$seenBandsDir/gen=$id")
           // only buckets this batch landed in can yield new pairs, and
           // the candidate rank is bucket-local — restrict the rank +
           // pair join to batch-touched buckets (the dedupCcDelta
@@ -1080,7 +1087,11 @@ object Streaming3 {
             s.read.parquet(seenShDir).select(col("doc_id"), col("sh")))
           val fresh = Dedup.lshVerify(touching, allSh).select(col("a_id"), col("b_id"))
           StreamPlans.capturePlan("stream_cc_delta", fresh)
-          fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
+          // edge replays past a compaction would merely duplicate edge
+          // rows (absorbed by the label fixpoint), but skip symmetrically
+          // so the append accounting stays exact under replay too
+          if (id > StreamPlans.compactedUpto(edgesDir))
+            fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
           // standing-dir GC: compact once the generation count passes the
           // cap, so file counts stay bounded over an unbounded batch stream
           def gensOf(d: String): Int =
@@ -1103,15 +1114,18 @@ object Streaming3 {
           if (gensOf(seenShDir) > compactAfter) {
             compacted = true
             compact(seenShDir, s"gen=${-(id + 1)}", Seq("doc_id", "sh"))
+            StreamPlans.markCompactedUpto(seenShDir, id)
           }
           if (gensOf(seenBandsDir) > compactAfter) {
             compacted = true
             compact(seenBandsDir, s"gen=${-(id + 1)}",
               Seq("doc_id", "band_idx", "band_key"))
+            StreamPlans.markCompactedUpto(seenBandsDir, id)
           }
           if (gensOf(edgesDir) > compactAfter) {
             compacted = true
             compact(edgesDir, s"batch=${-(id + 1)}", Seq("a_id", "b_id"))
+            StreamPlans.markCompactedUpto(edgesDir, id)
           }
           StreamPlans.recordIngest("stream_cc_delta", id,
             Seq(seenShDir, seenBandsDir, edgesDir)

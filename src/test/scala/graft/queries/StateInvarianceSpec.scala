@@ -182,6 +182,29 @@ class StateInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
   }
 
+  test("compaction marker makes a replayed batch's generation write a no-op") {
+    val dir = Files.createTempDirectory("graft-upto").toString
+    // virgin dir: nothing covered, every id writes
+    assert(StreamPlans.compactedUpto(dir) == -1L)
+    // compaction at batch 4 folds gens 0..4 away
+    StreamPlans.markCompactedUpto(dir, 4L)
+    assert(StreamPlans.compactedUpto(dir) == 4L)
+    assert(5L > StreamPlans.compactedUpto(dir), "batch 5 must still write")
+    assert(!(3L > StreamPlans.compactedUpto(dir)), "replayed batch 3 must skip")
+    // later compaction only moves the mark forward, never back
+    StreamPlans.markCompactedUpto(dir, 2L)
+    assert(StreamPlans.compactedUpto(dir) == 4L)
+    StreamPlans.markCompactedUpto(dir, 9L)
+    assert(StreamPlans.compactedUpto(dir) == 9L)
+    // the marker is underscore-prefixed: Spark's file index ignores it,
+    // so a parquet read of a dir holding only the marker sees no data
+    // files rather than a corrupt-footer error on the marker itself
+    val s = spark; import s.implicits._
+    Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$dir/gen=10")
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
+
   test("stream_lm_score: LM trained once, per-batch score appends") {
     Streaming4.streamLmScore(spark, docsSf).collect()
     val prep = StreamPlans.prepSecOf("stream_lm_score")
