@@ -10,8 +10,20 @@ import org.apache.spark.sql.SparkSession
   * Focused re-measure mode (the BENCH_NOTES steady-state methodology):
   * `args(0)` = comma-separated query-name filter, `args(1)` = in-JVM
   * rounds (default 1). Each round's per-query seconds go to stderr; the
-  * JSON line reports the per-query min across rounds. No args = the
+  * JSON line reports the per-query min across rounds PLUS the raw
+  * round-1 map (`"round1"`) — round 1 of a fresh JVM carries the
+  * once-per-JVM standing-artifact builds, and that cost split belongs
+  * in machine-readable records, not stderr prose. No args = the
   * driver's full single-round contract, unchanged.
+  *
+  * Self-adjudication: if `BENCH_BANDS.json` exists (checked in from
+  * idle-box runs — see scripts/make_bench_bands.py), every record
+  * compares each row against its idle band, LOAD-CORRECTED by the
+  * ratio of this run's calibration spin to the bands' idle spin, and
+  * reports the out-of-band rows in the JSON (`"band_breaches"`). Two
+  * rounds running, the official record landed in a co-load window and
+  * the adjudication had to be reconstructed from prose after the fact;
+  * with the bands in-repo the record adjudicates itself.
   */
 object Bench {
 
@@ -133,10 +145,27 @@ object Bench {
     graft.queries.Layout.cleanup(spark)
     val calibEndMs = calibrationSpinMs()
     val calib = f""""calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f"""
+    // multi-round mode: round 1 of a fresh JVM pays the once-per-JVM
+    // standing-artifact builds (Models store) — record it raw so the
+    // standing-build/steady split is machine-readable (the r17
+    // dedup_cc_delta adjudication needed exactly this number and it
+    // only existed on stderr)
+    val round1 = if (rounds <= 1) "" else {
+      val m = perRound.head.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s""","round1":$m"""
+    }
+    // self-adjudication against the checked-in idle bands, corrected by
+    // the measured machine load of THIS record (spin ratio vs the
+    // bands' idle spin) — a driver record that lands in a co-load
+    // window names its own out-of-band rows instead of leaving a bare
+    // total for post-hoc reconstruction
+    val bandReport = BenchBands.report(results,
+      math.max(calibStartMs, calibEndMs))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandReport,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout; the full per-query line above is longer than that window, so
     // its head (and the opening brace) can be truncated away. Repeat the
@@ -145,7 +174,7 @@ object Bench {
     val topQs = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib$bandReport,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")

@@ -594,9 +594,16 @@ object Dedup {
     import s.implicits._
     val touchedDocs = fresh.select($"a_id".as("doc_id"))
       .unionByName(fresh.select($"b_id".as("doc_id"))).distinct()
+    // both guard frames are PERSISTED the moment their counts are
+    // taken: each is re-read several times (the membership count, the
+    // touched-edge semi-join, and the pass-through anti-join each plan
+    // a broadcast of one of them), and without the cache every re-read
+    // re-scans the FULL standing map — 2-3 redundant corpus-map scans
+    // per delta. Once a count clears the bound the frame is <= the
+    // broadcast limit by definition, so caching it is delta-bounded.
     val touchedClusters = standingMap
       .join(touchedDocs, Seq("doc_id"), "leftsemi")
-      .select($"cluster_id").distinct()
+      .select($"cluster_id").distinct().persist()
     // guard ORDER matters: the cluster-id count runs on shuffled plans
     // only (safe at any delta size) and must clear BEFORE the first
     // broadcast is ever planned — otherwise the guard's own membership
@@ -604,15 +611,17 @@ object Dedup {
     // and die in exactly the way the guard exists to prevent. Clusters
     // <= members, so the one bound serves both checks.
     if (touchedClusters.count() > maxBroadcastMembers) {
+      touchedClusters.unpersist()
       ccFixpoint(standingEdges.unionByName(fresh))
     } else {
     val touchedMembers = standingMap
       .join(broadcast(touchedClusters), Seq("cluster_id"), "leftsemi")
-      .select($"doc_id".as("a_id"))
+      .select($"doc_id".as("a_id")).persist()
     if (touchedMembers.count() > maxBroadcastMembers) {
       // the delta touches too much standing mass to stay broadcast-side:
       // run the full fixpoint (same result by the closure argument above,
       // with shuffled joins instead of an over-limit broadcast)
+      touchedClusters.unpersist(); touchedMembers.unpersist()
       ccFixpoint(standingEdges.unionByName(fresh))
     } else {
       // a standing edge is intra-cluster by construction, so membership
@@ -627,6 +636,7 @@ object Dedup {
       val out = untouched.unionByName(relabeled).orderBy($"doc_id").persist()
       out.count() // materialize while the inner fixpoint is still cached
       inner.unpersist()
+      touchedClusters.unpersist(); touchedMembers.unpersist()
       out
     }
     }

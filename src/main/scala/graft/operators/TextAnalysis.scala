@@ -247,9 +247,19 @@ object TextAnalysis {
     * within-an-ulp-of-.5 residual risk. */
   private val KnDiscount = 0.75
   private[graft] val LmBroadcastMaxTypes = 2000000L
-  def textBigramKn(s: SparkSession, d: String): DataFrame = {
+  def textBigramKn(s: SparkSession, d: String): DataFrame =
+    textBigramKnWith(s, d, LmBroadcastMaxTypes)
+
+  /** Guard-parameterized body: the gate row always runs the default
+    * [[LmBroadcastMaxTypes]]; specs and scale arms pass a tiny bound to
+    * force the above-guard regime on a small corpus (regime equality is
+    * spec-asserted, and the 1/10/100x arm crosses the real bound
+    * naturally at x100). */
+  /** The per-occurrence bigram stream `(doc_id, w1, w2)` — the shared
+    * base of the LM and collocation rows. */
+  private def bigramStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bi = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") >= 2)
       .select($"doc_id", explode(zip_with(
@@ -257,6 +267,12 @@ object TextAnalysis {
         slice($"t", lit(2), size($"t") - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+  }
+
+  private[graft] def textBigramKnWith(s: SparkSession, d: String,
+      maxTypes: Long): DataFrame = {
+    import s.implicits._
+    val bi = bigramStream(s, d)
     val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
     val fwd = big.groupBy($"w1")
       .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f"))
@@ -276,10 +292,23 @@ object TextAnalysis {
     // table's join shuffles the scoring stream; a still-small context
     // table keeps broadcasting.
     def lm(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= LmBroadcastMaxTypes) broadcast(df) else df
+      if (rows <= maxTypes) broadcast(df) else df
     val p = ($"c".cast("double") - KnDiscount) / $"ctot".cast("double") +
       (lit(KnDiscount) * $"n1f".cast("double") / $"ctot".cast("double")) *
         ($"n1b".cast("double") / lit(nTypes))
+    // One join tree serves BOTH regimes: under the guard each table
+    // broadcasts (the scoring stream never moves — PlanLawSpec pins
+    // it); above the guard the oversized table's join falls back to an
+    // AQE shuffle equi-join on the token strings. A round-18 experiment
+    // respelled the above-guard join onto 60-bit gram keys (context
+    // broadcasts first, strings dropped, fixed-width shuffle — the
+    // dedup_segments trick) and MEASURED IT WORSE: x100 shuffle rose
+    // 2274 -> 2385 MB (+5%) because lz4 compresses the Zipf-repeated
+    // token strings better than incompressible hash keys, and the
+    // per-occurrence md5 added CPU. Kept as the string join on that
+    // evidence (table in BENCH_NOTES round 18); regime equality of the
+    // guard fallback itself is spec-pinned via this maxTypes parameter
+    // (TextBigramKnSpec forces maxTypes=0).
     bi.join(lm(big, nTypesL), Seq("w1", "w2"))
       .join(lm(fwd, nFwd), Seq("w1"))
       .join(lm(bwd, nBwd), Seq("w2"))
@@ -319,6 +348,75 @@ object TextAnalysis {
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |  CAST(SUM(nll_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Top-K collocations by pointwise mutual information
+    * (`text_pmi_top`): the classic collocation extractor a corpus
+    * audit runs — rank bigram TYPES by
+    * PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))) above a minimum count
+    * (noise floor [[PmiMinCount]]), keep the top [[PmiTopK]].
+    *
+    * Scale shape: everything after the one occurrence-stream aggregate
+    * is TYPE-bounded — the marginals are vocab-sized and meet the type
+    * table through guarded broadcasts (the [[LmBroadcastMaxTypes]]
+    * discipline, counts fused into one scalar action with the
+    * normalizer), and the ranking plans as TakeOrderedAndProject
+    * (K-bounded per partition, never a global sort of the vocabulary —
+    * PlanLawSpec pins both laws). Engine parity: c·N and c1·c2 are
+    * exact integer-valued doubles (< 2^53), the quotient is one IEEE
+    * division spelled with the same parenthesization in the oracle, and
+    * the ln ulp is absorbed by micro-nat rounding before the
+    * deterministic (pmi_micro desc, w1, w2) tiebreak — the
+    * [[textBigramKn]] discipline pointed at a ranking. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK = 100
+  def textPmiTop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = bigramStream(s, d)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val fwd = big.groupBy($"w1").agg(sum($"c").as("c1"))
+    val bwd = big.groupBy($"w2").agg(sum($"c").as("c2"))
+    // one scalar action: the PMI normalizer N and both marginal-table
+    // broadcast guards (vocab-bounded, but counted, never assumed)
+    val stats = big.agg(sum($"c"), countDistinct($"w1"),
+      countDistinct($"w2")).first()
+    val (nTotL, nFwd, nBwd) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    def mar(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= LmBroadcastMaxTypes) broadcast(df) else df
+    big.filter($"c" >= PmiMinCount)
+      .join(mar(fwd, nFwd), Seq("w1"))
+      .join(mar(bwd, nBwd), Seq("w2"))
+      .withColumn("pmi_micro", round(log(
+        ($"c".cast("double") * lit(nTotL.toDouble)) /
+          ($"c1".cast("double") * $"c2".cast("double"))) * 1e6).cast("long"))
+      .select($"w1", $"w2", $"c", $"pmi_micro")
+      .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      .limit(PmiTopK)
+  }
+  val textPmiTopSql: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+         |), idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+         |), bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+         |), big AS (
+         |  SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+         |), fwd AS (
+         |  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM big GROUP BY w1
+         |), bwd AS (
+         |  SELECT w2, CAST(SUM(c) AS BIGINT) AS c2 FROM big GROUP BY w2
+         |)
+         |SELECT big.w1, big.w2, big.c,
+         |  CAST(round(ln(
+         |    (CAST(big.c AS DOUBLE) * (SELECT CAST(SUM(c) AS DOUBLE) FROM big))
+         |    / (CAST(fwd.c1 AS DOUBLE) * CAST(bwd.c2 AS DOUBLE))
+         |  ) * 1000000.0) AS BIGINT) AS pmi_micro
+         |FROM big
+         |JOIN fwd ON big.w1 = fwd.w1
+         |JOIN bwd ON big.w2 = bwd.w2
+         |WHERE big.c >= $PmiMinCount
+         |ORDER BY pmi_micro DESC, big.w1, big.w2 LIMIT $PmiTopK""".stripMargin
 
   // ------------------------------------------------ corpus heavy hitters
   /** Corpus-level heavy hitters: the [[NgramTopK]] adjacent bigrams with
@@ -533,7 +631,11 @@ object TextAnalysis {
     * representation note); whitespace stays unwrapped, so a merge can
     * never span a word boundary — identical to the learn loop's
     * word-local view. */
-  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+  /** The learned merge table (Models train-once artifact) folded into
+    * the two unit-count COLUMNS over `text` — the narrow-map core both
+    * [[bpeEncode]] and [[tokenizerFertility]] project, so the fertility
+    * audit never needs a doc_id join back onto the encode output. */
+  private def bpeUnitCols(s: SparkSession, d: String): (Column, Column) = {
     import s.implicits._
     val key = s"bpe:${Models.inputFingerprint(d)}:m$BpeMerges"
     val merges: Seq[String] = Models.artifact[Seq[String]](key) { dir =>
@@ -549,8 +651,14 @@ object TextAnalysis {
     }
     def units(c: Column): Column =
       (length(c) - length(replace(c, lit(TokL), lit("")))).cast("long")
+    (units(enc0), units(encN))
+  }
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (charUnits, bpeUnits) = bpeUnitCols(s, d)
     Tables.documents(s, d)
-      .select($"doc_id", units(enc0).as("n_char_units"), units(encN).as("n_bpe_units"))
+      .select($"doc_id", charUnits.as("n_char_units"), bpeUnits.as("n_bpe_units"))
       .withColumn("saved_ppm",
         expr("case when n_char_units = 0 then 0 else ((n_char_units - n_bpe_units) * 1000000) div n_char_units end"))
       .orderBy($"doc_id")
@@ -611,15 +719,17 @@ object TextAnalysis {
     * per word, the classic under-served-script signal.
     *
     * All ratios are non-negative integer divisions on exact long sums,
-    * so both engines agree bit-for-bit; scale shape is the bpe_encode
-    * map (merge table folded into the projection as literals) plus one
-    * languages-sized aggregate. */
+    * so both engines agree bit-for-bit; scale shape is ONE narrow map
+    * over documents (the [[bpeUnitCols]] merge-table projection and the
+    * word count side by side — no doc_id join back onto the encode
+    * output, which a naive spelling pays as a corpus-wide shuffle of
+    * both scans) plus one languages-sized aggregate. */
   def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val enc = bpeEncode(s, d).select($"doc_id", $"n_char_units", $"n_bpe_units")
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_words"))
-    docs.join(enc, "doc_id")
+    val (charUnits, bpeUnits) = bpeUnitCols(s, d)
+    Tables.documents(s, d)
+      .select($"lang", size(tokens($"text")).cast("long").as("n_words"),
+        charUnits.as("n_char_units"), bpeUnits.as("n_bpe_units"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_words").as("n_words"),
@@ -655,6 +765,7 @@ object TextAnalysis {
     "text_lang_id" -> textLangId _,
     "text_perplexity" -> textPerplexity _,
     "text_bigram_kn" -> textBigramKn _,
+    "text_pmi_top" -> textPmiTop _,
   )
   val oracles: Map[String, String] = Map(
     "tokenizer_fertility" -> tokenizerFertilitySql,
@@ -668,5 +779,6 @@ object TextAnalysis {
     "text_lang_id" -> textLangIdSql,
     "text_perplexity" -> textPerplexitySql,
     "text_bigram_kn" -> textBigramKnSql,
+    "text_pmi_top" -> textPmiTopSql,
   )
 }

@@ -129,15 +129,38 @@ object StreamPlans {
     * `dirBytes` accounting barely sees it. */
   private val CompactedUptoMarker = "_compacted_upto"
   private[queries] def markCompactedUpto(dir: String, batchId: Long): Unit = {
-    val f = java.nio.file.Paths.get(dir, CompactedUptoMarker)
+    val d = java.nio.file.Paths.get(dir)
+    val f = d.resolve(CompactedUptoMarker)
     val prev = compactedUpto(dir)
-    java.nio.file.Files.writeString(f, math.max(prev, batchId).toString)
+    // an in-place writeString truncates before it writes, so a crash
+    // mid-write leaves a partial/empty marker — which parses to the
+    // UNSAFE direction (-1 re-enables duplicate generation writes on
+    // replay). Stage to a temp file in the same directory and
+    // ATOMIC_MOVE it into place: the marker is either the old value or
+    // the new one, never torn.
+    val tmp = java.nio.file.Files.createTempFile(
+      d, s".$CompactedUptoMarker", ".tmp")
+    java.nio.file.Files.writeString(tmp, math.max(prev, batchId).toString)
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
   private[queries] def compactedUpto(dir: String): Long = {
     val f = java.nio.file.Paths.get(dir, CompactedUptoMarker)
-    if (java.nio.file.Files.exists(f))
-      try java.nio.file.Files.readString(f).trim.toLong
-      catch { case _: NumberFormatException => -1L }
-    else -1L
+    if (!java.nio.file.Files.exists(f)) -1L
+    else {
+      val raw = java.nio.file.Files.readString(f).trim
+      // a marker that EXISTS but does not parse means a compaction DID
+      // run and its watermark has been lost; swallowing that to -1
+      // would silently re-enable the replay duplication the marker
+      // exists to prevent. Writes are atomic (above), so a torn file
+      // cannot come from this code — treat it as an integrity failure
+      // and fail the batch rather than guess in the unsafe direction.
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt $CompactedUptoMarker marker in $dir: '$raw' — " +
+            "refusing to treat as -1 (would re-enable replay duplication)")
+      }
+    }
   }
 }

@@ -264,6 +264,7 @@ object Streaming2 {
       Streaming.withStateShuffle(s, 8) {
     import s.implicits._
     val runId = s"incdedup${seq.incrementAndGet()}_${System.nanoTime()}"
+    StreamPlans.resetIngest("stream_incremental_dedup")
     // corpus bounded like every streaming gate (the CUTOFF discipline):
     // the point is the pipeline shape, not re-shingling the whole table
     val corpus = Tables.documents(s, dir).filter($"doc_id" < DocCutoff)
@@ -282,10 +283,13 @@ object Streaming2 {
     // persisted at the SET level — the cache boundary both amortizes the
     // index across micro-batches and stops the tokenizer from fusing
     // into the shingle lambda (see Dedup2.shingleSets)
+    val prepT0 = System.nanoTime()
     val baseSets = graft.operators.Dedup2.shingleSets(
         corpus.filter($"doc_id" % 5 =!= 0))
       .persist()
     baseSets.count() // materialize before the stream races it
+    StreamPlans.recordPrep("stream_incremental_dedup",
+      (System.nanoTime() - prepT0) / 1e9)
     val baseEx = graft.operators.Dedup2.explodeSets(baseSets)
     val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
     val query = s.readStream.format("graft-files").schema(docsSchema)
@@ -294,7 +298,9 @@ object Streaming2 {
       .option("maxFilesPerTrigger", "2")
       .load()
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ingestT0 = System.nanoTime()
+        val bytes0 = StreamPlans.dirBytes(outDir)
         val deltaSets = graft.operators.Dedup2.shingleSets(batch).persist()
         try {
           val ex = graft.operators.Dedup2.explodeSets(deltaSets)
@@ -305,6 +311,11 @@ object Streaming2 {
           // invisible to lastExecution (which sees only the source scan)
           StreamPlans.capturePlan("stream_incremental_dedup", verdicts)
           verdicts.write.mode("append").parquet(outDir)
+          // one verdict row per ARRIVING doc: appends track the batch,
+          // never the standing corpus (asserted by StateInvarianceSpec)
+          StreamPlans.recordIngest("stream_incremental_dedup", id,
+            StreamPlans.dirBytes(outDir) - bytes0,
+            (System.nanoTime() - ingestT0) / 1e9)
         } finally deltaSets.unpersist()
       }
       .option("checkpointLocation",
@@ -352,7 +363,11 @@ object Streaming2 {
     * gate hash-compares the streamed scores against batch oracle SQL
     * over the same slice. At 100 TB this is the steady-state shape: the
     * standing index is a materialized table, only the arriving delta
-    * re-shingles. */
+    * re-shingles — and the per-batch meet NEVER moves the index: the
+    * batch's distinct shingles broadcast INTO a semi-join against the
+    * standing scan, and the delta-bounded "known" subset broadcasts
+    * back into the per-doc aggregate (zero shuffle of the corpus side
+    * per batch; round-18 respell, before/after in BENCH_NOTES). */
   def streamNgramNovelty(s: SparkSession, dir: String): DataFrame =
       Streaming.withStateShuffle(s, 8) {
     import s.implicits._
@@ -368,14 +383,16 @@ object Streaming2 {
       .foreach(f => queue.send(
         s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
 
-    // standing-corpus shingle index: distinct hashed shingles, built once
-    // behind the cache boundary (Dedup2.shingleSets discipline)
+    // standing-corpus shingle index: distinct hashed shingles,
+    // materialized ONCE behind the cache boundary (Dedup2.shingleSets
+    // discipline; production: a standing table on storage)
     val baseSets = graft.operators.Dedup2.shingleSets(
         corpus.filter($"doc_id" % 5 =!= 0))
       .persist()
-    baseSets.count()
     val baseShingles = graft.operators.Dedup2.explodeSets(baseSets)
-      .select($"s").distinct().withColumn("known", lit(1))
+      .select($"s").distinct().persist()
+    baseShingles.count() // materialize both caches before the stream
+    baseSets.unpersist() // only the distinct set is read per batch
 
     val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
     val query = s.readStream.format("graft-files").schema(docsSchema)
@@ -388,8 +405,21 @@ object Streaming2 {
         val deltaSets = graft.operators.Dedup2.shingleSets(batch).persist()
         try {
           deltaSets.count()
-          val scored = graft.operators.Dedup2.explodeSets(deltaSets)
-            .join(baseShingles, Seq("s"), "left")
+          val deltaEx = graft.operators.Dedup2.explodeSets(deltaSets)
+          // the standing set is CORPUS-sized and the batch is bounded:
+          // never shuffle (or broadcast) the corpus side per batch.
+          // Semi-join the standing scan against the BROADCAST batch
+          // shingle set — the delta-bounded "known" subset — and
+          // broadcast that back into the per-doc novelty aggregate, so
+          // each micro-batch costs one columnar scan of the standing
+          // set and zero shuffles of it (the stream_cc_delta
+          // batch-touched-bucket discipline applied to novelty)
+          val deltaS = deltaEx.select(col("s")).distinct()
+          val known = baseShingles
+            .join(broadcast(deltaS), Seq("s"), "leftsemi")
+            .withColumn("known", lit(1))
+          val scored = deltaEx
+            .join(broadcast(known), Seq("s"), "left")
             .groupBy(col("doc_id"))
             .agg(
               (sum(when(col("known").isNull, 1L).otherwise(0L)).cast("double")
@@ -404,7 +434,7 @@ object Streaming2 {
       .start()
     try query.processAllAvailable() finally query.stop()
     InMemoryQueueRegistry.remove(runId)
-    baseSets.unpersist()
+    baseShingles.unpersist()
     s.read.parquet(outDir).orderBy($"doc_id")
   }
   /** Batch oracle over the same slice: delta docs' shingles LEFT-joined
@@ -541,6 +571,7 @@ object Streaming2 {
     import s.implicits._
     import graft.operators.{Dedup2, Sketches}
     val runId = s"kmv${seq.incrementAndGet()}_${System.nanoTime()}"
+    StreamPlans.resetIngest("stream_kmv_distinct")
     val stage = Files.createTempDirectory(s"graft-$runId").toString
     Tables.documents(s, dir).repartition(3, col("doc_id"))
       .write.mode("overwrite").parquet(stage)
@@ -557,7 +588,9 @@ object Streaming2 {
       .option("maxFilesPerTrigger", "1")
       .load()
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ingestT0 = System.nanoTime()
+        val bytes0 = StreamPlans.dirBytes(outDir)
         val sets = Dedup2.shingleSets(batch).persist()
         try {
           sets.count()
@@ -573,6 +606,12 @@ object Streaming2 {
             .filter(col("rk") <= K).select(col("source"), col("h"))
           StreamPlans.capturePlan("stream_kmv_distinct", sketch)
           sketch.write.mode("append").parquet(outDir)
+          // the sketch invariant: each batch appends <= K x #sources
+          // rows no matter how big the batch — SKETCH-bounded, not
+          // batch- or history-proportional (StateInvarianceSpec pins it)
+          StreamPlans.recordIngest("stream_kmv_distinct", id,
+            StreamPlans.dirBytes(outDir) - bytes0,
+            (System.nanoTime() - ingestT0) / 1e9)
         } finally sets.unpersist()
       }
       .option("checkpointLocation",

@@ -1101,6 +1101,17 @@ object Streaming3 {
             s.read.parquet(d).select(cols.map(col): _*)
               .coalesce(s.sparkContext.defaultParallelism)
               .write.parquet(s"$d.next/$genDir")
+            // the marker must commit ATOMICALLY with the swap: written
+            // after the rename, a failure between the two leaves the
+            // per-batch gens already folded away while compactedUpto
+            // still reads -1, and the replayed batch would rewrite its
+            // gen — the exact duplication hazard the marker exists to
+            // prevent. Writing it into $d.next BEFORE the rename makes
+            // marker and compacted data appear in one directory move
+            // (carry the old dir's marker forward via max: the swap
+            // deletes it along with the gens).
+            StreamPlans.markCompactedUpto(s"$d.next",
+              math.max(StreamPlans.compactedUpto(d), id))
             def rm(f: java.io.File): Unit = {
               if (f.isDirectory) Option(f.listFiles())
                 .getOrElse(Array.empty[java.io.File]).foreach(rm)
@@ -1114,18 +1125,15 @@ object Streaming3 {
           if (gensOf(seenShDir) > compactAfter) {
             compacted = true
             compact(seenShDir, s"gen=${-(id + 1)}", Seq("doc_id", "sh"))
-            StreamPlans.markCompactedUpto(seenShDir, id)
           }
           if (gensOf(seenBandsDir) > compactAfter) {
             compacted = true
             compact(seenBandsDir, s"gen=${-(id + 1)}",
               Seq("doc_id", "band_idx", "band_key"))
-            StreamPlans.markCompactedUpto(seenBandsDir, id)
           }
           if (gensOf(edgesDir) > compactAfter) {
             compacted = true
             compact(edgesDir, s"batch=${-(id + 1)}", Seq("a_id", "b_id"))
-            StreamPlans.markCompactedUpto(edgesDir, id)
           }
           StreamPlans.recordIngest("stream_cc_delta", id,
             Seq(seenShDir, seenBandsDir, edgesDir)

@@ -54,26 +54,41 @@ object Streaming4 {
     * only its own bigrams and aggregates per doc before the
     * storage append, so appended bytes track the BATCH (one row per
     * arriving doc), never the history. Per-batch accounting feeds the
-    * StateInvarianceSpec family via [[StreamPlans]]. */
+    * StateInvarianceSpec family via [[StreamPlans]]. Above the
+    * per-table guard the oversized table's join falls back to an AQE
+    * shuffle equi-join; StreamingLmRegimeSpec forces that regime
+    * through the maxTypes parameter and pins score equality. */
   def streamLmScore(s: SparkSession, dir: String): DataFrame =
+    streamLmScoreWith(s, dir, graft.operators.TextAnalysis.LmBroadcastMaxTypes)
+
+  private[graft] def streamLmScoreWith(s: SparkSession, dir: String,
+      maxTypes: Long): DataFrame =
       Streaming.withStateShuffle(s, 8) {
     import s.implicits._
     val runId = s"slm${seq.incrementAndGet()}_${System.nanoTime()}"
     StreamPlans.resetIngest("stream_lm_score")
     val prepT0 = System.nanoTime()
     val docs = Tables.documents(s, dir)
-    def bigrams(df: DataFrame): DataFrame = df
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+    def bigramsOfToks(df: DataFrame): DataFrame = df
       .filter(size($"t") >= 2)
       .select($"doc_id", explode(zip_with(
         slice($"t", lit(1), size($"t") - 1),
         slice($"t", lit(2), size($"t") - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    def bigrams(df: DataFrame): DataFrame = bigramsOfToks(
+      df.select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t")))
 
     // ---- prep: train the standing LM once (the Models-artifact shape;
-    // persisted frames here since the gate's LM is session-lived)
-    val train = bigrams(docs.filter($"doc_id" % 5 =!= 0))
+    // persisted frames here since the gate's LM is session-lived).
+    // The standing corpus is TOKENIZED ONCE — a prep-only cache feeds
+    // both the bigram-table build and the vocabulary-size floor, where
+    // a naive spelling pays a second full tokenize pass just for V
+    // (the textBigramKn no-extra-pass discipline, applied to prep).
+    val toks = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .persist()
+    val train = bigramsOfToks(toks)
     val big = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).persist()
     val fwd = big.groupBy($"w1")
       .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f")).persist()
@@ -82,18 +97,23 @@ object Streaming4 {
     // per-batch broadcast is guarded by its own (already-paid) count —
     // same per-table discipline as the batch row: fwd/bwd are
     // vocab-bounded and usually keep broadcasting after big (a row per
-    // bigram TYPE) has to fall back to a shuffle equi-join
-    val nTypesL = big.count()
+    // bigram TYPE) has to fall back to a shuffle equi-join. ONE scalar
+    // action over big yields the continuation normalizer AND both
+    // context-table guard sizes (the batch row's fused-action pattern).
+    val stats = big.agg(count(lit(1)), countDistinct($"w1"),
+      countDistinct($"w2")).first()
+    val (nTypesL, nFwd, nBwd) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val nTypes = nTypesL.toDouble
     def lm(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= graft.operators.TextAnalysis.LmBroadcastMaxTypes)
-        broadcast(df) else df
-    val vSize = docs.filter($"doc_id" % 5 =!= 0)
-      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      if (rows <= maxTypes) broadcast(df) else df
+    val vSize = toks.select(explode($"t").as("tok"))
       .agg(countDistinct($"tok")).first().getLong(0).toDouble
-    // materialize before the stream races them; the counts double as
-    // the per-table broadcast guards
-    val nFwd = fwd.count(); val nBwd = bwd.count()
+    // materialize the context frames before the stream races them
+    // (cheap: both read the already-cached big); their guard counts
+    // came from the fused action above
+    fwd.count(); bwd.count()
+    toks.unpersist() // prep-only: nothing after this reads the cache
     StreamPlans.recordPrep("stream_lm_score", (System.nanoTime() - prepT0) / 1e9)
 
     // ---- arriving corpus staged as 4 files -> 2 micro-batches
@@ -121,6 +141,13 @@ object Streaming4 {
         val bytes0 = StreamPlans.dirBytes(scoresDir)
         // Pc materialized as a column FIRST so both engines build the
         // identical expression tree (the oracle's `parts` CTE)
+        // One left-join ladder serves BOTH regimes: under the guard
+        // each table broadcasts; above it the oversized table's join
+        // falls back to an AQE shuffle equi-join on the token strings
+        // (the gram-key respell was measured WORSE — see the batch
+        // row's regime comment + BENCH_NOTES round 18; regime equality
+        // of this fallback is pinned by StreamingLmRegimeSpec through
+        // the maxTypes parameter).
         val parts = bigrams(batch)
           .join(lm(big, nTypesL), Seq("w1", "w2"), "left")
           .join(lm(fwd, nFwd), Seq("w1"), "left")
@@ -149,9 +176,15 @@ object Streaming4 {
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-$runId-cp").toString)
       .start()
-    try query.processAllAvailable() finally query.stop()
-    InMemoryQueueRegistry.remove(runId)
-    big.unpersist(); fwd.unpersist(); bwd.unpersist()
+    // queue registration and the three session-lived LM caches must
+    // release even when the stream FAILS — outside the finally they
+    // leak for the session on any processAllAvailable() error
+    try {
+      try query.processAllAvailable() finally query.stop()
+    } finally {
+      InMemoryQueueRegistry.remove(runId)
+      big.unpersist(); fwd.unpersist(); bwd.unpersist()
+    }
     // each arriving doc lives in exactly one staged file, so the
     // accumulated sink is one row per doc already — no re-aggregation
     s.read.parquet(scoresDir)

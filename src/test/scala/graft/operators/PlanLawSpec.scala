@@ -146,6 +146,9 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.contains("TakeOrderedAndProject")),
     ("text_bigram_kn", "all three LM joins broadcast under the counted guard at gate scale, never a sort-merge of the scoring stream",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+    ("text_pmi_top", "marginal joins broadcast under the counted guard, ranking is TakeOrdered — never a global sort of the vocabulary",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        p.contains("TakeOrderedAndProject")),
     ("text_repetition", "respelled as a shuffle-free projection: no hash exchange anywhere (the one range exchange is the output-contract sort)",
       p => !p.contains("Exchange hashpartitioning") && p.contains("array_top_count")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",

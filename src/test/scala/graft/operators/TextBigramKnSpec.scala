@@ -59,6 +59,41 @@ class TextBigramKnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("above-guard shuffle regime computes exactly the broadcast regime's scores") {
+    // maxTypes=0 forces every LM table past the broadcast guard, so the
+    // scoring joins fall back to shuffle equi-joins instead of the
+    // three broadcasts — results must be bit-identical (the regime
+    // switch is a plan choice, never a semantics choice)
+    val dir = plantDocs(Seq(
+      1L -> "a b a b", 2L -> "a c", 3L -> "solo",
+      4L -> "the cat sat on the mat the cat", 5L -> "b a c a b a"))
+    def rows(maxTypes: Long) =
+      TextAnalysis.textBigramKnWith(spark, dir, maxTypes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(0L) == rows(Long.MaxValue),
+      "gram-key regime diverged from the broadcast regime")
+  }
+
+  test("text_pmi_top: PMI replays hand arithmetic, noise floor filters, ties break on (w1,w2)") {
+    // doc 1: "x y " * 10 -> (x,y) c=10, (y,x) c=9; doc 2: "p q " * 3
+    // -> (p,q) c=3 (+ (q,p) c=2): below PmiMinCount=5, filtered out.
+    // N = 24. marginals: c1(x)=10, c1(y)=9, c2(y)=10, c2(x)=9.
+    val dir = plantDocs(Seq(
+      1L -> (1 to 10).map(_ => "x y").mkString(" "),
+      2L -> (1 to 3).map(_ => "p q").mkString(" ")))
+    val got = TextAnalysis.textPmiTop(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def pmiMicro(c: Long, n: Long, c1: Long, c2: Long): Long =
+      math.round(math.log((c.toDouble * n.toDouble) /
+        (c1.toDouble * c2.toDouble)) * 1e6)
+    // (y,x): ln(9*24/81) = ln(2.667) outranks (x,y): ln(10*24/100) =
+    // ln(2.4) — fewer occurrences, tighter association
+    assert(got.toSeq == Seq(
+      ("y", "x", 9L, pmiMicro(9, 24, 9, 9)),
+      ("x", "y", 10L, pmiMicro(10, 24, 10, 10))),
+      s"got ${got.toSeq}")
+  }
+
   test("word-salad scores worse than natural order under the bigram LM") {
     // same unigram distribution in both docs — a unigram model cannot
     // tell them apart; the bigram LM must (that's the row's raison

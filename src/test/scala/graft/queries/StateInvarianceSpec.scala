@@ -166,20 +166,51 @@ class StateInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == twin, "streamed merge diverged from the batch twin")
   }
 
-  test("stream_decontaminate: eval index built once, per-batch hit appends") {
-    Streaming3.streamDecontaminate(spark, docsSf).collect()
-    val prep = StreamPlans.prepSecOf("stream_decontaminate")
-      .getOrElse(fail("no prep wall recorded"))
-    assert(prep > 0.0, "eval-index build must be recorded as one-time prep")
-    val log = StreamPlans.ingestLogOf("stream_decontaminate")
-    assert(log.size == 2, s"expected 2 micro-batches, got ${log.size}")
-    assert(log.forall(_.appendedBytes > 0),
-      s"each batch must append its own hit triples: $log")
-    // halves are hash-staged and near-equal; a batch that re-appended
-    // the accumulated history would land at ~2x its twin
-    val Seq(b0, b1) = log.map(_.appendedBytes.toDouble)
-    assert(b1 <= 1.8 * b0 && b0 <= 1.8 * b1,
-      s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
+  // Table-driven appends-∝-batch family: every flat-append
+  // StreamPlans.recordIngest caller (stream_cc_delta has its own richer
+  // test above — compaction GC + batch-twin hash equality). Each row
+  // stages near-equal micro-batches, so a harness that re-appended the
+  // accumulated HISTORY per batch would land its later batches at ~Nx
+  // the first — the pairwise band catches it. `prep` distinguishes the
+  // rows with a standing artifact (index/LM built once, never per
+  // batch) from sketch rows that carry no artifact at all.
+  private case class IngestRow(name: String, batches: Int, pairBand: Double,
+      hasPrep: Boolean, invariant: String, run: () => Unit)
+
+  private def ingestRows = Seq(
+    IngestRow("stream_decontaminate", 2, 1.8, hasPrep = true,
+      "per-batch hit triples, eval index built once",
+      () => { Streaming3.streamDecontaminate(spark, docsSf).collect(); () }),
+    IngestRow("stream_lm_score", 2, 1.8, hasPrep = true,
+      "per-batch doc scores, LM trained once",
+      () => { Streaming4.streamLmScore(spark, docsSf).collect(); () }),
+    IngestRow("stream_incremental_dedup", 2, 1.8, hasPrep = true,
+      "per-batch verdicts, standing shingle index built once",
+      () => { Streaming2.streamIncrementalDedup(spark, docsSf).collect(); () }),
+    IngestRow("stream_kmv_distinct", 3, 2.0, hasPrep = false,
+      "K x #sources sketch rows per batch, never batch-size-proportional",
+      () => { Streaming2.streamKmvDistinct(spark, docsSf).collect(); () }))
+
+  ingestRows.foreach { r =>
+    test(s"${r.name}: ${r.invariant} (appends track the batch)") {
+      r.run()
+      if (r.hasPrep) {
+        val prep = StreamPlans.prepSecOf(r.name)
+          .getOrElse(fail(s"${r.name} recorded no prep wall"))
+        assert(prep > 0.0,
+          "standing-artifact build must be recorded as one-time prep")
+      }
+      val log = StreamPlans.ingestLogOf(r.name)
+      assert(log.size == r.batches,
+        s"expected ${r.batches} micro-batches, got ${log.size}")
+      assert(log.map(_.batchId) == log.map(_.batchId).sorted, "batch order")
+      assert(log.forall(_.appendedBytes > 0),
+        s"each batch must append its own rows: $log")
+      val bs = log.map(_.appendedBytes.toDouble)
+      assert(bs.max <= r.pairBand * bs.min,
+        s"per-batch appends diverged beyond the batch-size band " +
+          s"(history re-append?): ${log.map(b => s"b${b.batchId}=${b.appendedBytes}").mkString(", ")}")
+    }
   }
 
   test("compaction marker makes a replayed batch's generation write a no-op") {
@@ -205,19 +236,30 @@ class StateInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir).count() == 1L)
   }
 
-  test("stream_lm_score: LM trained once, per-batch score appends") {
-    Streaming4.streamLmScore(spark, docsSf).collect()
-    val prep = StreamPlans.prepSecOf("stream_lm_score")
-      .getOrElse(fail("no prep wall recorded"))
-    assert(prep > 0.0, "LM training must be recorded as one-time prep")
-    val log = StreamPlans.ingestLogOf("stream_lm_score")
-    assert(log.size == 2, s"expected 2 micro-batches, got ${log.size}")
-    assert(log.forall(_.appendedBytes > 0),
-      s"each batch must append its own per-doc scores: $log")
-    // one row per arriving doc: a batch that re-scored (and re-appended)
-    // the accumulated history would land at ~2x its half-sized twin
-    val Seq(b0, b1) = log.map(_.appendedBytes.toDouble)
-    assert(b1 <= 1.8 * b0 && b0 <= 1.8 * b1,
-      s"per-batch appends diverged beyond the batch-size band: $b0 vs $b1")
+  /** `n` synthetic documents over a fixed 7-token vocabulary per slot
+    * (schema-guard-conformant `documents.parquet`): the shard-manifest
+    * volume-invariance fixture. */
+  private def writeDocs(n: Int): String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-sinv-docs").toString
+    (0 until n).map { i =>
+      val text = s"tok${i % 7} tok${(i * 3) % 11} w${i % 13} end"
+      (i.toLong, text, if (i % 3 == 0) "en" else "de",
+        s"src${i % 4}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("stream_shard_manifest: exactly ONE state cell (running offset), invariant under 10x docs") {
+    val s1 = stateRowsAfter("stream_shard_manifest") {
+      Streaming3.streamShardManifest(spark, writeDocs(100)).collect()
+    }
+    val s10 = stateRowsAfter("stream_shard_manifest") {
+      Streaming3.streamShardManifest(spark, writeDocs(1000)).collect()
+    }
+    assert(s1 == s10, s"state grew with volume: $s1 rows at x1 vs $s10 at x10")
+    assert(s1 == 1L,
+      s"the manifest coordinator keeps ONE running-offset cell, got $s1")
   }
 }
