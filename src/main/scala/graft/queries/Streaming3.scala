@@ -1098,6 +1098,19 @@ object Streaming3 {
             Option(new java.io.File(d).listFiles())
               .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
           def compact(d: String, genDir: String, cols: Seq[String]): Unit = {
+            def rmDir(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles())
+                .getOrElse(Array.empty[java.io.File]).foreach(rmDir)
+              f.delete()
+            }
+            // a crashed earlier compact can leave $d.next behind (the
+            // failure hit before the rename, so d is intact and no
+            // marker was written) — without this sweep the replayed
+            // batch's re-compact dies on "path already exists" forever;
+            // the debris is safe to drop precisely because the swap
+            // never happened
+            val next = new java.io.File(s"$d.next")
+            if (next.exists()) rmDir(next)
             s.read.parquet(d).select(cols.map(col): _*)
               .coalesce(s.sparkContext.defaultParallelism)
               .write.parquet(s"$d.next/$genDir")
@@ -1112,13 +1125,8 @@ object Streaming3 {
             // deletes it along with the gens).
             StreamPlans.markCompactedUpto(s"$d.next",
               math.max(StreamPlans.compactedUpto(d), id))
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) Option(f.listFiles())
-                .getOrElse(Array.empty[java.io.File]).foreach(rm)
-              f.delete()
-            }
-            rm(new java.io.File(d))
-            require(new java.io.File(s"$d.next").renameTo(new java.io.File(d)),
+            rmDir(new java.io.File(d))
+            require(next.renameTo(new java.io.File(d)),
               s"compaction swap failed: $d")
           }
           var compacted = false

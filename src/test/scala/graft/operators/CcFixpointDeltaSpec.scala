@@ -81,4 +81,32 @@ class CcFixpointDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fallback must produce the same labels through shuffled joins
     check(edges(2L -> 3L, 4L -> 5L, 6L -> 100L), maxBroadcastMembers = 0L)
   }
+
+  test("randomized closure property: delta merge == full rebuild on seeded graphs") {
+    // the hand cases above pick the structures the closure ARGUMENT
+    // names; this sweeps seeded random graphs so cluster shapes nobody
+    // thought of (multi-edge chains, fresh-only islands touching two
+    // standing chains, self-referential merges) are also pinned to the
+    // rebuild. Seeded — a failure names its seed and replays exactly.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      def randomEdges(n: Int, maxNode: Int): Seq[(Long, Long)] =
+        Seq.fill(n) {
+          val a = rnd.nextInt(maxNode); val b = rnd.nextInt(maxNode)
+          (math.min(a, b).toLong, (math.max(a, b) + 1).toLong)
+        }
+      val standingSeq = randomEdges(15, 30)
+      // fresh edges range over a WIDER node set: some touch standing
+      // clusters, some are brand-new docs the map has never seen
+      val freshSeq = randomEdges(8, 45)
+      val standing = edges(standingSeq: _*)
+      val fresh = edges(freshSeq: _*)
+      val standingMap = Dedup.ccFixpoint(standing)
+      val merged = Dedup.ccFixpointDelta(standingMap, standing, fresh)
+      val rebuild = Dedup.ccFixpoint(standing.unionByName(fresh))
+      assert(rows(merged) === rows(rebuild),
+        s"seed $seed: standing=$standingSeq fresh=$freshSeq")
+      merged.unpersist(); rebuild.unpersist(); standingMap.unpersist()
+    }
+  }
 }
