@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Dedup, Dedup2, Multimodal, PipelineOps, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Clustering, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Dedup, Dedup2, Graph, Multimodal, PipelineOps, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.queries.{Layout, Relational, Relational2, Relational3, Streaming, Streaming2, Streaming3, Streaming4}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       Curation.queries ++ Dedup2.queries ++ Curation2.queries ++
       Curation3.queries ++ Curation4.queries ++ Curation5.queries ++
       Curation6.queries ++ Curation7.queries ++ Sampling.queries ++
-      Sketches.queries ++ Layout.queries ++ Relational3.queries
+      Sketches.queries ++ Layout.queries ++ Relational3.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +48,5 @@ object SparkEntry {
       Curation.oracles ++ Dedup2.oracles ++ Curation2.oracles ++
       Curation3.oracles ++ Curation4.oracles ++ Curation5.oracles ++
       Curation6.oracles ++ Curation7.oracles ++ Sampling.oracles ++
-      Sketches.oracles ++ Layout.oracles ++ Relational3.oracles
+      Sketches.oracles ++ Layout.oracles ++ Relational3.oracles ++ Graph.oracles
 }

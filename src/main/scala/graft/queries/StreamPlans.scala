@@ -3,8 +3,9 @@ package graft.queries
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Capture point for the last micro-batch physical plan of each streaming
@@ -112,6 +113,51 @@ object StreamPlans {
       else if (f.getName.endsWith(".parquet")) 1
       else 0
     walk(new java.io.File(path))
+  }
+
+  /** Recursive delete (no-op on a missing path). */
+  private[queries] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles())
+      .getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete()
+  }
+
+  /** Number of generation subdirectories under a standing dir (0 if
+    * absent) — the compaction trigger reading. */
+  private[queries] def generationCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
+
+  /** Fold every generation of standing dir `d` into one compacted gen
+    * (`d/genDir`) and advance the replay marker to `upToBatchId`.
+    *
+    * Crash-window contract (each window asserted by
+    * CompactionReplaySpec):
+    *  - A crashed earlier compact can leave `$d.next` behind (the
+    *    failure hit BEFORE the rename, so `d` is intact and no marker
+    *    moved) — swept at entry; without the sweep the replayed batch's
+    *    re-compact dies on "path already exists" forever. The debris is
+    *    safe to drop precisely because the swap never happened.
+    *  - The marker must commit ATOMICALLY with the swap: written after
+    *    the rename, a failure between the two would leave the per-batch
+    *    gens already folded away while `compactedUpto` still reads -1,
+    *    and the replayed batch would rewrite its gen — the exact
+    *    duplication hazard the marker exists to prevent. Writing it
+    *    into `$d.next` BEFORE the rename makes marker and compacted
+    *    data appear in one directory move (the old dir's marker is
+    *    carried forward via max: the swap deletes it with the gens).
+    */
+  private[queries] def compactGenerations(s: SparkSession, d: String,
+      genDir: String, cols: Seq[String], upToBatchId: Long): Unit = {
+    val next = new java.io.File(s"$d.next")
+    if (next.exists()) rmTree(next)
+    s.read.parquet(d).select(cols.map(col): _*)
+      .coalesce(s.sparkContext.defaultParallelism)
+      .write.parquet(s"$d.next/$genDir")
+    markCompactedUpto(s"$d.next", math.max(compactedUpto(d), upToBatchId))
+    rmTree(new java.io.File(d))
+    require(next.renameTo(new java.io.File(d)),
+      s"compaction swap failed: $d")
   }
 
   /** Replay-idempotence marker for batch-generation standing dirs.

@@ -1093,55 +1093,26 @@ object Streaming3 {
           if (id > StreamPlans.compactedUpto(edgesDir))
             fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
           // standing-dir GC: compact once the generation count passes the
-          // cap, so file counts stay bounded over an unbounded batch stream
-          def gensOf(d: String): Int =
-            Option(new java.io.File(d).listFiles())
-              .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
-          def compact(d: String, genDir: String, cols: Seq[String]): Unit = {
-            def rmDir(f: java.io.File): Unit = {
-              if (f.isDirectory) Option(f.listFiles())
-                .getOrElse(Array.empty[java.io.File]).foreach(rmDir)
-              f.delete()
-            }
-            // a crashed earlier compact can leave $d.next behind (the
-            // failure hit before the rename, so d is intact and no
-            // marker was written) — without this sweep the replayed
-            // batch's re-compact dies on "path already exists" forever;
-            // the debris is safe to drop precisely because the swap
-            // never happened
-            val next = new java.io.File(s"$d.next")
-            if (next.exists()) rmDir(next)
-            s.read.parquet(d).select(cols.map(col): _*)
-              .coalesce(s.sparkContext.defaultParallelism)
-              .write.parquet(s"$d.next/$genDir")
-            // the marker must commit ATOMICALLY with the swap: written
-            // after the rename, a failure between the two leaves the
-            // per-batch gens already folded away while compactedUpto
-            // still reads -1, and the replayed batch would rewrite its
-            // gen — the exact duplication hazard the marker exists to
-            // prevent. Writing it into $d.next BEFORE the rename makes
-            // marker and compacted data appear in one directory move
-            // (carry the old dir's marker forward via max: the swap
-            // deletes it along with the gens).
-            StreamPlans.markCompactedUpto(s"$d.next",
-              math.max(StreamPlans.compactedUpto(d), id))
-            rmDir(new java.io.File(d))
-            require(next.renameTo(new java.io.File(d)),
-              s"compaction swap failed: $d")
-          }
+          // cap, so file counts stay bounded over an unbounded batch
+          // stream. The crash-window contract (stale-.next sweep, marker
+          // committing atomically with the swap, max-carry-forward) lives
+          // in StreamPlans.compactGenerations, asserted by
+          // CompactionReplaySpec.
           var compacted = false
-          if (gensOf(seenShDir) > compactAfter) {
+          if (StreamPlans.generationCount(seenShDir) > compactAfter) {
             compacted = true
-            compact(seenShDir, s"gen=${-(id + 1)}", Seq("doc_id", "sh"))
+            StreamPlans.compactGenerations(s, seenShDir,
+              s"gen=${-(id + 1)}", Seq("doc_id", "sh"), id)
           }
-          if (gensOf(seenBandsDir) > compactAfter) {
+          if (StreamPlans.generationCount(seenBandsDir) > compactAfter) {
             compacted = true
-            compact(seenBandsDir, s"gen=${-(id + 1)}",
-              Seq("doc_id", "band_idx", "band_key"))
+            StreamPlans.compactGenerations(s, seenBandsDir,
+              s"gen=${-(id + 1)}", Seq("doc_id", "band_idx", "band_key"), id)
           }
-          if (gensOf(edgesDir) > compactAfter) {
+          if (StreamPlans.generationCount(edgesDir) > compactAfter) {
             compacted = true
-            compact(edgesDir, s"batch=${-(id + 1)}", Seq("a_id", "b_id"))
+            StreamPlans.compactGenerations(s, edgesDir,
+              s"batch=${-(id + 1)}", Seq("a_id", "b_id"), id)
           }
           StreamPlans.recordIngest("stream_cc_delta", id,
             Seq(seenShDir, seenBandsDir, edgesDir)

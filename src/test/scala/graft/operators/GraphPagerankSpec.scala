@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-arithmetic pin for the integer PageRank recurrence
+  * ([[Graph.pagerankOn]]) plus its structural invariants. The recurrence
+  * is pure 64-bit integer math (micro-unit ranks, integer division,
+  * integer-percent damping), so every expected value below is computed
+  * by hand — a wrong join direction, a missed dangling coalesce, or a
+  * float sneaking into the sum changes these digits. */
+class GraphPagerankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ranksOf(pairs: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.pagerankOn(pairs.toDF("a_id", "b_id"), iters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("path graph 1-2-3: two hand-computed iterations") {
+    // edges (symmetrized): 1->2, 2->1, 2->3, 3->2; deg 1:1, 2:2, 3:1
+    // r0 = 1_000_000 each.
+    // iter 1 contributions: node1 <- r0(2) DIV 2 = 500_000
+    //                       node2 <- r0(1) DIV 1 + r0(3) DIV 1 = 2_000_000
+    //                       node3 <- 500_000
+    // r1 = 150_000 + (85 * in) DIV 100:
+    //   node1: 150_000 + 42_500_000 DIV 100 = 575_000
+    //   node2: 150_000 + 170_000_000 DIV 100 = 1_850_000
+    //   node3: 575_000
+    val r1 = ranksOf(Seq((1L, 2L), (2L, 3L)), iters = 1)
+    assert(r1 == Map(1L -> (1L, 575000L), 2L -> (2L, 1850000L), 3L -> (1L, 575000L)))
+
+    // iter 2 contributions: node1 <- r1(2) DIV 2 = 925_000
+    //                       node2 <- 575_000 + 575_000 = 1_150_000
+    //                       node3 <- 925_000
+    // r2: node1/3: 150_000 + (85 * 925_000) DIV 100 = 936_250
+    //     node2:   150_000 + (85 * 1_150_000) DIV 100 = 1_127_500
+    val r2 = ranksOf(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(r2 == Map(1L -> (1L, 936250L), 2L -> (2L, 1127500L), 3L -> (1L, 936250L)))
+  }
+
+  test("symmetric regular graph is a fixed point at its uniform rank") {
+    // triangle: every node has deg 2 and identical neighborhoods, so
+    // ranks stay equal across nodes at every iteration; with integer
+    // damping the uniform value converges to 999_999..1_000_000
+    // (150_000 + 85% of 1_000_000 = 1_000_000 exactly at r1)
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L), (1L, 3L)), iters = Graph.PrIters)
+    assert(r.values.map(_._2).toSet.size == 1, s"uniform ranks expected: $r")
+    assert(r(1L) == (2L, 1000000L))
+  }
+
+  test("star center out-ranks leaves and ordering is deterministic") {
+    import spark.implicits._
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+    val out = Graph.pagerankOn(pairs.toDF("a_id", "b_id"), Graph.PrIters)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.head._1 == 10L, s"hub first: ${out.toSeq}")
+    // rank-desc, doc_id-asc tiebreak: leaves in id order
+    assert(out.map(_._1).toSeq == Seq(10L, 1L, 2L, 3L, 4L))
+    assert(out.tail.map(_._2).toSet.size == 1, "leaves tie exactly")
+  }
+
+  test("isolated pair: both endpoints at the two-node fixed point") {
+    // two nodes, deg 1 each: in(v) = r(u) exactly, so the recurrence is
+    // r' = 150_000 + 85% r — fixed point 1_000_000 (integer-exact)
+    val r = ranksOf(Seq((7L, 8L)), iters = Graph.PrIters)
+    assert(r == Map(7L -> (1L, 1000000L), 8L -> (1L, 1000000L)))
+  }
+}
