@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * IEEE exposure — no rounding discipline needed, unlike the micro-nat
   * ln family ([[TextAnalysis.textPerplexity]]).
   *
-  * Scale shape (100 TB): edges come from the df-capped pair kernel
-  * ([[Dedup.dedupNgramJaccardCapped]] at [[Dedup.CcDfCap]] — the same
-  * bounded-fan-out argument as `dedup_cc`), are SYMMETRIZED once and
+  * Scale shape (100 TB): edges come from a near-dup pair kernel (see
+  * the edge-source note below for the measured exact-vs-LSH cost
+  * split), are SYMMETRIZED once and
   * persisted; each of the fixed [[Graph.PrIters]] iterations is one
   * equi-join of the persisted edge table against the O(nodes) rank
   * frame plus one partial-aggregated groupBy — per-iteration shuffle is
@@ -36,11 +36,14 @@ object Graph {
   private[graft] val DampPct = 85L
   private[graft] val BaseMicro = 150000L
 
-  /** Fixed-iteration integer PageRank over undirected `pairs(a_id, b_id)`.
-    * Nodes are the vertices incident to at least one pair (isolated
-    * documents carry no graph signal — their rank is the closed-form
-    * `BaseMicro + DampPct*1e6/100` fixed point and is excluded, exactly
-    * as [[Dedup.ccFixpoint]] labels clustered docs only). */
+  /** Fixed-iteration integer PageRank over undirected `pairs(a_id, b_id)`
+    * — full `(doc_id, deg, r_micro)` rank frame, materialized (it is
+    * O(clustered nodes) by construction, the same bound as the standing
+    * cluster map). Nodes are the vertices incident to at least one pair
+    * (isolated documents carry no graph signal — their rank is the
+    * closed-form `BaseMicro + DampPct*1e6/100` fixed point and is
+    * excluded, exactly as [[Dedup.ccFixpoint]] labels clustered docs
+    * only). */
   private[graft] def pagerankOn(pairs: DataFrame, iters: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
@@ -66,22 +69,93 @@ object Graph {
             s"($DampPct * coalesce(in_micro, CAST(0 AS BIGINT))) DIV 100")
             .as("r_micro"))
     }
-    // materialize the K-bounded result while the loop's pins are alive,
-    // then release them (the dedupClusters persist discipline)
-    val out = ranks.orderBy($"r_micro".desc, $"doc_id").limit(PrTopK).persist()
+    // materialize the node-bounded result while the loop's pins are
+    // alive, then release them (the dedupClusters persist discipline)
+    val out = ranks.persist()
     out.count()
     edges.unpersist()
     deg.unpersist()
     out
   }
 
+  /** Edge sources. The two pair kernels emit IDENTICAL ≥ 0.8 pairs at
+    * the gate parameters (every such pair shares a band —
+    * [[Dedup.dedupClustersLsh]]), so both rank paths share the
+    * exact-pair oracle; which one to pay is a cost decision, measured
+    * both ways on the 1/10/100× arm (BENCH_NOTES round 18):
+    *  - the df-capped EXACT kernel is ~5× cheaper in wall (x10: 6.0 s
+    *    vs 33 s — the LSH path pays the 128-perm signature pass) but
+    *    its pair-generation shuffle carries the capped Σ df² bend
+    *    (top-slope 1.21) — the KERNEL gate row uses it;
+    *  - the LSH kernel's shuffle is measured-linear — the STANDING
+    *    [[rankMap]] artifact (built once per corpus fingerprint,
+    *    exactly like [[Dedup.clusterMapLsh]], and amortized across
+    *    every consumer read) uses it, so the once-per-ingest build is
+    *    the path whose shuffle survives the 100 TB corpus. */
+  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dedupNgramJaccardCapped(s, d, Dedup.CcDfCap).select($"a_id", $"b_id")
+  }
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.dedupMinhashLsh(s, d).select($"a_id", $"b_id")
+  }
+
   /** Gate row: top-[[PrTopK]] most central documents of the near-dup
-    * similarity graph. */
+    * similarity graph (K-bounded ranking over the materialized node
+    * frame — never a corpus-sized sort). */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    pagerankOn(
-      Dedup.dedupNgramJaccardCapped(s, d, Dedup.CcDfCap).select($"a_id", $"b_id"),
-      PrIters)
+    pagerankOn(exactPairs(s, d), PrIters)
+      .orderBy($"r_micro".desc, $"doc_id").limit(PrTopK)
+  }
+
+  /** The STANDING rank frame — committed once through the [[Models]]
+    * train-once store keyed on the corpus fingerprint (the
+    * [[Dedup.clusterMap]] discipline), built over the measured-linear
+    * LSH pair path: survivor selection consumes the artifact, never
+    * re-paying the pair kernel + iterations; the KERNEL row
+    * `graph_pagerank` deliberately does NOT use this cache — it
+    * measures the kernel itself. */
+  private[graft] def rankMap(s: SparkSession, d: String): DataFrame = {
+    val dir = Models.root(s"pagerank|$d|iters=$PrIters|cap=${Dedup.CcDfCap}" +
+        s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
+      pagerankOn(lshPairs(s, d), PrIters).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Centrality-based survivor selection — the graph-importance
+    * alternative to [[Dedup.dedupKeepCanonical]]'s longest-text
+    * heuristic: within each near-dup component, the member with the
+    * highest PageRank is the most CENTRAL version of the neighborhood
+    * (web-corpus canonical-page selection), ties to the smallest
+    * doc_id. Reads BOTH standing artifacts (cluster map + rank frame);
+    * their domains are the same vertex set by construction (both derive
+    * from the near-dup pair kernel; the two kernels produce identical
+    * pairs at the gate parameters, see [[Dedup.dedupClustersLsh]]).
+    *
+    * Scale shape: one equi-join of two O(clustered nodes) standing
+    * frames plus one per-cluster window ranking — all keys bounded by
+    * the duplicate mass, never the corpus. */
+  def dedupKeepCentral(s: SparkSession, d: String): DataFrame =
+    dedupKeepCentralRanked(Dedup.clusterMap(s, d), rankMap(s, d))
+
+  /** Survivor selection over a precomputed cluster map and pair list
+    * (the [[Dedup.dedupKeepCanonical]] overload pattern). */
+  private[graft] def dedupKeepCentralOn(clusterMap: DataFrame, pairs: DataFrame): DataFrame =
+    dedupKeepCentralRanked(clusterMap, pagerankOn(pairs, PrIters))
+
+  private def dedupKeepCentralRanked(clusterMap: DataFrame, ranks: DataFrame): DataFrame = {
+    val s = clusterMap.sparkSession
+    import s.implicits._
+    val clusters = clusterMap.select($"doc_id", $"cluster_id", $"cluster_size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"r_micro".desc, $"doc_id")
+    clusters.join(ranks.select($"doc_id", $"r_micro"), Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"r_micro", $"keep")
+      .orderBy($"doc_id")
   }
 
   /** One unrolled iteration of the integer recurrence (the Spark loop
@@ -105,10 +179,30 @@ object Graph {
        |SELECT doc_id, deg, r_micro FROM r$PrIters
        |ORDER BY r_micro DESC, doc_id LIMIT $PrTopK""".stripMargin
 
+  /** Oracle for [[dedupKeepCentral]]: the shared CC closure (`lab`) for
+    * components joined against the unrolled integer-rank CTEs. */
+  val dedupKeepCentralSql: String =
+    s"""WITH RECURSIVE ${Dedup.CcCteSql},
+       |deg AS (SELECT s AS src, COUNT(*) AS deg FROM e GROUP BY s),
+       |r0 AS (SELECT src AS doc_id, deg, CAST(1000000 AS BIGINT) AS r_micro FROM deg),
+       |${(1 to PrIters).map(iterCte).mkString(",\n")},
+       |cc AS (
+       |  SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM lab
+       |)
+       |SELECT c.doc_id, c.cluster_id, c.cluster_size, r.r_micro,
+       |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |     ORDER BY r.r_micro DESC, c.doc_id) = 1) AS keep
+       |FROM cc c JOIN r$PrIters r ON c.doc_id = r.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
+    "dedup_keep_central" -> dedupKeepCentral _,
   )
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
+    "dedup_keep_central" -> dedupKeepCentralSql,
   )
 }

@@ -60,15 +60,32 @@ class GraphPagerankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == (2L, 1000000L))
   }
 
-  test("star center out-ranks leaves and ordering is deterministic") {
+  test("star center out-ranks leaves; leaves tie exactly") {
     import spark.implicits._
     val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
     val out = Graph.pagerankOn(pairs.toDF("a_id", "b_id"), Graph.PrIters)
+      .orderBy(org.apache.spark.sql.functions.desc("r_micro"),
+        org.apache.spark.sql.functions.asc("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(out.head._1 == 10L, s"hub first: ${out.toSeq}")
     // rank-desc, doc_id-asc tiebreak: leaves in id order
     assert(out.map(_._1).toSeq == Seq(10L, 1L, 2L, 3L, 4L))
     assert(out.tail.map(_._2).toSet.size == 1, "leaves tie exactly")
+  }
+
+  test("keep-central: one survivor per cluster, the max-rank member, ties to min id") {
+    import spark.implicits._
+    // two components: path 1-2-3 (center 2 out-ranks the ends) and
+    // pair 7-8 (exact rank tie -> smallest doc_id survives)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val cmap = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)).toDF("doc_id", "cluster_id", "cluster_size")
+    val out = Graph.dedupKeepCentralOn(cmap, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 7L, 8L), "doc_id-ordered output")
+    val kept = out.filter(_._3).map(t => t._2 -> t._1).toMap
+    assert(kept == Map(1L -> 2L, 7L -> 7L),
+      s"path center 2 and tie-min 7 must survive: $out")
   }
 
   test("isolated pair: both endpoints at the two-node fixed point") {

@@ -149,6 +149,10 @@ class PlanLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     ("text_pmi_top", "marginal joins broadcast under the counted guard, ranking is TakeOrdered — never a global sort of the vocabulary",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject")),
+    ("graph_pagerank", "K-bounded ranking over the materialized node frame (TakeOrderedAndProject), never a corpus-sized global sort",
+      _.contains("TakeOrderedAndProject")),
+    ("dedup_keep_central", "node-bounded rank frame broadcasts into the cluster-map join at gate scale; exactly one per-cluster window",
+      p => p.contains("BroadcastHashJoin") && "Window ".r.findAllIn(p).size == 1),
     ("text_repetition", "respelled as a shuffle-free projection: no hash exchange anywhere (the one range exchange is the output-contract sort)",
       p => !p.contains("Exchange hashpartitioning") && p.contains("array_top_count")),
     ("q53_bloom_join", "might_contain probe sits BELOW the fact-side exchange",
