@@ -88,6 +88,34 @@ class GraphPagerankSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"path center 2 and tie-min 7 must survive: $out")
   }
 
+  test("randomized: Spark recurrence equals an independent in-memory reference on 5 seeded graphs") {
+    // differential oracle: a direct Map-based spelling of the integer
+    // recurrence, sharing NO code with the Spark plan — a wrong join
+    // direction, a double-counted symmetric edge, or a lost dangling
+    // coalesce diverges on some random structure nobody hand-picked
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(10)
+      val pairs = for {
+        a <- 0 until n; b <- (a + 1) until n if rng.nextInt(4) == 0
+      } yield (a.toLong, b.toLong)
+      if (pairs.nonEmpty) {
+        val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val deg = adj.view.mapValues(_.size.toLong).toMap
+        var r = adj.keys.map(_ -> 1000000L).toMap
+        for (_ <- 1 to Graph.PrIters)
+          r = adj.keys.map { v =>
+            val in = adj(v).map(u => r(u) / deg(u)).sum
+            v -> (150000L + 85L * in / 100L)
+          }.toMap
+        val expected = adj.keys.map(v => v -> ((deg(v), r(v)))).toMap
+        val got = ranksOf(pairs, Graph.PrIters)
+        assert(got == expected, s"trial $trial (n=$n, ${pairs.size} pairs) diverged")
+      }
+    }
+  }
+
   test("isolated pair: both endpoints at the two-node fixed point") {
     // two nodes, deg 1 each: in(v) = r(u) exactly, so the recurrence is
     // r' = 150_000 + 85% r — fixed point 1_000_000 (integer-exact)
