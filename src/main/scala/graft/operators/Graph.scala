@@ -120,7 +120,9 @@ object Graph {
   private[graft] def rankMap(s: SparkSession, d: String): DataFrame = {
     val dir = Models.root(s"pagerank|$d|iters=$PrIters|cap=${Dedup.CcDfCap}" +
         s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
-      pagerankOn(lshPairs(s, d), PrIters).write.mode("overwrite").parquet(out)
+      val r = pagerankOn(lshPairs(s, d), PrIters)
+      r.write.mode("overwrite").parquet(out)
+      r.unpersist() // the committed artifact is the cache from here on
     }
     s.read.parquet(dir)
   }
