@@ -24,6 +24,15 @@ def main() -> None:
     if len(ins) < 3:
         sys.exit("need >=3 idle full-bench records for a band")
     runs = [json.load(open(p)) for p in ins]
+    for p, r in zip(ins, runs):
+        # a failed query's elapsed-until-throw reading would pin a bogus
+        # fast band that names every future HEALTHY run a breach — the
+        # exact false signal the bands exist to prevent. Records written
+        # before the "failed" field exist only in the repo's own healthy
+        # series, but refuse anything that cannot prove itself clean.
+        if r.get("failed", None) != []:
+            sys.exit(f"refusing {p}: record has failed queries "
+                     f"{r.get('failed', '<no failed field — pre-flag record>')}")
     spins = [max(r["calib_start_ms"], r["calib_end_ms"]) for r in runs]
     idle = min(min(r["calib_start_ms"], r["calib_end_ms"]) for r in runs)
     if max(spins) > idle * 1.15:

@@ -165,7 +165,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandReport,"queries":$qs,"sf":"$sfDir"}""")
+    // a failed query's elapsed-until-throw seconds land in the map like
+    // any reading; without a machine-readable flag a record from a
+    // broken run is indistinguishable from a healthy one (and could be
+    // merged into BENCH_BANDS as a bogus fast band) — name the failures
+    // in the JSON, not just stderr/exit code
+    val failedJson = s""","failed":[${failed.distinct.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandReport$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout; the full per-query line above is longer than that window, so
     // its head (and the opening brace) can be truncated away. Repeat the

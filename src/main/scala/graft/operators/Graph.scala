@@ -106,8 +106,13 @@ object Graph {
     * frame — never a corpus-sized sort). */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    pagerankOn(exactPairs(s, d), PrIters)
-      .orderBy($"r_micro".desc, $"doc_id").limit(PrTopK)
+    val ranks = pagerankOn(exactPairs(s, d), PrIters)
+    // pin the K-bounded result, release the O(nodes) rank cache — the
+    // session keeps <= PrTopK cached rows, not the node frame
+    val out = ranks.orderBy($"r_micro".desc, $"doc_id").limit(PrTopK).persist()
+    out.count()
+    ranks.unpersist()
+    out
   }
 
   /** The STANDING rank frame — committed once through the [[Models]]

@@ -250,11 +250,6 @@ object TextAnalysis {
   def textBigramKn(s: SparkSession, d: String): DataFrame =
     textBigramKnWith(s, d, LmBroadcastMaxTypes)
 
-  /** Guard-parameterized body: the gate row always runs the default
-    * [[LmBroadcastMaxTypes]]; specs and scale arms pass a tiny bound to
-    * force the above-guard regime on a small corpus (regime equality is
-    * spec-asserted, and the 1/10/100x arm crosses the real bound
-    * naturally at x100). */
   /** The per-occurrence bigram stream `(doc_id, w1, w2)` — the shared
     * base of the LM and collocation rows. */
   private def bigramStream(s: SparkSession, d: String): DataFrame = {
@@ -269,6 +264,11 @@ object TextAnalysis {
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
   }
 
+  /** Guard-parameterized body: the gate row always runs the default
+    * [[LmBroadcastMaxTypes]]; specs and scale arms pass a tiny bound to
+    * force the above-guard regime on a small corpus (regime equality is
+    * spec-asserted, and the 1/10/100x arm crosses the real bound
+    * naturally at x100). */
   private[graft] def textBigramKnWith(s: SparkSession, d: String,
       maxTypes: Long): DataFrame = {
     import s.implicits._
@@ -379,8 +379,11 @@ object TextAnalysis {
     // broadcast guards (vocab-bounded, but counted, never assumed)
     val stats = big.agg(sum($"c"), countDistinct($"w1"),
       countDistinct($"w2")).first()
+    // SUM over an empty bigram table is NULL (a corpus of <2-token
+    // docs), where the counts are 0 — same empty result, no NPE
     val (nTotL, nFwd, nBwd) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      (if (stats.isNullAt(0)) 0L else stats.getLong(0),
+        stats.getLong(1), stats.getLong(2))
     def mar(df: DataFrame, rows: Long): DataFrame =
       if (rows <= LmBroadcastMaxTypes) broadcast(df) else df
     big.filter($"c" >= PmiMinCount)

@@ -128,36 +128,76 @@ object StreamPlans {
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
 
+  /** Recover a standing dir from a compaction that crashed mid-swap —
+    * MUST run before any read or generation write against `d` after a
+    * restart (the streaming harness calls it per batch; it is a pure
+    * filesystem-metadata no-op on a healthy dir).
+    *
+    * The swap is `d -> d.old`, `d.next -> d`, `rm d.old` (two atomic
+    * renames + a delete, never delete-then-rename: at no point is the
+    * ONLY copy of the standing rows in a directory a later step
+    * deletes). Recovery cases:
+    *  - `d` missing + `d.next` carries a marker: the fold completed
+    *    (the marker is the last thing written into `.next` before the
+    *    first rename) — roll FORWARD by renaming `.next` into place.
+    *  - `d` missing + no complete `.next`: roll BACK from `d.old`
+    *    (the first rename happened but `.next` is not trustworthy —
+    *    cannot occur with the write order above, handled defensively).
+    *  - `d` present: any `d.old` is a swept-too-late leftover and any
+    *    `d.next` is pre-swap debris — both safe to drop, because `d`
+    *    itself is complete in every such window. */
+  private[queries] def recoverCompaction(d: String): Unit = {
+    val cur = new java.io.File(d)
+    val next = new java.io.File(s"$d.next")
+    val old = new java.io.File(s"$d.old")
+    if (!cur.exists()) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$d.next", CompactedUptoMarker))) {
+        require(next.renameTo(cur), s"compaction roll-forward failed: $d")
+      } else if (old.exists()) {
+        require(old.renameTo(cur), s"compaction roll-back failed: $d")
+      }
+    }
+    if (cur.exists()) {
+      if (old.exists()) rmTree(old)
+      if (next.exists()) rmTree(next)
+    }
+  }
+
   /** Fold every generation of standing dir `d` into one compacted gen
     * (`d/genDir`) and advance the replay marker to `upToBatchId`.
     *
     * Crash-window contract (each window asserted by
     * CompactionReplaySpec):
-    *  - A crashed earlier compact can leave `$d.next` behind (the
-    *    failure hit BEFORE the rename, so `d` is intact and no marker
-    *    moved) — swept at entry; without the sweep the replayed batch's
-    *    re-compact dies on "path already exists" forever. The debris is
-    *    safe to drop precisely because the swap never happened.
-    *  - The marker must commit ATOMICALLY with the swap: written after
-    *    the rename, a failure between the two would leave the per-batch
+    *  - entry runs [[recoverCompaction]], so debris from any earlier
+    *    crash window (pre-swap `.next`, mid-swap missing `d`, post-swap
+    *    `d.old`) is resolved before a new fold starts;
+    *  - the marker must commit ATOMICALLY with the swap: written after
+    *    the swap, a failure between the two would leave the per-batch
     *    gens already folded away while `compactedUpto` still reads -1,
     *    and the replayed batch would rewrite its gen — the exact
     *    duplication hazard the marker exists to prevent. Writing it
-    *    into `$d.next` BEFORE the rename makes marker and compacted
-    *    data appear in one directory move (the old dir's marker is
-    *    carried forward via max: the swap deletes it with the gens).
-    */
+    *    into `$d.next` BEFORE the first rename makes marker and
+    *    compacted data travel together (the old dir's marker is
+    *    carried forward via max: the swap retires it with the gens);
+    *  - the swap itself never deletes the only copy: `d` steps aside
+    *    to `d.old` (atomic), `.next` renames into place (atomic), and
+    *    only then is `d.old` dropped — a crash between any two steps
+    *    leaves a complete copy for [[recoverCompaction]]. */
   private[queries] def compactGenerations(s: SparkSession, d: String,
       genDir: String, cols: Seq[String], upToBatchId: Long): Unit = {
+    recoverCompaction(d)
     val next = new java.io.File(s"$d.next")
-    if (next.exists()) rmTree(next)
     s.read.parquet(d).select(cols.map(col): _*)
       .coalesce(s.sparkContext.defaultParallelism)
       .write.parquet(s"$d.next/$genDir")
     markCompactedUpto(s"$d.next", math.max(compactedUpto(d), upToBatchId))
-    rmTree(new java.io.File(d))
+    val old = new java.io.File(s"$d.old")
+    require(new java.io.File(d).renameTo(old),
+      s"compaction step-aside failed: $d")
     require(next.renameTo(new java.io.File(d)),
       s"compaction swap failed: $d")
+    rmTree(old)
   }
 
   /** Replay-idempotence marker for batch-generation standing dirs.

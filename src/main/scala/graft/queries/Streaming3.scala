@@ -1045,6 +1045,11 @@ object Streaming3 {
         // so the harness itself records what each batch appends (the
         // StateInvarianceSpec claim "appends ∝ batch, not history")
         val ingestT0 = System.nanoTime()
+        // resolve any mid-swap compaction debris from a crashed earlier
+        // run BEFORE reading markers or writing generations (no-op on
+        // healthy dirs — see StreamPlans.recoverCompaction)
+        Seq(seenShDir, seenBandsDir, edgesDir)
+          .foreach(StreamPlans.recoverCompaction)
         val bytes0 = Seq(seenShDir, seenBandsDir, edgesDir)
           .map(StreamPlans.dirBytes).sum
         val batchSh = Dedup.docShinglesOf(batch)

@@ -153,6 +153,67 @@ class CompactionReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(d) == before, "full replay after two compactions is a no-op")
   }
 
+  test("mid-swap crash (d renamed aside, .next complete): recovery rolls FORWARD") {
+    val d = tmp("graft-compact-midswap")
+    (0L to 3L).foreach(writeGen(d, _))
+    val before = rows(d)
+
+    // replicate compactGenerations up to the crash point BETWEEN the
+    // two renames: fold written + marker in .next, d stepped aside
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(d).select(Seq("doc_id", "sh").map(col): _*)
+      .coalesce(2).write.parquet(s"$d.next/gen=-4")
+    StreamPlans.markCompactedUpto(s"$d.next", 3L)
+    assert(new java.io.File(d).renameTo(new java.io.File(s"$d.old")))
+
+    // crash here: d is GONE — before the fix, a replayed batch would
+    // recreate a skeleton d and the next compact's sweep would delete
+    // .next, the only complete copy. Recovery must restore d first.
+    StreamPlans.recoverCompaction(d)
+    assert(rows(d) == before, "roll-forward restores the full fold")
+    assert(StreamPlans.compactedUpto(d) == 3L, "marker travelled with the fold")
+    assert(!new java.io.File(s"$d.next").exists())
+    assert(!new java.io.File(s"$d.old").exists())
+
+    (0L to 3L).foreach(writeGen(d, _))
+    assert(rows(d) == before, "replays after recovery are no-ops")
+  }
+
+  test("mid-swap crash with an incomplete .next: recovery rolls BACK from d.old") {
+    val d = tmp("graft-compact-rollback")
+    (0L to 2L).foreach(writeGen(d, _))
+    val before = rows(d)
+
+    // defensive window: d stepped aside but .next carries NO marker
+    // (cannot occur with the write order, but recovery must not strand d)
+    Files.createDirectories(Paths.get(s"$d.next").resolve("gen=-3"))
+    Files.writeString(
+      Paths.get(s"$d.next", "gen=-3").resolve("part-torn.parquet"), "torn")
+    assert(new java.io.File(d).renameTo(new java.io.File(s"$d.old")))
+
+    StreamPlans.recoverCompaction(d)
+    assert(rows(d) == before, "roll-back restores the original gens")
+    assert(StreamPlans.compactedUpto(d) == -1L, "no fold happened")
+    assert(!new java.io.File(s"$d.next").exists(), "untrusted .next swept")
+  }
+
+  test("post-swap crash (stale d.old): recovery keeps d, sweeps the leftover") {
+    val d = tmp("graft-compact-postswap")
+    (0L to 4L).foreach(writeGen(d, _))
+    StreamPlans.compactGenerations(spark, d, "gen=-5",
+      Seq("doc_id", "sh"), upToBatchId = 4L)
+    val after = rows(d)
+
+    // simulate the crash between the second rename and rmTree(d.old)
+    Files.createDirectories(Paths.get(s"$d.old").resolve("gen=0"))
+    Files.writeString(Paths.get(s"$d.old", "gen=0").resolve("stale.parquet"), "x")
+
+    StreamPlans.recoverCompaction(d)
+    assert(rows(d) == after, "current dir untouched")
+    assert(!new java.io.File(s"$d.old").exists(), "stale step-aside swept")
+    assert(StreamPlans.compactedUpto(d) == 4L)
+  }
+
   test("corrupt marker fails the batch instead of re-enabling replay writes") {
     val d = tmp("graft-compact-corrupt")
     Files.createDirectories(Paths.get(d))
