@@ -214,6 +214,65 @@ class CompactionReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamPlans.compactedUpto(d) == 4L)
   }
 
+  test("randomized crash-sequence soak: 40 interleaved writes/replays/crashed compactions never lose or duplicate a row") {
+    // the deterministic windows above each pin ONE crash point; this
+    // soak interleaves them in a seeded random order with recoveries
+    // and replays in between, asserting after every step that the
+    // standing multiset equals the batch-id ledger — the invariant all
+    // the machinery exists to protect
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(18L)
+    val d = tmp("graft-compact-soak")
+    var nextId = 0L
+    val written = scala.collection.mutable.Set.empty[Long]
+    def expected(): Seq[(Long, Long)] =
+      written.toSeq.flatMap(id => Seq.tabulate(10)(i => (id * 100 + i, id))).sorted
+    def foldPrefix(upTo: Long): Unit = {
+      // the real fold steps, stopped before the first rename
+      val next = new java.io.File(s"$d.next")
+      if (next.exists()) StreamPlans.rmTree(next)
+      spark.read.parquet(d).select(Seq("doc_id", "sh").map(col): _*)
+        .coalesce(2).write.parquet(s"$d.next/gen=${-(upTo + 1)}")
+      StreamPlans.markCompactedUpto(s"$d.next",
+        math.max(StreamPlans.compactedUpto(d), upTo))
+    }
+    writeGen(d, nextId); written += nextId; nextId += 1
+    for (step <- 1 to 40) {
+      rng.nextInt(6) match {
+        case 0 | 1 => // new batch
+          writeGen(d, nextId); written += nextId; nextId += 1
+        case 2 => // replay a random earlier batch (guard decides)
+          writeGen(d, rng.nextLong(nextId))
+        case 3 => // crash BEFORE the first rename (complete or junk .next)
+          if (rng.nextBoolean()) foldPrefix(nextId - 1)
+          else {
+            Files.createDirectories(Paths.get(s"$d.next").resolve("gen=-9"))
+            Files.writeString(
+              Paths.get(s"$d.next", "gen=-9").resolve("junk.parquet"), "torn")
+          }
+        case 4 => // crash BETWEEN the renames (roll-forward window)
+          foldPrefix(nextId - 1)
+          assert(new java.io.File(d).renameTo(new java.io.File(s"$d.old")))
+        case 5 => // clean compaction, then a stale d.old leftover
+          StreamPlans.compactGenerations(spark, d, s"gen=${-nextId}",
+            Seq("doc_id", "sh"), nextId - 1)
+          if (rng.nextBoolean()) {
+            Files.createDirectories(Paths.get(s"$d.old").resolve("gen=0"))
+            Files.writeString(
+              Paths.get(s"$d.old", "gen=0").resolve("stale.parquet"), "x")
+          }
+      }
+      StreamPlans.recoverCompaction(d) // the restart every window gets
+      assert(rows(d) == expected(),
+        s"step $step: standing multiset diverged from the ledger")
+      // and replays stay no-ops against whatever the marker now says
+      if (written.nonEmpty) {
+        writeGen(d, rng.nextLong(nextId))
+        assert(rows(d) == expected(), s"step $step: replay duplicated rows")
+      }
+    }
+  }
+
   test("corrupt marker fails the batch instead of re-enabling replay writes") {
     val d = tmp("graft-compact-corrupt")
     Files.createDirectories(Paths.get(d))
