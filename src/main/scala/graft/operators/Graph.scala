@@ -43,7 +43,13 @@ object Graph {
     * (isolated documents carry no graph signal — their rank is the
     * closed-form `BaseMicro + DampPct*1e6/100` fixed point and is
     * excluded, exactly as [[Dedup.ccFixpoint]] labels clustered docs
-    * only). */
+    * only).
+    *
+    * Overflow headroom: total rank mass is conserved at ~nodes × 1e6
+    * micro-units (each node's rank splits exactly across its edges in
+    * the symmetric graph), so any single `85 * in_micro` product stays
+    * under Long.MaxValue until the CLUSTERED-node count approaches
+    * ~1e11 — two orders beyond a 100 TB corpus's duplicate mass. */
   private[graft] def pagerankOn(pairs: DataFrame, iters: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
