@@ -4,55 +4,116 @@ full-map line) into BENCH_BANDS.json — the per-row idle noise band that
 lets every future bench record self-adjudicate (see graft.BenchBands).
 
 Usage:
-    python3 scripts/make_bench_bands.py out.json run1.json run2.json run3.json
+    python3 scripts/make_bench_bands.py out.json run1.json run2.json [run3.json ...]
 
 Each runN.json is the FIRST stdout JSON line of one `runMain graft.Bench`
 invocation (fresh JVM each — the driver's measurement mode, so round-1
 standing-artifact builds land inside the bands the same way they land in
-driver records). The runs must be taken on an idle box: the merged file
-pins idle_calib_ms = min calibration spin seen, and the runs are refused
-if any spin exceeds the min by >15% (a loaded run would bake co-load
-into the "idle" bands and blunt every future correction).
+driver records).
+
+Spin normalization (round 19): the box's calibration spin wanders
+between hours (observed 228–363 ms across one session), and the old
+policy — refuse any set of runs whose spins spread >15% — forced three
+regenerations and five discarded runs in round 18. Instead, each run's
+per-row seconds are now DIVIDED by that run's own load ratio
+(mean-of-start/end spin over the idle reference spin) before merging,
+so the bands carry idle-equivalent values and moderately-loaded runs
+are usable. Linear normalization is an approximation (I/O-bound rows
+don't stretch 1:1 with CPU load), which is why runs are still DISCARDED
+— with their reason recorded in the output's "provenance" — when the
+approximation can't be trusted:
+  - the record names failed queries (elapsed-until-throw would pin a
+    bogus fast band);
+  - the spin moved >25% WITHIN the run (load arrived mid-run, so no
+    single factor describes the rows);
+  - the run's spin is >60% above the idle reference (too loaded —
+    the linear model's error would exceed the band width itself).
+At least 3 runs must survive. The merged file pins idle_calib_ms =
+the reference spin, exactly what graft.BenchBands divides by at
+adjudication time.
 """
 import json
 import os
 import sys
 
+# a run whose spin moved more than this within the record has no single
+# load factor — discard rather than mis-normalize
+MAX_INTRA_RUN_SPREAD = 1.25
+# beyond this load ratio the linear spin model's error rivals the band
+# width — discard rather than bake the residual into the "idle" bands
+MAX_NORM_RATIO = 1.60
+
 
 def main() -> None:
     out, ins = sys.argv[1], sys.argv[2:]
-    if len(ins) < 3:
-        sys.exit("need >=3 idle full-bench records for a band")
-    runs = [json.load(open(p)) for p in ins]
-    for p, r in zip(ins, runs):
-        # a failed query's elapsed-until-throw reading would pin a bogus
-        # fast band that names every future HEALTHY run a breach — the
-        # exact false signal the bands exist to prevent. Records written
-        # before the "failed" field exist only in the repo's own healthy
-        # series, but refuse anything that cannot prove itself clean.
+    runs = [(p, json.load(open(p))) for p in ins]
+    if not runs:
+        sys.exit("need >=3 full-bench records (extra loaded runs are "
+                 "discarded with recorded provenance)")
+
+    # reference idle spin: the calmest moment seen across ALL supplied
+    # runs (a discarded-because-loaded run can still contribute its
+    # pre-load start spin to the reference)
+    idle = min(min(r["calib_start_ms"], r["calib_end_ms"]) for _, r in runs)
+
+    accepted, discarded = [], []
+    for p, r in runs:
+        lo = min(r["calib_start_ms"], r["calib_end_ms"])
+        hi = max(r["calib_start_ms"], r["calib_end_ms"])
+        spin = (r["calib_start_ms"] + r["calib_end_ms"]) / 2.0
         if r.get("failed", None) != []:
-            sys.exit(f"refusing {p}: record has failed queries "
-                     f"{r.get('failed', '<no failed field — pre-flag record>')}")
-    spins = [max(r["calib_start_ms"], r["calib_end_ms"]) for r in runs]
-    idle = min(min(r["calib_start_ms"], r["calib_end_ms"]) for r in runs)
-    if max(spins) > idle * 1.15:
-        sys.exit(f"refusing: calibration spread {idle:.0f}..{max(spins):.0f} ms "
-                 "(>15%) — at least one run was not idle")
-    names = set(runs[0]["queries"])
-    for r in runs[1:]:
+            # a failed query's elapsed-until-throw reading would pin a
+            # bogus fast band that names every future HEALTHY run a
+            # breach — the exact false signal the bands exist to prevent
+            discarded.append({"file": p, "reason": "failed queries: "
+                              + str(r.get("failed",
+                                          "<no failed field — pre-flag record>"))})
+        elif hi > lo * MAX_INTRA_RUN_SPREAD:
+            discarded.append({"file": p, "reason":
+                              f"calibration moved {lo:.0f}->{hi:.0f} ms within "
+                              f"the run (> {MAX_INTRA_RUN_SPREAD:.2f}x) — load "
+                              "arrived mid-run, no single factor applies"})
+        elif spin > idle * MAX_NORM_RATIO:
+            discarded.append({"file": p, "reason":
+                              f"spin {spin:.0f} ms is > {MAX_NORM_RATIO:.2f}x "
+                              f"the idle reference {idle:.0f} ms — too loaded "
+                              "to normalize"})
+        else:
+            accepted.append((p, r, spin))
+
+    if len(accepted) < 3:
+        for d in discarded:
+            print(f"discarded {d['file']}: {d['reason']}", file=sys.stderr)
+        sys.exit(f"only {len(accepted)} usable runs after discards — need >=3")
+
+    names = set(accepted[0][1]["queries"])
+    for _, r, _ in accepted[1:]:
         if set(r["queries"]) != names:
-            sys.exit("refusing: runs cover different query sets")
-    sfs = {os.path.basename(r["sf"].rstrip("/")) for r in runs}
+            sys.exit("refusing: accepted runs cover different query sets")
+    sfs = {os.path.basename(r["sf"].rstrip("/")) for _, r, _ in accepted}
     if len(sfs) != 1:
         sys.exit(f"refusing: mixed scale factors {sfs}")
-    bands = {q: [min(r["queries"][q] for r in runs),
-                 max(r["queries"][q] for r in runs)]
+
+    # idle-equivalent seconds: divide each run's rows by its load ratio
+    factors = {p: idle / spin for p, _, spin in accepted}
+    bands = {q: [min(r["queries"][q] * factors[p] for p, r, _ in accepted),
+                 max(r["queries"][q] * factors[p] for p, r, _ in accepted)]
              for q in sorted(names)}
+    provenance = {
+        "accepted": [{"file": p,
+                      "calib_start_ms": r["calib_start_ms"],
+                      "calib_end_ms": r["calib_end_ms"],
+                      "norm_factor": round(factors[p], 4)}
+                     for p, r, _ in accepted],
+        "discarded": discarded,
+    }
     json.dump({"idle_calib_ms": round(idle, 1), "sf": sfs.pop(),
-               "runs": len(runs), "bands": bands},
+               "runs": len(accepted), "provenance": provenance,
+               "bands": bands},
               open(out, "w"), indent=1)
     print(f"wrote {out}: {len(bands)} bands, idle_calib_ms={idle:.1f}, "
-          f"{len(runs)} runs")
+          f"{len(accepted)} accepted / {len(discarded)} discarded "
+          f"(factors {', '.join(f'{factors[p]:.3f}' for p, _, _ in accepted)})")
 
 
 if __name__ == "__main__":

@@ -180,7 +180,10 @@ object Bench {
     val topQs = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib$bandReport,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
+    // the trailer is the ONLY record surviving the stdout window when the
+    // full line is truncated — it must carry the failure flag too, or a
+    // broken run's surviving record looks healthy
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib$bandReport$failedJson,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")

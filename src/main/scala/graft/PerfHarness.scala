@@ -513,6 +513,10 @@ object PerfHarness {
     * standing cost). Shuffle bytes come from a SparkListener summing
     * per-stage task metrics across ALL jobs an op runs, polled to
     * stability after each rep (the listener bus is async). */
+  /** Per-corpus precomputed pair-list parquet for the `pagerank_iters`
+    * scale arm (kernel paid once, outside the measured reps). */
+  private val prPairsCache = scala.collection.mutable.Map.empty[String, String]
+
   def scaleRun(spark: SparkSession, scales: Seq[Int], opNames: Seq[String],
       reps: Int): String = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
@@ -571,6 +575,23 @@ object PerfHarness {
         graft.operators.Dedup.dedupClustersLsh(s, d)
           .write.mode("overwrite").parquet(s"$out/cc.parquet")
         s.read.parquet(s"$out/cc.parquet")
+      }),
+      // the rank ITERATIONS in isolation: the pair kernel (the gate
+      // row's dominant cost) is precomputed to parquet once per corpus,
+      // so this arm's wall/shuffle is the 4-iteration join+agg loop the
+      // src-partitioned edge persist is supposed to cheapen — the gate
+      // row would bury that delta under the kernel's bytes
+      "pagerank_iters" -> ((s, d) => {
+        val pairsPath = prPairsCache.getOrElseUpdate(d, {
+          val out = Files.createTempDirectory("graft-pr-pairs")
+          graft.operators.Dedup.dedupNgramJaccardCapped(s, d,
+              graft.operators.Dedup.CcDfCap)
+            .select("a_id", "b_id")
+            .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+          s"$out/pairs.parquet"
+        })
+        graft.operators.Graph.pagerankOn(
+          s.read.parquet(pairsPath), graft.operators.Graph.PrIters)
       }))
     try {
       val baseDocs = 5000L; val baseVecs = 2000L
@@ -867,11 +888,23 @@ object PerfHarness {
         // the 128-column minhash signature aggregate must stay inside
         // whole-stage codegen (default field cap is 100)
         spark.conf.set("spark.sql.codegen.maxFields", "256")
+        // SPARK_GRAFT_FORCE_SMJ=1 pins every equi-join to the shuffle
+        // regime (no planner or AQE broadcast). The fixture corpora are
+        // small enough that Spark broadcasts frames that at production
+        // scale exceed any broadcast threshold (a rank/cluster frame is
+        // O(duplicate mass)) — this knob lets an arm measure the join
+        // shape those rows would actually run at 100 TB, the same
+        // regime-forcing idea as StreamingLmRegimeSpec.
+        if (sys.env.get("SPARK_GRAFT_FORCE_SMJ").contains("1")) {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          System.err.println("[scale] FORCE_SMJ: broadcast joins disabled for this run")
+        }
         val scales = args.lift(1).getOrElse("1,10,100").split(",").toSeq.map(_.trim.toInt)
         val ops = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
           "dedup_cc", "dedup_minhash_lsh", "heavy_hitters", "budget_select", "ann_topk_ivf"))
         val unknown = ops.toSet -- SparkEntry.queries.keySet -
-          "dedup_cc_uncapped" - "cluster_map_build" -
+          "dedup_cc_uncapped" - "cluster_map_build" - "pagerank_iters" -
           "decon_fixed_eval" - "decon_fixed_eval_bloom"
         require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(", ")}")
         val reps = args.lift(3).map(_.toInt).getOrElse(2)

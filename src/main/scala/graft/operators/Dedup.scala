@@ -35,6 +35,12 @@ object Dedup {
   /** Band-bucket pair window: all pairs for buckets <= BucketW+1 docs,
     * doc_id-ordered sliding window beyond (see the candidate stage). */
   private[graft] val BucketW = 64
+  /** Models-store key fragment naming the LSH parameters that actually
+    * shape an LSH-built standing artifact — a cached frame keyed on
+    * these rebuilds when the kernel's constants change, instead of
+    * silently reusing a stale build (the exact-kernel df cap is NOT
+    * in play on the LSH path and must not appear in these keys). */
+  private[graft] val LshParamsKey = s"k=$MinhashK|bands=$LshBands|w=$BucketW"
 
   /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops.
     * [[Par.spread]]-gated on doc_id first: the fixture is one small
@@ -443,7 +449,7 @@ object Dedup {
     * components on the fixtures (see [[dedupClustersLsh]]); consumed by
     * the leakage-safe splitter. */
   private[graft] def clusterMapLsh(s: SparkSession, d: String): DataFrame = {
-    val dir = Models.root(s"cc-clusters-lsh|$d|cap=$CcDfCap" +
+    val dir = Models.root(s"cc-clusters-lsh|$d|$LshParamsKey" +
         s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
       dedupClustersLsh(s, d).write.mode("overwrite").parquet(out)
     }

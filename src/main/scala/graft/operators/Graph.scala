@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): edges come from a near-dup pair kernel (see
   * the edge-source note below for the measured exact-vs-LSH cost
-  * split), are SYMMETRIZED once and
-  * persisted; each of the fixed [[Graph.PrIters]] iterations is one
-  * equi-join of the persisted edge table against the O(nodes) rank
-  * frame plus one partial-aggregated groupBy — per-iteration shuffle is
-  * O(E) with map-side combine, no iteration-count blowup (iterations
+  * split), are SYMMETRIZED once,
+  * src-hash-partitioned, and persisted; each of the fixed
+  * [[Graph.PrIters]] iterations is one equi-join of the persisted edge
+  * table against the O(nodes) rank frame plus one partial-aggregated
+  * groupBy — the edge side's cached partitioning satisfies the join's
+  * distribution, so per-iteration exchange is the O(nodes) rank frame
+  * plus the map-side-combined contribution aggregate, never a
+  * re-shuffle of O(E) edges; no iteration-count blowup (iterations
   * are a constant, the plan grows linearly and never re-reads the
   * corpus). The output is K-bounded (TakeOrderedAndProject), never a
   * corpus-sized sort.
@@ -56,6 +59,13 @@ object Graph {
     val edges = pairs
       .unionByName(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .select($"a_id".as("src"), $"b_id".as("dst"))
+      // hash-partition by src ONCE before the persist: every iteration's
+      // contribution join keys on src, so the cached partitioning
+      // satisfies the join's distribution and the O(E) edge side is
+      // never re-exchanged — only the O(nodes) rank frame moves per
+      // iteration (plus the groupBy-dst exchange, which is inherent).
+      // The degree aggregate below reuses the same partitioning too.
+      .repartition($"src")
       .persist()
     // symmetric graph: out-degree == in-degree, one aggregate serves both
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
@@ -129,7 +139,7 @@ object Graph {
     * `graph_pagerank` deliberately does NOT use this cache — it
     * measures the kernel itself. */
   private[graft] def rankMap(s: SparkSession, d: String): DataFrame = {
-    val dir = Models.root(s"pagerank|$d|iters=$PrIters|cap=${Dedup.CcDfCap}" +
+    val dir = Models.root(s"pagerank|$d|iters=$PrIters|${Dedup.LshParamsKey}" +
         s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}") { out =>
       val r = pagerankOn(lshPairs(s, d), PrIters)
       r.write.mode("overwrite").parquet(out)

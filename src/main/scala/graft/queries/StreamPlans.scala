@@ -161,6 +161,15 @@ object StreamPlans {
     if (cur.exists()) {
       if (old.exists()) rmTree(old)
       if (next.exists()) rmTree(next)
+      // a crash between markCompactedUpto's createTempFile and its
+      // ATOMIC_MOVE abandons a `._compacted_upto*.tmp` in the staging
+      // dir; the swap then carries it into `d`, where nothing else
+      // would ever reclaim it (dot-prefixed, invisible to Spark —
+      // harmless to correctness, but debris accretes forever)
+      Option(cur.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s".$CompactedUptoMarker") &&
+          f.getName.endsWith(".tmp"))
+        .foreach(f => f.delete())
     }
   }
 

@@ -250,8 +250,10 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     Curation7.dedupCrossCorpus(spark, d).collect()
     Dedup.dedupClusterStats(spark, d).collect()
     Dedup.dedupKeepCanonical(spark, d).collect()
-    // since round 15 the standing map builds from the LSH kernel
-    val key = s"cc-clusters-lsh|$d|cap=${Dedup.CcDfCap}" +
+    // since round 15 the standing map builds from the LSH kernel;
+    // since round 19 its key carries the LSH parameters that actually
+    // shape the artifact (not the exact-kernel df cap, inert here)
+    val key = s"cc-clusters-lsh|$d|${Dedup.LshParamsKey}" +
       s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}"
     assert(Models.builds(key) == 1,
       s"cluster map must build exactly once per JVM, built ${Models.builds(key)} times")

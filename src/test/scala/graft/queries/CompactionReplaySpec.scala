@@ -281,6 +281,26 @@ class CompactionReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("corrupt"))
   }
 
+  test("abandoned marker temp file (crash between create and move) is swept on recovery") {
+    val d = tmp("graft-compact-tmpdebris")
+    (0L to 2L).foreach(writeGen(d, _))
+    StreamPlans.compactGenerations(spark, d, "gen=-3",
+      Seq("doc_id", "sh"), upToBatchId = 2L)
+    val before = rows(d)
+
+    // simulate markCompactedUpto dying between createTempFile and
+    // ATOMIC_MOVE: the staging file sits in the dir forever (both the
+    // rolled-forward-into-d case and a direct write are this shape)
+    val orphan = Files.createTempFile(Paths.get(d), "._compacted_upto", ".tmp")
+    Files.writeString(orphan, "7")
+
+    StreamPlans.recoverCompaction(d)
+    assert(!Files.exists(orphan), "abandoned marker tmp swept")
+    assert(rows(d) == before, "sweep touches only the tmp debris")
+    assert(StreamPlans.compactedUpto(d) == 2L,
+      "the committed marker is not the sweep's business")
+  }
+
   test("marker writes stage through a temp file and leave no debris") {
     val d = tmp("graft-compact-tmp")
     Files.createDirectories(Paths.get(d))
