@@ -24,8 +24,9 @@ don't stretch 1:1 with CPU load), which is why runs are still DISCARDED
 approximation can't be trusted:
   - the record names failed queries (elapsed-until-throw would pin a
     bogus fast band);
-  - the spin moved >25% WITHIN the run (load arrived mid-run, so no
-    single factor describes the rows);
+  - the spin moved >40% WITHIN the run (load arrived mid-run, so no
+    single factor describes the rows — the box's native idle wander
+    measures up to ~1.3x, see MAX_INTRA_RUN_SPREAD);
   - the run's spin is >60% above the idle reference (too loaded —
     the linear model's error would exceed the band width itself).
 At least 3 runs must survive. The merged file pins idle_calib_ms =
@@ -37,8 +38,14 @@ import os
 import sys
 
 # a run whose spin moved more than this within the record has no single
-# load factor — discard rather than mis-normalize
-MAX_INTRA_RUN_SPREAD = 1.25
+# load factor — discard rather than mis-normalize. Calibrated against
+# the box's NATIVE wander: three back-to-back provably-idle r19 runs
+# (wall totals within 6% of each other) showed intra-run spin spreads
+# of 1.03x, 1.15x, and 1.29x with no load present, while genuine
+# mid-run load arrival (the r16/r17 co-load pattern) reads 2x+ — so
+# the discard line sits above the measured idle wander and below the
+# load signature
+MAX_INTRA_RUN_SPREAD = 1.40
 # beyond this load ratio the linear spin model's error rivals the band
 # width — discard rather than bake the residual into the "idle" bands
 MAX_NORM_RATIO = 1.60
