@@ -523,20 +523,25 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val fp = Models.inputFingerprint(s"$d/documents.parquet")
-    val shDir = Models.root(s"ccdelta-sh|$d|in=$fp") { out =>
+    // keys carry the kernel parameters that shape each artifact (the
+    // rankMap/clusterMapLsh discipline, r19 ADVICE): the shingle table
+    // depends on the shingle width, everything downstream additionally
+    // on the LSH constants — changing either must rebuild, not reuse
+    val shDir = Models.root(s"ccdelta-sh|$d|sh=$ShingleSize|in=$fp") { out =>
       docShinglesOf(Tables.documents(s, d).filter($"doc_id" % 5 =!= 0))
         .write.mode("overwrite").parquet(out)
     }
     val sh = s.read.parquet(shDir)
-    val bandsDir = Models.root(s"ccdelta-bands|$d|in=$fp") { out =>
+    val lshFp = s"sh=$ShingleSize|$LshParamsKey"
+    val bandsDir = Models.root(s"ccdelta-bands|$d|$lshFp|in=$fp") { out =>
       lshBands(lshSignatures(sh)).write.mode("overwrite").parquet(out)
     }
     val bands = s.read.parquet(bandsDir)
-    val pairsDir = Models.root(s"ccdelta-pairs|$d|in=$fp") { out =>
+    val pairsDir = Models.root(s"ccdelta-pairs|$d|$lshFp|in=$fp") { out =>
       lshVerify(lshCandidates(bands), sh).select($"a_id", $"b_id")
         .write.mode("overwrite").parquet(out)
     }
-    val mapDir = Models.root(s"ccdelta-map|$d|in=$fp") { out =>
+    val mapDir = Models.root(s"ccdelta-map|$d|$lshFp|in=$fp") { out =>
       val m = ccFixpoint(s.read.parquet(pairsDir))
       m.write.mode("overwrite").parquet(out)
       m.unpersist() // the artifact lives on storage; drop the build's cache
