@@ -122,4 +122,18 @@ class GraphPagerankSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = ranksOf(Seq((7L, 8L)), iters = Graph.PrIters)
     assert(r == Map(7L -> (1L, 1000000L), 8L -> (1L, 1000000L)))
   }
+
+  test("rank frame is a train-once artifact keyed on the LSH parameters") {
+    // the Curation7Spec clusterMap law, for the rank artifact: repeat
+    // consumers share ONE build per corpus, and the key carries the
+    // parameters that shape the LSH pair path (a constant change must
+    // rebuild, not silently reuse — the r19 ADVICE hazard)
+    val d = "/root/testdata/sf0.001"
+    Graph.dedupKeepCentral(spark, d).collect()
+    Graph.dedupKeepCentral(spark, d).collect()
+    val key = s"pagerank|$d|iters=${Graph.PrIters}|${Dedup.LshParamsKey}" +
+      s"|in=${Models.inputFingerprint(s"$d/documents.parquet")}"
+    assert(Models.builds(key) == 1,
+      s"rank frame must build exactly once per JVM, built ${Models.builds(key)} times")
+  }
 }
