@@ -58,10 +58,17 @@ def main() -> None:
         sys.exit("need >=3 full-bench records (extra loaded runs are "
                  "discarded with recorded provenance)")
 
-    # reference idle spin: the calmest moment seen across ALL supplied
-    # runs (a discarded-because-loaded run can still contribute its
-    # pre-load start spin to the reference)
-    idle = min(min(r["calib_start_ms"], r["calib_end_ms"]) for _, r in runs)
+    # reference idle spin: the calmest moment seen across every supplied
+    # run that COMPLETED CLEANLY. A discarded-because-loaded run still
+    # contributes its pre-load start spin (load raises spin, so its
+    # calm reading is trustworthy), but a failed-query run does not
+    # (r19 ADVICE): a run untrustworthy enough to discard for failures
+    # may have aborted mid-calibration or run under whatever anomaly
+    # broke the query, so none of its readings anchor the reference.
+    clean = [r for _, r in runs if r.get("failed", None) == []]
+    if not clean:
+        sys.exit("no failure-free runs — nothing can anchor idle_calib_ms")
+    idle = min(min(r["calib_start_ms"], r["calib_end_ms"]) for r in clean)
 
     accepted, discarded = [], []
     for p, r in runs:

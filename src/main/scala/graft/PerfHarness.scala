@@ -548,6 +548,10 @@ object PerfHarness {
       cur
     }
     spark.sparkContext.addSparkListener(listener)
+    // every temp dir this run mints (per-rep cluster-map outputs, the
+    // per-corpus pair parquet) is swept in the finally block below —
+    // the harness used to leak one dir per corpus per JVM (r19 ADVICE)
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[Path]
     // scale-only comparison arms that are deliberately NOT gate queries
     val qs = SparkEntry.queries ++ Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "dedup_cc_uncapped" -> ((s, d) => graft.operators.Dedup.dedupClustersUncapped(s, d)),
@@ -572,6 +576,7 @@ object PerfHarness {
       // never short-circuits the measurement
       "cluster_map_build" -> ((s, d) => {
         val out = Files.createTempDirectory("graft-cmb")
+        scratch.synchronized { scratch += out }
         graft.operators.Dedup.dedupClustersLsh(s, d)
           .write.mode("overwrite").parquet(s"$out/cc.parquet")
         s.read.parquet(s"$out/cc.parquet")
@@ -584,6 +589,7 @@ object PerfHarness {
       "pagerank_iters" -> ((s, d) => {
         val pairsPath = prPairsCache.getOrElseUpdate(d, {
           val out = Files.createTempDirectory("graft-pr-pairs")
+          scratch.synchronized { scratch += out }
           graft.operators.Dedup.dedupNgramJaccardCapped(s, d,
               graft.operators.Dedup.CcDfCap)
             .select("a_id", "b_id")
@@ -658,7 +664,16 @@ object PerfHarness {
         s""""base_docs":5000,"base_vecs":2000,"reps":$reps,""" +
         s""""gen_sec":[${perScale.map(p => f"${p._2}%.1f").mkString(",")}],""" +
         s""""ops":{${opJson.mkString(",")}}}"""
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      // sweep the run's scratch dirs; drop the pair cache's entries too —
+      // they point into dirs being deleted (and into per-run temp corpora)
+      scratch.synchronized {
+        scratch.foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+        scratch.clear()
+      }
+      prPairsCache.clear()
+    }
   }
 
   // ----------------------- ccsoak mode: multi-delta incremental CC

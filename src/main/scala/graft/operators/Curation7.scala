@@ -334,7 +334,7 @@ object Curation7 {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= ${Dedup.JaccardThreshold}
        |), ring AS (
        |  SELECT doc_id, ${hkSql("doc_id")} AS hkey FROM documents
        |), nxt AS (

@@ -35,12 +35,24 @@ object Dedup {
   /** Band-bucket pair window: all pairs for buckets <= BucketW+1 docs,
     * doc_id-ordered sliding window beyond (see the candidate stage). */
   private[graft] val BucketW = 64
+  /** The near-dup verification threshold: a pair is a near-dup iff its
+    * exact shingle Jaccard is >= this. Shapes every LSH pair list
+    * ([[lshVerify]], [[dedupMinhashLsh]]) and every oracle's HAVING
+    * clause, so it lives in [[LshParamsKey]] like the other kernel
+    * constants (r19 ADVICE: a literal 0.8 outside the key would let a
+    * threshold change silently reuse stale pair/map/rank artifacts). */
+  private[graft] val JaccardThreshold = 0.8
   /** Models-store key fragment naming the LSH parameters that actually
     * shape an LSH-built standing artifact — a cached frame keyed on
     * these rebuilds when the kernel's constants change, instead of
     * silently reusing a stale build (the exact-kernel df cap is NOT
-    * in play on the LSH path and must not appear in these keys). */
-  private[graft] val LshParamsKey = s"k=$MinhashK|bands=$LshBands|w=$BucketW"
+    * in play on the LSH path and must not appear in these keys).
+    * Carries the shingle width and verify threshold too (r19 ADVICE):
+    * every LSH-built artifact derives from ShingleSize-wide shingles
+    * and JaccardThreshold-verified pairs, so a change to EITHER must
+    * rebuild every artifact keyed on this fragment. */
+  private[graft] val LshParamsKey =
+    s"k=$MinhashK|bands=$LshBands|w=$BucketW|sh=$ShingleSize|j=$JaccardThreshold"
 
   /** doc_id + distinct 3-word shingles, the shared base of the fuzzy ops.
     * [[Par.spread]]-gated on doc_id first: the fixture is one small
@@ -170,7 +182,7 @@ object Dedup {
       .groupBy($"a_id", $"b_id", $"sz_a", $"sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= JaccardThreshold)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
@@ -197,7 +209,7 @@ object Dedup {
        |  COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
-       |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= $JaccardThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------- minhash + LSH
@@ -254,7 +266,7 @@ object Dedup {
       .join(docs.select($"doc_id".as("b_id"), $"sh".as("sh_b")), "b_id")
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= JaccardThreshold)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
@@ -304,7 +316,7 @@ object Dedup {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= $JaccardThreshold
        |)
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        |  CAST(0 AS BIGINT) AS n_out_of_bound
@@ -505,7 +517,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
         $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= JaccardThreshold)
       .select($"a_id", $"b_id", $"jaccard")
   }
 
@@ -532,7 +544,8 @@ object Dedup {
         .write.mode("overwrite").parquet(out)
     }
     val sh = s.read.parquet(shDir)
-    val lshFp = s"sh=$ShingleSize|$LshParamsKey"
+    // LshParamsKey carries sh= and j= itself since r20 (the ADVICE fold)
+    val lshFp = LshParamsKey
     val bandsDir = Models.root(s"ccdelta-bands|$d|$lshFp|in=$fp") { out =>
       lshBands(lshSignatures(sh)).write.mode("overwrite").parquet(out)
     }
@@ -810,7 +823,7 @@ object Dedup {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= $JaccardThreshold
        |), e AS (
        |  SELECT a_id AS s, b_id AS t FROM p UNION SELECT b_id, a_id FROM p
        |), walk(s, t) AS (

@@ -166,7 +166,7 @@ object Dedup2 {
       .groupBy($"d_id", $"doc_id".as("b_id"), $"sz_d", $"sz".as("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") / ($"sz_d" + $"sz_b" - $"inter"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= Dedup.JaccardThreshold)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"d_id")
           .orderBy($"jaccard".desc, $"b_id")))
@@ -184,7 +184,7 @@ object Dedup2 {
        |  FROM ex d JOIN ex b ON d.s = b.s
        |  WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
        |  GROUP BY d.doc_id, b.doc_id
-       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= ${Dedup.JaccardThreshold}
        |), best AS (
        |  SELECT d_id, b_id, jaccard,
        |    ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY jaccard DESC, b_id) AS rn

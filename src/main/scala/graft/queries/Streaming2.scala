@@ -336,7 +336,7 @@ object Streaming2 {
        |  FROM ex d JOIN ex b ON d.s = b.s
        |  WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
        |  GROUP BY d.doc_id, b.doc_id
-       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.8
+       |  HAVING COUNT(*)::DOUBLE / (ANY_VALUE(d.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= ${graft.operators.Dedup.JaccardThreshold}
        |), best AS (
        |  SELECT d_id, b_id, jaccard,
        |    ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY jaccard DESC, b_id) AS rn
