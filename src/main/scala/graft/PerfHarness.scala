@@ -603,6 +603,7 @@ object PerfHarness {
       val baseDocs = 5000L; val baseVecs = 2000L
       val perScale = scales.map { k =>
         val dir = Files.createTempDirectory(f"graft-scale-x$k%03d")
+        scratch.synchronized { scratch += dir }
         val t0 = System.nanoTime()
         synthCorpus(spark, dir, baseDocs * k, baseVecs * k)
         val genSec = (System.nanoTime() - t0) / 1e9
