@@ -259,6 +259,23 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"cluster map must build exactly once per JVM, built ${Models.builds(key)} times")
   }
 
+  test("LshParamsKey carries every constant that shapes an LSH artifact (r20 fold)") {
+    // the r19 ADVICE hazard, pinned: the shared key fragment must name
+    // the shingle width and the verify threshold alongside the banding
+    // constants, or changing one silently reuses stale cluster-map /
+    // pagerank / ccdelta artifacts. The SQL oracles must interpolate
+    // the SAME threshold, or Spark and DuckDB verify different pairs.
+    val k = Dedup.LshParamsKey
+    assert(k.contains(s"sh=${Dedup.ShingleSize}"), s"key misses shingle width: $k")
+    assert(k.contains(s"j=${Dedup.JaccardThreshold}"), s"key misses verify threshold: $k")
+    val thr = s">= ${Dedup.JaccardThreshold}"
+    for ((name, sql) <- Seq("ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+        "minhash_lsh" -> Dedup.dedupMinhashLshSql,
+        "cc" -> Dedup.dedupClustersSql,
+        "keep_canonical" -> Dedup.dedupKeepCanonicalSql))
+      assert(sql.contains(thr), s"$name oracle does not interpolate JaccardThreshold")
+  }
+
   test("pipeline_shards: composition equals trim-replica ∩ canonical survivors, resharded") {
     val d = "/root/testdata/sf0.001"
     val s = spark; import s.implicits._
