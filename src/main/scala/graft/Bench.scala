@@ -56,6 +56,27 @@ object Bench {
     reps.map(_._1).min
   }
 
+  /** The short trailer record (the ONLY line surviving the harness's
+    * ~2000-char stdout window when the full-map line is truncated away).
+    * Pure so BenchSpec can pin the worst-case length law: EVERY
+    * variable-size field is capped — top-10 query map, top-5 breach map
+    * + count (the r20 driver record shipped `parsed: null` because the
+    * trailer carried the FULL breach map and 20+ co-load entries blew
+    * the window), failed-query sample + count. `topQs` must already be
+    * the rendered top-10 map; `calib` the rendered calib fragment;
+    * `bandTrailer` the [[BenchBands.Report.trailerFragment]]. */
+  private[graft] def trailerLine(total: Double, nQueries: Int, calib: String,
+      bandTrailer: String, failed: Seq[String], topQs: String,
+      sfDir: String): String = {
+    // capped like the breach map: a run with dozens of failures must
+    // still yield a parseable trailer — the count is the
+    // machine-readable fact, the names a sample
+    val failedSorted = failed.distinct.sorted
+    val failedTrailer = s""","failed_n":${failedSorted.size},"failed":[${
+      failedSorted.take(5).map("\"" + _ + "\"").mkString(",")}]"""
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQueries,$calib$bandTrailer$failedTrailer,"queries":$topQs,"note":"top10 of $nQueries; full map on previous line","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val filter: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
@@ -121,8 +142,19 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.contains(name)) }
+    // mid-run calibration spins (one every ~50 queries, full-run mode):
+    // the r20 driver record proved a mid-run load burst defeats
+    // two-endpoint correction (the burst subsided before the end spin,
+    // so max(start,end) under-corrected the rows it hit and the record
+    // named 20+ bogus breaches). Each row is adjudicated against the
+    // max of its two BRACKETING spins (BenchBands.rowSpin), so a burst
+    // is charged to the rows it covered and nothing else. The spins run
+    // BETWEEN query timings and are never charged to any row.
+    val midSpins = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val perRound = (1 to rounds).map { r =>
-      selected.map { case (name, fn) =>
+      selected.zipWithIndex.map { case ((name, fn), i) =>
+        if (rounds == 1 && r == 1 && i > 0 && i % 50 == 0)
+          midSpins += ((i, calibrationSpinMs()))
         val (sec1, n) = timeOnce(name, fn)
         // A slow first reading may just have paid for a cold page cache,
         // first-run codegen, or concurrent machine load (BENCH_r01 recorded
@@ -144,7 +176,11 @@ object Bench {
     // call re-prepares)
     graft.queries.Layout.cleanup(spark)
     val calibEndMs = calibrationSpinMs()
-    val calib = f""""calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f"""
+    val calibMid = if (midSpins.isEmpty) "" else midSpins
+      .map { case (i, ms) => f"[$i,$ms%.1f]" }
+      .mkString(""","calib_mid_ms":[""", ",", "]")
+    val calib =
+      f""""calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f$calibMid"""
     // multi-round mode: round 1 of a fresh JVM pays the once-per-JVM
     // standing-artifact builds (Models store) — record it raw so the
     // standing-build/steady split is machine-readable (the r17
@@ -155,13 +191,14 @@ object Bench {
         .mkString("{", ",", "}")
       s""","round1":$m"""
     }
-    // self-adjudication against the checked-in idle bands, corrected by
-    // the measured machine load of THIS record (spin ratio vs the
-    // bands' idle spin) — a driver record that lands in a co-load
-    // window names its own out-of-band rows instead of leaving a bare
-    // total for post-hoc reconstruction
-    val bandReport = BenchBands.report(results,
-      math.max(calibStartMs, calibEndMs))
+    // self-adjudication against the checked-in idle bands, each row
+    // corrected by its BRACKETING calibration spins (start / every-50 /
+    // end) — a driver record that lands in a co-load window names its
+    // own out-of-band rows instead of leaving a bare total for post-hoc
+    // reconstruction, and a mid-run burst corrects only the rows it
+    // actually covered
+    val spins = (-1, calibStartMs) +: midSpins.toSeq :+ (selected.size, calibEndMs)
+    val (bandMain, bandTrailer) = BenchBands.report(results, spins)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -171,19 +208,20 @@ object Bench {
     // merged into BENCH_BANDS as a bogus fast band) — name the failures
     // in the JSON, not just stderr/exit code
     val failedJson = s""","failed":[${failed.distinct.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandReport$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandMain$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout; the full per-query line above is longer than that window, so
     // its head (and the opening brace) can be truncated away. Repeat the
     // headline totals plus the 10 most expensive queries in a short trailer
-    // line that always fits intact inside the window.
+    // line sized to fit the window intact: every variable-size field on it
+    // is capped (top-10 queries, top-5 breaches + count — the r20 driver
+    // record shipped unparseable because the trailer embedded the FULL
+    // breach map and 20+ co-load breaches blew the window; BenchSpec pins
+    // the worst-case trailer length now).
     val topQs = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // the trailer is the ONLY record surviving the stdout window when the
-    // full line is truncated — it must carry the failure flag too, or a
-    // broken run's surviving record looks healthy
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},$calib$bandReport$failedJson,"queries":$topQs,"note":"top10 of ${results.size}; full map on previous line","sf":"$sfDir"}""")
+    println(trailerLine(total, results.size, calib, bandTrailer, failed, topQs, sfDir))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")
