@@ -727,20 +727,27 @@ object Dedup {
     // pinned: the fixpoint reads its edge input twice (forward + swapped
     // union) and then loops — without the pin the whole delta pipeline
     // (sign + bucket semi-join + rank + verify) re-executes per read.
-    // persist + count, NOT localCheckpoint: eager localCheckpoint
-    // materializes through a pre-AQE RDD path that dies on
-    // unequal-partition SMJ zips (hit at the x100 scale harness —
-    // "Can't zip RDDs with unequal numbers of partitions")
+    // LAZY localCheckpoint + count (r21; previously persist + count):
+    // materialization cost is identical (the count runs the pipeline
+    // once through the normal AQE action path), but the checkpoint also
+    // TRUNCATES the lineage, so the merge's several downstream actions
+    // (guard counts, touched-zone fixpoint, pass-through union) plan
+    // against a leaf instead of re-analyzing the whole delta pipeline
+    // per action. Never the EAGER variant: it materializes through a
+    // pre-AQE RDD path that dies on unequal-partition SMJ zips (hit at
+    // the x100 scale harness — "Can't zip RDDs with unequal numbers of
+    // partitions").
     val fresh = lshVerify(
       lshCandidates(touched)
         .filter($"a_id" % 5 === 0 || $"b_id" % 5 === 0),
       allSh)
-      .select($"a_id", $"b_id").persist()
+      .select($"a_id", $"b_id").localCheckpoint(false)
     fresh.count()
     // the merge returns fully materialized, so the delta pipeline's pins
     // can be released here — the merged map is the one cache left behind
+    // (fresh's checkpoint blocks are delta-bounded and reclaimed by the
+    // ContextCleaner once the frame is unreachable)
     val merged = ccFixpointDelta(standingMap, standing, fresh)
-    fresh.unpersist()
     deltaBands.unpersist()
     merged
   }
@@ -750,8 +757,21 @@ object Dedup {
   private[graft] def ccFixpoint(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val edges = pairs
-      .union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    // LAZY localCheckpoint on the pair list BEFORE the symmetrizing
+    // union (r21): the union's two branches each executed the full pair
+    // KERNEL (the shingle/LSH pipeline — by far the biggest plan in the
+    // query; measured as two ~1.5 s job waves per call at sf0.1), and
+    // the kernel's logical plan was re-analyzed by every downstream
+    // action (init witness, each round, the final window). The
+    // checkpoint computes the kernel exactly once — inside the same
+    // first action, so the one-job-per-round law (DedupJobsSpec) holds —
+    // and truncates the lineage so every later action plans against a
+    // leaf. Lazy, never eager: the eager variant materializes through a
+    // pre-AQE RDD path that dies on unequal-partition SMJ zips (the
+    // r14 x100-harness failure; same rationale as the loop below).
+    val p = pairs.localCheckpoint(false)
+    val edges = p
+      .union(p.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("src", "dst").persist()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("lab", $"doc_id").persist()

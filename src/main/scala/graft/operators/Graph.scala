@@ -56,8 +56,13 @@ object Graph {
   private[graft] def pagerankOn(pairs: DataFrame, iters: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val edges = pairs
-      .unionByName(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    // LAZY localCheckpoint before the symmetrizing union (r21, the
+    // ccFixpoint discipline): without it each union branch executes the
+    // full pair kernel — two kernel runs per call — and the kernel's
+    // plan is re-analyzed by every downstream action
+    val p = pairs.localCheckpoint(false)
+    val edges = p
+      .unionByName(p.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .select($"a_id".as("src"), $"b_id".as("dst"))
       // hash-partition by src ONCE before the persist: every iteration's
       // contribution join keys on src, so the cached partitioning
