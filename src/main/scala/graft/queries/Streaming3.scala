@@ -1082,7 +1082,13 @@ object Streaming3 {
           // other endpoint isn't in the standing tables yet). Batches
           // are hash-staged, so the later arrival can sit on EITHER
           // side of the a<b candidate ordering — filter on both.
-          val cand = Dedup.lshCandidates(seenBands)
+          // LAZY localCheckpoint (r21, the ccFixpoint discipline): the
+          // candidate list feeds BOTH union branches below, and without
+          // the checkpoint the whole candidate pipeline (bucket
+          // semi-join + rank window + pair self-join) executed twice
+          // per micro-batch; lazy so it materializes inside the first
+          // branch's job through the normal AQE path.
+          val cand = Dedup.lshCandidates(seenBands).localCheckpoint(false)
           val touching = cand
             .join(batchIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "leftsemi")
             .unionByName(cand
