@@ -269,10 +269,20 @@ class Curation7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k.contains(s"sh=${Dedup.ShingleSize}"), s"key misses shingle width: $k")
     assert(k.contains(s"j=${Dedup.JaccardThreshold}"), s"key misses verify threshold: $k")
     val thr = s">= ${Dedup.JaccardThreshold}"
+    // EVERY oracle whose HAVING clause verifies near-dup pairs must
+    // interpolate the constant — not just Dedup's four (r20 ADVICE: a
+    // literal 0.8 left behind in the other modules would pass a
+    // Dedup-only law silently while Spark and DuckDB verify different
+    // pairs after a threshold change)
     for ((name, sql) <- Seq("ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
         "minhash_lsh" -> Dedup.dedupMinhashLshSql,
         "cc" -> Dedup.dedupClustersSql,
-        "keep_canonical" -> Dedup.dedupKeepCanonicalSql))
+        "keep_canonical" -> Dedup.dedupKeepCanonicalSql,
+        "dup_source_matrix" -> Curation4.dupSourceMatrixSql,
+        "contrastive_pairs" -> Curation7.contrastivePairsSql,
+        "dedup_incremental" -> Dedup2.dedupIncrementalSql,
+        "stream_incremental_dedup" ->
+          graft.queries.Streaming2.streamIncrementalDedupSql))
       assert(sql.contains(thr), s"$name oracle does not interpolate JaccardThreshold")
   }
 
