@@ -24,13 +24,20 @@ object TimeQueries {
       .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+      SparkListenerStageCompleted}
     val shufW = new java.util.concurrent.atomic.LongAdder
+    // driver job count per run: at bench SF each job is ~0.1-0.4 s of
+    // driver-side planning/scheduling constants, so for the iterative
+    // kernels (CC delta merge) the JOB COUNT is the cost model — the
+    // r21 verdict's item-4 metric
+    val jobs = new java.util.concurrent.atomic.LongAdder
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null) shufW.add(m.shuffleWriteMetrics.bytesWritten)
       }
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.add(1)
     }
     spark.sparkContext.addSparkListener(listener)
     // the listener bus posts async (same drain discipline as
@@ -57,16 +64,17 @@ object TimeQueries {
       // or rep 1's reading absorbs the untimed count's shuffle bytes
       drainStable()
       val times = (1 to reps).map { i =>
-        shufW.reset()
+        shufW.reset(); jobs.reset()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         val mb = drainStable() / 1e6
-        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows shufW=$mb%.1fMB")
-        (sec, mb)
+        val nJobs = jobs.sum()
+        println(f"TIME $name%-26s run$i $sec%7.2fs rows=$rows shufW=$mb%.1fMB jobs=$nJobs")
+        (sec, mb, nJobs)
       }
       println(f"TIME $name%-26s min  ${times.map(_._1).min}%7.2fs " +
-        f"shufW=${times.map(_._2).min}%.1fMB")
+        f"shufW=${times.map(_._2).min}%.1fMB jobs=${times.map(_._3).min}")
     } finally spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }

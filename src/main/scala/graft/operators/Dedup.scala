@@ -737,20 +737,36 @@ object Dedup {
     // pre-AQE RDD path that dies on unequal-partition SMJ zips (hit at
     // the x100 scale harness — "Can't zip RDDs with unequal numbers of
     // partitions").
-    val fresh = lshVerify(
+    val fresh = ccCheckpoint(lshVerify(
       lshCandidates(touched)
         .filter($"a_id" % 5 === 0 || $"b_id" % 5 === 0),
       allSh)
-      .select($"a_id", $"b_id").localCheckpoint(false)
+      .select($"a_id", $"b_id"))
     fresh.count()
     // the merge returns fully materialized, so the delta pipeline's pins
     // can be released here — the merged map is the one cache left behind
-    // (fresh's checkpoint blocks are delta-bounded and reclaimed by the
-    // ContextCleaner once the frame is unreachable)
     val merged = ccFixpointDelta(standingMap, standing, fresh)
     deltaBands.unpersist()
+    Par.releaseLocalCheckpoint(fresh) // GC-independent release (r21 ADVICE)
     merged
   }
+
+  /** Lineage-truncating checkpoint for the CC/pagerank kernels: LOCAL
+    * by default (fast; blocks live on executors, so an executor loss
+    * makes the frame unrecomputable and fails the job — acceptable on
+    * this harness and a standard trade), RELIABLE when
+    * `spark.graft.cc.reliableCheckpoint=true` (requires
+    * `sc.setCheckpointDir`; survives executor loss at the cost of one
+    * write to the checkpoint dir per truncation — the production
+    * setting for a 100 TB fixpoint; CcReliableCheckpointSpec pins label
+    * equality across the two modes). Always LAZY: the eager variants
+    * materialize through a pre-AQE RDD path that dies on
+    * unequal-partition SMJ zips (the r14 x100-harness failure). */
+  private[graft] def ccCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.cc.reliableCheckpoint").contains("true"))
+      df.checkpoint(false)
+    else df.localCheckpoint(false)
 
   /** The shared pointer-doubling fixpoint: `pairs(a_id, b_id)` ->
     * `(doc_id, cluster_id, cluster_size)` over clustered docs. */
@@ -769,7 +785,8 @@ object Dedup {
     // leaf. Lazy, never eager: the eager variant materializes through a
     // pre-AQE RDD path that dies on unequal-partition SMJ zips (the
     // r14 x100-harness failure; same rationale as the loop below).
-    val p = pairs.localCheckpoint(false)
+    // [[ccCheckpoint]] gates the reliable (executor-loss-tolerant) mode.
+    val p = ccCheckpoint(pairs)
     val edges = p
       .union(p.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("src", "dst").persist()
@@ -802,10 +819,16 @@ object Dedup {
         // same job, instead of paying a separate materialization pass.
         val prop = viaEdges.union(viaShortcut).union(labels)
           .groupBy($"doc_id").agg(min($"lab").as("lab"))
-          .localCheckpoint(false)
-        val newSum = prop.agg(sum($"lab")).first().getLong(0)
+        val propCk = ccCheckpoint(prop)
+        val newSum = propCk.agg(sum($"lab")).first().getLong(0)
+        // deterministic release of the PREVIOUS round's frame now that
+        // this round is materialized: unpersist covers round 0's cache,
+        // releaseLocalCheckpoint the later rounds' checkpoint blocks
+        // (otherwise one block set per round waits on the GC — r21
+        // ADVICE on lazy-checkpoint reclamation)
         labels.unpersist()
-        labels = prop
+        Par.releaseLocalCheckpoint(labels)
+        labels = propCk
         converged = newSum == prevSum
         prevSum = newSum
         iter += 1
@@ -829,6 +852,8 @@ object Dedup {
     } finally {
       edges.unpersist()
       labels.unpersist() // the result is its own (clustered-docs-sized) cache
+      Par.releaseLocalCheckpoint(labels) // final round's checkpoint blocks
+      Par.releaseLocalCheckpoint(p) // the pair-kernel checkpoint
     }
   }
   /** Shared CC oracle CTEs: near-dup pairs -> symmetric edges ->

@@ -56,11 +56,12 @@ object Graph {
   private[graft] def pagerankOn(pairs: DataFrame, iters: Int): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    // LAZY localCheckpoint before the symmetrizing union (r21, the
+    // LAZY checkpoint before the symmetrizing union (r21, the
     // ccFixpoint discipline): without it each union branch executes the
     // full pair kernel — two kernel runs per call — and the kernel's
-    // plan is re-analyzed by every downstream action
-    val p = pairs.localCheckpoint(false)
+    // plan is re-analyzed by every downstream action. Dedup.ccCheckpoint
+    // gates the reliable (executor-loss-tolerant) mode.
+    val p = Dedup.ccCheckpoint(pairs)
     val edges = p
       .unionByName(p.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .select($"a_id".as("src"), $"b_id".as("dst"))
@@ -96,6 +97,7 @@ object Graph {
     out.count()
     edges.unpersist()
     deg.unpersist()
+    Par.releaseLocalCheckpoint(p) // GC-independent release (r21 ADVICE)
     out
   }
 

@@ -49,4 +49,21 @@ private[graft] object Par {
     else if (df.rdd.getNumPartitions < want) df.repartition(key)
     else df
   }
+
+  /** Deterministically release a `localCheckpoint` frame's blocks.
+    *
+    * `persist`ed frames release via `unpersist()`, but a local
+    * checkpoint's MEMORY_AND_DISK blocks belong to the checkpointed RDD
+    * inside the frame's `LogicalRDD` leaf and are otherwise reclaimed
+    * only when the driver GCs the frame and the ContextCleaner runs —
+    * on a long-running stream that is GC-pressure-dependent
+    * accumulation (r21 ADVICE). Callers invoke this once everything
+    * derived from the frame is fully materialized; the frame is NOT
+    * recomputable afterwards. No-op on non-checkpoint frames and on
+    * reliable (file-backed) checkpoints. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }
