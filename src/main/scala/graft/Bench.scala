@@ -56,6 +56,23 @@ object Bench {
     reps.map(_._1).min
   }
 
+  /** Render a calibration fragment. The FULL mid-spin list is a main-line
+    * field; the trailer variant caps it to the [[MidSpinTopK]] highest
+    * spins plus a count — calib_mid_ms grows one entry per 50 queries, so
+    * an uncapped trailer copy re-opens the r20 overflow at a ~550-query
+    * inventory (r21 ADVICE). Pure so BenchSpec pins the worst case. */
+  private[graft] val MidSpinTopK = 4
+  private[graft] def calibFragment(startMs: Double, endMs: Double,
+      midSpins: Seq[(Int, Double)], capped: Boolean): String = {
+    val kept = if (capped) midSpins.sortBy(-_._2).take(MidSpinTopK).sortBy(_._1)
+      else midSpins
+    val mid = if (kept.isEmpty) "" else kept
+      .map { case (i, ms) => f"[$i,$ms%.1f]" }
+      .mkString(""","calib_mid_ms":[""", ",", "]")
+    val midN = if (capped && midSpins.nonEmpty) s""","calib_mid_n":${midSpins.size}""" else ""
+    f""""calib_start_ms":$startMs%.1f,"calib_end_ms":$endMs%.1f$mid$midN"""
+  }
+
   /** The short trailer record (the ONLY line surviving the harness's
     * ~2000-char stdout window when the full-map line is truncated away).
     * Pure so BenchSpec can pin the worst-case length law: EVERY
@@ -111,6 +128,18 @@ object Bench {
 
     val calibStartMs = calibrationSpinMs()
 
+    // per-query executor task-time (sum of executorRunTime over tasks):
+    // the r21 scaling block showed 8-core ≈ 32-core TOTALS because sf0.1
+    // is driver/overhead-bound — this field separates "serial code" from
+    // "small data" by making the data-parallel compute measurable per
+    // row. Listener events are posted asynchronously; the noop action
+    // returns only after its jobs complete, so attribution lag is ms-scale.
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) taskTimeMs.addAndGet(te.taskMetrics.executorRunTime)
+    })
+
     // warmup: touch every table + exercise codegen once
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -118,7 +147,9 @@ object Bench {
     }
 
     var failed = List.empty[String]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // returns (wall sec, fail flag, executor task-time sec of this run)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Double) = {
+      val task0 = taskTimeMs.get()
       val t0 = System.nanoTime()
       // FULL materialization via the noop sink, not count(): under
       // count() Catalyst prunes every row-count-preserving tail — a
@@ -138,7 +169,7 @@ object Bench {
           failed ::= name
           -1L
       }
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, n, (taskTimeMs.get() - task0) / 1e3)
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.contains(name)) }
@@ -151,11 +182,14 @@ object Bench {
     // is charged to the rows it covered and nothing else. The spins run
     // BETWEEN query timings and are never charged to any row.
     val midSpins = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // per-query executor task-time: min across timed runs/rounds, the
+    // same least-noise estimator the wall seconds use
+    val taskSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perRound = (1 to rounds).map { r =>
       selected.zipWithIndex.map { case ((name, fn), i) =>
         if (rounds == 1 && r == 1 && i > 0 && i % 50 == 0)
           midSpins += ((i, calibrationSpinMs()))
-        val (sec1, n) = timeOnce(name, fn)
+        val (sec1, n, task1) = timeOnce(name, fn)
         // A slow first reading may just have paid for a cold page cache,
         // first-run codegen, or concurrent machine load (BENCH_r01 recorded
         // 26s for a query that steadily runs in 3.7s; BENCH_r05's q22/q23
@@ -164,7 +198,11 @@ object Bench {
         // do identical distributed work, so min = least-noise estimate.
         // (Focused multi-round mode reports each round raw: the rounds
         // themselves are the repetition.)
-        val sec = if (rounds == 1 && sec1 > 1.0) math.min(sec1, timeOnce(name, fn)._1) else sec1
+        val (sec, task) = if (rounds == 1 && sec1 > 1.0) {
+          val (sec2, _, task2) = timeOnce(name, fn)
+          if (sec2 < sec1) (sec2, task2) else (sec1, task1)
+        } else (sec1, task1)
+        taskSecs(name) = math.min(taskSecs.getOrElse(name, Double.MaxValue), task)
         val tag = if (rounds == 1) "" else s" round=$r"
         System.err.println(f"[bench] $name%-28s $sec%8.2fs${if (n < 0) "  FAILED" else ""}$tag")
         name -> sec
@@ -176,11 +214,11 @@ object Bench {
     // call re-prepares)
     graft.queries.Layout.cleanup(spark)
     val calibEndMs = calibrationSpinMs()
-    val calibMid = if (midSpins.isEmpty) "" else midSpins
-      .map { case (i, ms) => f"[$i,$ms%.1f]" }
-      .mkString(""","calib_mid_ms":[""", ",", "]")
-    val calib =
-      f""""calib_start_ms":$calibStartMs%.1f,"calib_end_ms":$calibEndMs%.1f$calibMid"""
+    // main line carries every mid spin; the trailer copy is capped
+    // (top-MidSpinTopK by ms + count) so a bigger inventory cannot
+    // re-overflow the stdout window through this field (r21 ADVICE)
+    val calib = calibFragment(calibStartMs, calibEndMs, midSpins.toSeq, capped = false)
+    val calibTrailer = calibFragment(calibStartMs, calibEndMs, midSpins.toSeq, capped = true)
     // multi-round mode: round 1 of a fresh JVM pays the once-per-JVM
     // standing-artifact builds (Models store) — record it raw so the
     // standing-build/steady split is machine-readable (the r17
@@ -208,7 +246,21 @@ object Bench {
     // merged into BENCH_BANDS as a bogus fast band) — name the failures
     // in the JSON, not just stderr/exit code
     val failedJson = s""","failed":[${failed.distinct.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandMain$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    def secMap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // per-query executor task-time (full map, main line only)
+    val taskJson = s""","task_sec":${secMap(taskSecs.toMap)}"""
+    // stream-family cost split (r21 verdict item 1): cumulative staging
+    // wall per gate row (StageCache — includes cache-hit fingerprint
+    // walks) and standing-artifact prep wall (StreamPlans) — main line
+    // only, so the capped trailer is untouched
+    val stageSec = graft.queries.StageCache.stagingSec
+    val prepSec = results.flatMap { case (k, _) =>
+      graft.queries.StreamPlans.prepSecOf(k).map(k -> _) }.toMap
+    val streamSplit =
+      (if (stageSec.isEmpty) "" else s""","stream_stage_sec":${secMap(stageSec)}""") +
+      (if (prepSec.isEmpty) "" else s""","stream_prep_sec":${secMap(prepSec)}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$calib$round1$bandMain$failedJson$taskJson$streamSplit,"queries":$qs,"sf":"$sfDir"}""")
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout; the full per-query line above is longer than that window, so
     // its head (and the opening brace) can be truncated away. Repeat the
@@ -221,7 +273,7 @@ object Bench {
     val topQs = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(trailerLine(total, results.size, calib, bandTrailer, failed, topQs, sfDir))
+    println(trailerLine(total, results.size, calibTrailer, bandTrailer, failed, topQs, sfDir))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.sorted.mkString(", ")}")

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,17 +66,47 @@ object Streaming {
     ev.withColumn("ts", timestamp_micros(Tables.tsUs(ev)).cast(TimestampNTZType))
   }
 
+  /** Year-2100 sentinel event (one row, TIMESTAMP_NTZ like the staged
+    * events files), staged once per user id through [[StageCache]]: a
+    * later micro-batch announcing it pushes the watermark past every
+    * real window. */
+  private[queries] def sentinelEventsDir(s: SparkSession, gate: String,
+      userId: Long): String =
+    StageCache.dir(gate, s"sentinel-events|u=$userId", Seq.empty) { out =>
+      import s.implicits._
+      val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
+      Seq((999999L, sentinelTs, userId, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** The `events < 500` slice staged TWICE under one fixture key — one
+    * Spark write into `a/`, a filesystem copy into `b/` (duplicates must
+    * arrive from distinct paths so file-level admission cannot collapse
+    * them; the copy replaces what was a second identical Spark write).
+    * The `_SUCCESS` marker commits only after both are complete. */
+  private def dualEventsDir(s: SparkSession, dir: String, gate: String): String =
+    StageCache.dir(gate, s"$dir|events|lt500|coalesce1|dual",
+        Seq(s"$dir/events.parquet")) { out =>
+      eventsNtz(s, dir).filter(col("event_id") < 500)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/a")
+      StageCache.copyParquet(s"$out/a", s"$out/b")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+
   /** Write the events subset as N parquet files, announce them on a fresh
     * queue, and run the source to completion; returns the sink table name.
     * `gateName` keys the micro-batch plan captured for [[StreamPlans]]. */
   private def runStream(s: SparkSession, dir: String, gateName: String, nFiles: Int,
       transform: DataFrame => DataFrame, extraOptions: Map[String, String] = Map.empty): String = {
     val runId = s"stream${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    eventsNtz(s, dir)
-      .filter(col("event_id") < CUTOFF)
-      .repartition(nFiles, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir(gateName,
+        s"$dir|events|lt$CUTOFF|hash:$nFiles:event_id", Seq(s"$dir/events.parquet")) { out =>
+      eventsNtz(s, dir)
+        .filter(col("event_id") < CUTOFF)
+        .repartition(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
 
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
@@ -134,10 +163,12 @@ object Streaming {
       s: SparkSession, dir: String, logBackend: String, gateName: String): DataFrame =
       withStateShuffle(s, 4) {
     val runId = s"dedup${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(3, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir(gateName,
+        s"$dir|events|lt$CUTOFF|hash:3:event_id", Seq(s"$dir/events.parquet")) { out =>
+      eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+        .repartition(3, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -171,17 +202,13 @@ object Streaming {
     * real window so append mode emits them; the sentinel's own window is
     * filtered out of the result. */
   def streamWindowAgg(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
-    import s.implicits._
     val runId = s"winagg${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    val ev = eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-    ev.repartition(2, col("event_id")).write.mode("overwrite").parquet(stage)
-    // sentinel: one event in year 2100 (LocalDateTime encodes as
-    // TIMESTAMP_NTZ, matching the staged events files' physical type)
-    val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
-    Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$stage-sentinel")
+    val stage = StageCache.dir("stream_window_agg",
+        s"$dir|events|lt$CUTOFF|hash:2:event_id", Seq(s"$dir/events.parquet")) { out =>
+      eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+        .repartition(2, col("event_id")).write.mode("overwrite").parquet(out)
+    }
+    val sentStage = sentinelEventsDir(s, "stream_window_agg", userId = 0L)
 
     val queue = InMemoryQueueRegistry.queue(runId)
     def filesOf(d: String) = new java.io.File(d).listFiles()
@@ -189,7 +216,7 @@ object Streaming {
     val nReal = filesOf(stage).length
     filesOf(stage).foreach(f =>
       queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
-    filesOf(s"$stage-sentinel").foreach(f =>
+    filesOf(sentStage).foreach(f =>
       queue.send(s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
 
     val sinkName = s"sink_$runId"
@@ -236,11 +263,9 @@ object Streaming {
     * them. Complements the connector's file-level exactly-once. */
   def streamDropDuplicates(s: SparkSession, dir: String): DataFrame = withStateShuffle(s, 4) {
     val runId = s"dropdup${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
-    val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString
-    val ev = eventsNtz(s, dir).filter(col("event_id") < 500)
-    ev.coalesce(1).write.mode("overwrite").parquet(stage1)
-    ev.coalesce(1).write.mode("overwrite").parquet(stage2) // same rows again
+    val dual = dualEventsDir(s, dir, "stream_drop_duplicates")
+    val stage1 = s"$dual/a"
+    val stage2 = s"$dual/b" // same rows again, distinct paths
     val queue = InMemoryQueueRegistry.queue(runId)
     Seq(stage1, stage2).foreach { st =>
       new java.io.File(st).listFiles().filter(_.getName.endsWith(".parquet"))
@@ -282,11 +307,9 @@ object Streaming {
   def streamDedupWithinWatermark(s: SparkSession, dir: String): DataFrame =
       withStateShuffle(s, 4) {
     val runId = s"dedupww${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage1 = Files.createTempDirectory(s"graft-$runId-1").toString
-    val stage2 = Files.createTempDirectory(s"graft-$runId-2").toString
-    val ev = eventsNtz(s, dir).filter(col("event_id") < 500)
-    ev.coalesce(1).write.mode("overwrite").parquet(stage1)
-    ev.coalesce(1).write.mode("overwrite").parquet(stage2) // same rows again
+    val dual = dualEventsDir(s, dir, "stream_dedup_within_watermark")
+    val stage1 = s"$dual/a"
+    val stage2 = s"$dual/b" // same rows again, distinct paths
     val queue = InMemoryQueueRegistry.queue(runId)
     Seq(stage1, stage2).foreach { st =>
       new java.io.File(st).listFiles().filter(_.getName.endsWith(".parquet"))
@@ -324,10 +347,12 @@ object Streaming {
     * customer dim inside the micro-batch plan (broadcast per batch). */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     val runId = s"ssjoin${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    eventsNtz(s, dir).filter(col("event_id") < 1000)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_static_join",
+        s"$dir|events|lt1000|hash:2:event_id", Seq(s"$dir/events.parquet")) { out =>
+      eventsNtz(s, dir).filter(col("event_id") < 1000)
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => queue.send(

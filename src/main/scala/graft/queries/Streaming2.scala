@@ -31,12 +31,14 @@ object Streaming2 {
 
   /** Returns the number of files announced, so callers can pin the
     * deterministic-first-batch gate (minFilesForFirstBatch) to it. */
-  private def stageAndAnnounce(s: SparkSession, dir: String, runId: String,
-      nFiles: Int, tsMs: Long = 1000L): Int = {
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(nFiles, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+  private def stageAndAnnounce(s: SparkSession, dir: String, gate: String,
+      runId: String, nFiles: Int, tsMs: Long = 1000L): Int = {
+    val stage = StageCache.dir(gate,
+        s"$dir|events|lt$CUTOFF|hash:$nFiles:event_id", Seq(s"$dir/events.parquet")) { out =>
+      Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+        .repartition(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -61,14 +63,9 @@ object Streaming2 {
       Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"sesswin${seq.incrementAndGet()}_${System.nanoTime()}"
-    val nReal = stageAndAnnounce(s, dir, runId, nFiles = 2)
-    // sentinel: year 2100, its own later micro-batch (timestampMs orders
-    // it); LocalDateTime encodes as TIMESTAMP_NTZ like the staged files
-    val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
-    val sentStage = Files.createTempDirectory(s"graft-$runId-sent").toString
-    Seq((999999L, sentinelTs, 0L, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(sentStage)
+    val nReal = stageAndAnnounce(s, dir, "stream_session_window", runId, nFiles = 2)
+    // sentinel: year 2100, its own later micro-batch (timestampMs orders it)
+    val sentStage = Streaming.sentinelEventsDir(s, "stream_session_window", userId = 0L)
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(sentStage).listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => queue.send(
@@ -130,8 +127,8 @@ object Streaming2 {
     import s.implicits._
     val runA = s"ssjA${seq.incrementAndGet()}_${System.nanoTime()}"
     val runB = s"ssjB${seq.incrementAndGet()}_${System.nanoTime()}"
-    val nA = stageAndAnnounce(s, dir, runA, nFiles = 2)
-    val nB = stageAndAnnounce(s, dir, runB, nFiles = 2)
+    val nA = stageAndAnnounce(s, dir, "stream_stream_join", runA, nFiles = 2)
+    val nB = stageAndAnnounce(s, dir, "stream_stream_join", runB, nFiles = 2)
     // each side admits its whole announced set in batch 1, so neither
     // watermark can advance past rows still in flight on the other side
     val purchases = reader(s, runA)
@@ -179,7 +176,7 @@ object Streaming2 {
       Streaming.withStateShuffle(s, 4) {
     import s.implicits._
     val runId = s"mgws${seq.incrementAndGet()}_${System.nanoTime()}"
-    val nReal = stageAndAnnounce(s, dir, runId, nFiles = 2)
+    val nReal = stageAndAnnounce(s, dir, "stream_mgws_session", runId, nFiles = 2)
     val gapUs = GapHours.toLong * 3600L * 1000000L
     val sessionize = (user: Long, it: Iterator[(Long, Long, Long)],
         state: GroupState[Long]) => {
@@ -239,6 +236,21 @@ object Streaming2 {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The standing-corpus shingle-set index (docs < DocCutoff, doc_id %
+    * 5 != 0) as a train-once [[graft.operators.Models]] artifact —
+    * shared by the incremental-dedup and novelty rows. The parquet leaf
+    * doubles as the cache boundary [[graft.operators.Dedup2.shingleSets]]
+    * requires before exploding. */
+  private def shingleIdxDir(s: SparkSession, dir: String,
+      corpus: DataFrame): String =
+    graft.operators.Models.root(
+        s"stream-shingle-idx|$dir|lt$DocCutoff|mod5ne0" +
+          s"|sh=${graft.operators.Dedup.ShingleSize}" +
+          s"|in=${graft.operators.Models.inputFingerprint(s"$dir/documents.parquet")}") { out =>
+      graft.operators.Dedup2.shingleSets(corpus.filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(out)
+    }
+
   /** Continuous-ingest dedup: NEW documents arrive through the connector
     * and each micro-batch is deduplicated against the STANDING corpus's
     * shingle index — the streaming form of
@@ -269,24 +281,26 @@ object Streaming2 {
     // the point is the pipeline shape, not re-shingling the whole table
     val corpus = Tables.documents(s, dir).filter($"doc_id" < DocCutoff)
     // delta slice staged as 4 files -> 2 micro-batches at maxFilesPerTrigger=2
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    corpus.filter($"doc_id" % 5 === 0)
-      .repartition(4, $"doc_id")
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_incremental_dedup",
+        s"$dir|docs|lt$DocCutoff|mod5eq0|hash:4:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      corpus.filter($"doc_id" % 5 === 0)
+        .repartition(4, $"doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .foreach(f => queue.send(
         s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
 
-    // standing-corpus shingle index, built once (production: a table);
-    // persisted at the SET level — the cache boundary both amortizes the
-    // index across micro-batches and stops the tokenizer from fusing
-    // into the shingle lambda (see Dedup2.shingleSets)
+    // standing-corpus shingle index: a TRAIN-ONCE Models artifact (r22 —
+    // production: a standing table on storage; until r22 it was
+    // re-shingled per invocation). The parquet leaf is also the cache
+    // boundary that stops the tokenizer from fusing into the shingle
+    // lambda (see Dedup2.shingleSets); the session pin amortizes the
+    // read across micro-batches.
     val prepT0 = System.nanoTime()
-    val baseSets = graft.operators.Dedup2.shingleSets(
-        corpus.filter($"doc_id" % 5 =!= 0))
-      .persist()
+    val baseSets = s.read.parquet(shingleIdxDir(s, dir, corpus)).persist()
     baseSets.count() // materialize before the stream races it
     StreamPlans.recordPrep("stream_incremental_dedup",
       (System.nanoTime() - prepT0) / 1e9)
@@ -373,26 +387,36 @@ object Streaming2 {
     import s.implicits._
     val runId = s"novelty${seq.incrementAndGet()}_${System.nanoTime()}"
     val corpus = Tables.documents(s, dir).filter($"doc_id" < DocCutoff)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    corpus.filter($"doc_id" % 5 === 0)
-      .repartition(4, $"doc_id")
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_ngram_novelty",
+        s"$dir|docs|lt$DocCutoff|mod5eq0|hash:4:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      corpus.filter($"doc_id" % 5 === 0)
+        .repartition(4, $"doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .foreach(f => queue.send(
         s"""{"path":"file:${f.getAbsolutePath}","timestampMs":1000}"""))
 
-    // standing-corpus shingle index: distinct hashed shingles,
-    // materialized ONCE behind the cache boundary (Dedup2.shingleSets
-    // discipline; production: a standing table on storage)
-    val baseSets = graft.operators.Dedup2.shingleSets(
-        corpus.filter($"doc_id" % 5 =!= 0))
-      .persist()
-    val baseShingles = graft.operators.Dedup2.explodeSets(baseSets)
-      .select($"s").distinct().persist()
-    baseShingles.count() // materialize both caches before the stream
-    baseSets.unpersist() // only the distinct set is read per batch
+    // standing-corpus distinct-shingle index: a TRAIN-ONCE Models
+    // artifact derived from the shared shingle-set artifact (r22;
+    // production: a standing table on storage — until r22 both were
+    // rebuilt per invocation)
+    val prepT0 = System.nanoTime()
+    val distDir = graft.operators.Models.root(
+        s"stream-shingle-distinct|$dir|lt$DocCutoff|mod5ne0" +
+          s"|sh=${graft.operators.Dedup.ShingleSize}" +
+          s"|in=${graft.operators.Models.inputFingerprint(s"$dir/documents.parquet")}") { out =>
+      graft.operators.Dedup2.explodeSets(
+          s.read.parquet(shingleIdxDir(s, dir, corpus)))
+        .select($"s").distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    val baseShingles = s.read.parquet(distDir).persist()
+    baseShingles.count() // materialize the pin before the stream races it
+    StreamPlans.recordPrep("stream_ngram_novelty",
+      (System.nanoTime() - prepT0) / 1e9)
 
     val outDir = Files.createTempDirectory(s"graft-$runId-out").toString
     val query = s.readStream.format("graft-files").schema(docsSchema)
@@ -450,6 +474,14 @@ object Streaming2 {
        |WHERE e.doc_id % 5 = 0
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  /** Full documents table staged as 3 hash-partitioned files (the
+    * 3-micro-batch feed shared by the chunk/cascade/kmv rows). */
+  private def stageDocs3(s: SparkSession, dir: String, gate: String): String =
+    StageCache.dir(gate, s"$dir|docs|hash:3:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      Tables.documents(s, dir).repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+
   // ---------------------------------------------------- chunk at ingest
   private val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -471,9 +503,7 @@ object Streaming2 {
     import s.implicits._
     import graft.operators.PipelineOps.{ChunkStep, ChunkWindow}
     val runId = s"chunk${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.documents(s, dir).repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageDocs3(s, dir, "stream_chunk_documents")
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -519,9 +549,7 @@ object Streaming2 {
   def streamFilterCascade(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val runId = s"cascade${seq.incrementAndGet()}_${System.nanoTime()}"
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.documents(s, dir).repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageDocs3(s, dir, "stream_filter_cascade")
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -572,9 +600,7 @@ object Streaming2 {
     import graft.operators.{Dedup2, Sketches}
     val runId = s"kmv${seq.incrementAndGet()}_${System.nanoTime()}"
     StreamPlans.resetIngest("stream_kmv_distinct")
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.documents(s, dir).repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageDocs3(s, dir, "stream_kmv_distinct")
     val queue = InMemoryQueueRegistry.queue(runId)
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

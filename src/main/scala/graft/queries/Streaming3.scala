@@ -21,6 +21,30 @@ object Streaming3 {
   private val seq = new AtomicInteger(0)
   private val CUTOFF = 2000L
 
+  /** The `events < CUTOFF` slice staged as 2 hash-partitioned files —
+    * the two-file 1-per-trigger feed shared by six rows in this file
+    * (and, via the same [[StageCache]] key, by the Streaming/Streaming2
+    * rows staging the identical fixture). */
+  private def stageEvents2(s: SparkSession, dir: String, gate: String): String =
+    StageCache.dir(gate, s"$dir|events|lt$CUTOFF|hash:2:event_id",
+        Seq(s"$dir/events.parquet")) { out =>
+      Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** Full documents table RANGE-staged by doc_id as 2 files (ids arrive
+    * monotonically under timestamp-ordered single-file batches) — shared
+    * by the shard-manifest and composed-pipeline rows. */
+  private def stageDocsRange2(s: SparkSession, dir: String, gate: String): String =
+    StageCache.dir(gate, s"$dir|docs|rangeByDocId:2",
+        Seq(s"$dir/documents.parquet")) { out =>
+      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+
   /** Event-time flush point: after every real event (fixtures live
     * around 2026), before the year-2100 sentinel that advances the
     * watermark past it. */
@@ -106,19 +130,12 @@ object Streaming3 {
       // sortBatchByTimestamp and 1 file/trigger the batch sequence is
       // deterministic: fileA, fileB, sentinel — genuine cross-batch
       // accumulation, no timing window
-      val stage = Files.createTempDirectory(s"graft-$runId").toString
-      Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-        .repartition(2, col("event_id"))
-        .write.mode("overwrite").parquet(stage)
+      val stage = stageEvents2(s, dir, "stream_tws_profile")
       val files = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       files.zipWithIndex.foreach { case (f, i) => queue.send(
         s"""{"path":"file:${f.getAbsolutePath}","timestampMs":${1000 + i}}""") }
-      val sentinelTs = java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0)
-      val sentStage = Files.createTempDirectory(s"graft-$runId-sent").toString
-      Seq((999999L, sentinelTs, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(sentStage)
+      val sentStage = Streaming.sentinelEventsDir(s, "stream_tws_profile", userId = -1L)
       new java.io.File(sentStage).listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(f => queue.send(
           s"""{"path":"file:${f.getAbsolutePath}","timestampMs":2000}"""))
@@ -183,10 +200,7 @@ object Streaming3 {
     import s.implicits._
     val runId = s"slbk${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageEvents2(s, dir, "stream_latest_by_key")
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -242,10 +256,7 @@ object Streaming3 {
     import s.implicits._
     val runId = s"sab${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageEvents2(s, dir, "stream_ab_monitor")
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -292,10 +303,7 @@ object Streaming3 {
     import s.implicits._
     val runId = s"scms${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageEvents2(s, dir, "stream_cms_monitor")
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -350,10 +358,7 @@ object Streaming3 {
     import s.implicits._
     val runId = s"sscons${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageEvents2(s, dir, "stream_sample_consistent")
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -419,9 +424,11 @@ object Streaming3 {
     import s.implicits._
     val runId = s"sedrift${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.embeddings(s, dir).repartition(2, col("vec_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_emb_drift",
+        s"$dir|emb|hash:2:vec_id", Seq(s"$dir/embeddings.parquet")) { out =>
+      Tables.embeddings(s, dir).repartition(2, col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+    }
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -479,9 +486,11 @@ object Streaming3 {
     import s.implicits._
     val runId = s"scstats${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Tables.documents(s, dir).repartition(2, col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_corpus_stats",
+        s"$dir|docs|hash:2:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      Tables.documents(s, dir).repartition(2, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+    }
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -563,13 +572,9 @@ object Streaming3 {
     try {
       val runId = s"sshard${seq.incrementAndGet()}_${System.nanoTime()}"
       val queue = InMemoryQueueRegistry.queue(runId)
-      val stage = Files.createTempDirectory(s"graft-$runId").toString
       // RANGE staging: part-00000 carries the low doc_id range, so
       // timestamp-ordered single-file batches deliver ids in order
-      Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"))
-        .repartitionByRange(2, col("doc_id"))
-        .write.mode("overwrite").parquet(stage)
+      val stage = stageDocsRange2(s, dir, "stream_shard_manifest")
       val files = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -657,10 +662,12 @@ object Streaming3 {
     try {
       val runId = s"sjm${seq.incrementAndGet()}_${System.nanoTime()}"
       val queue = InMemoryQueueRegistry.queue(runId)
-      val stage = Files.createTempDirectory(s"graft-$runId").toString
-      val ev = Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      ev.repartitionByRange(2, col("ts"))
-        .write.mode("overwrite").parquet(stage)
+      val stage = StageCache.dir("stream_journey_markov",
+          s"$dir|events|lt$CUTOFF|rangeByTs:2", Seq(s"$dir/events.parquet")) { out =>
+        Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
+          .repartitionByRange(2, col("ts"))
+          .write.mode("overwrite").parquet(out)
+      }
       val files = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -729,10 +736,7 @@ object Streaming3 {
     import s.implicits._
     val runId = s"svan${seq.incrementAndGet()}_${System.nanoTime()}"
     val queue = InMemoryQueueRegistry.queue(runId)
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    Streaming.eventsNtz(s, dir).filter(col("event_id") < CUTOFF)
-      .repartition(2, col("event_id"))
-      .write.mode("overwrite").parquet(stage)
+    val stage = stageEvents2(s, dir, "stream_value_anomaly")
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -870,11 +874,7 @@ object Streaming3 {
     try {
       val runId = s"spc${seq.incrementAndGet()}_${System.nanoTime()}"
       val queue = InMemoryQueueRegistry.queue(runId)
-      val stage = Files.createTempDirectory(s"graft-$runId").toString
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-        .repartitionByRange(2, col("doc_id"))
-        .write.mode("overwrite").parquet(stage)
+      val stage = stageDocsRange2(s, dir, "stream_pipeline_curate")
       val files = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       files.zipWithIndex.foreach { case (f, i) => queue.send(
@@ -1014,11 +1014,13 @@ object Streaming3 {
     StreamPlans.recordPrep("stream_cc_delta", (System.nanoTime() - prepT0) / 1e9)
 
     // delta staged as nStageFiles files -> ceil(n/mfpt) micro-batches
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    all.filter($"doc_id" % 5 === 0)
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-      .repartition(nStageFiles, $"doc_id")
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_cc_delta",
+        s"$dir|docs|mod5eq0|hash:$nStageFiles:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      all.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .repartition(nStageFiles, $"doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -1082,13 +1084,13 @@ object Streaming3 {
           // other endpoint isn't in the standing tables yet). Batches
           // are hash-staged, so the later arrival can sit on EITHER
           // side of the a<b candidate ordering — filter on both.
-          // LAZY localCheckpoint (r21, the ccFixpoint discipline): the
+          // LAZY checkpoint (r21, the ccFixpoint discipline): the
           // candidate list feeds BOTH union branches below, and without
           // the checkpoint the whole candidate pipeline (bucket
           // semi-join + rank window + pair self-join) executed twice
           // per micro-batch; lazy so it materializes inside the first
           // branch's job through the normal AQE path.
-          val cand = Dedup.lshCandidates(seenBands).localCheckpoint(false)
+          val cand = Dedup.ccCheckpoint(Dedup.lshCandidates(seenBands))
           val touching = cand
             .join(batchIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "leftsemi")
             .unionByName(cand
@@ -1103,6 +1105,11 @@ object Streaming3 {
           // so the append accounting stays exact under replay too
           if (id > StreamPlans.compactedUpto(edgesDir))
             fresh.write.mode("overwrite").parquet(s"$edgesDir/batch=$id")
+          // deterministic per-batch release of the candidate checkpoint:
+          // everything derived from it is on storage now, and waiting on
+          // the GC accumulates one block set per micro-batch on a
+          // long-running stream (r21 ADVICE)
+          graft.operators.Par.releaseLocalCheckpoint(cand)
           // standing-dir GC: compact once the generation count passes the
           // cap, so file counts stay bounded over an unbounded batch
           // stream. The crash-window contract (stale-.next sweep, marker
@@ -1183,9 +1190,18 @@ object Streaming3 {
       .select($"doc_id", explode(Curation.ngrams($"t", Curation.ContamN)).as("g"))
       .select($"doc_id", Curation.gramKey($"g").as("gk"))
       .distinct()
-    // the standing eval index — built once, broadcast per batch
-    val bench = grams(docs.filter($"doc_id" % 10 === 7))
-      .withColumnRenamed("doc_id", "bench_id").persist()
+    // the standing eval index — a TRAIN-ONCE Models artifact (r22;
+    // benchmarks are fixed, so their gram index is the canonical
+    // train-once shape — until r22 it was re-exploded per invocation),
+    // pinned for the per-batch broadcasts
+    val benchDir = graft.operators.Models.root(
+        s"stream-bench-grams|$dir|mod10eq7|n=${Curation.ContamN}" +
+          s"|in=${graft.operators.Models.inputFingerprint(s"$dir/documents.parquet")}") { out =>
+      grams(docs.filter($"doc_id" % 10 === 7))
+        .withColumnRenamed("doc_id", "bench_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    val bench = s.read.parquet(benchDir).persist()
     bench.count() // materialize before the stream races it
     // recorded so the invariance spec can assert per-batch cost excludes
     // an eval-index REBUILD (the build is this prep, paid once)
@@ -1193,11 +1209,13 @@ object Streaming3 {
       (System.nanoTime() - prepT0) / 1e9)
 
     // training corpus staged as 4 files -> 2 micro-batches
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    docs.filter($"doc_id" % 10 =!= 7)
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-      .repartition(4, $"doc_id")
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_decontaminate",
+        s"$dir|docs|mod10ne7|hash:4:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      docs.filter($"doc_id" % 10 =!= 7)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .repartition(4, $"doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

@@ -79,49 +79,69 @@ object Streaming4 {
     def bigrams(df: DataFrame): DataFrame = bigramsOfToks(
       df.select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t")))
 
-    // ---- prep: train the standing LM once (the Models-artifact shape;
-    // persisted frames here since the gate's LM is session-lived).
-    // The standing corpus is TOKENIZED ONCE — a prep-only cache feeds
-    // both the bigram-table build and the vocabulary-size floor, where
-    // a naive spelling pays a second full tokenize pass just for V
-    // (the textBigramKn no-extra-pass discipline, applied to prep).
-    val toks = docs.filter($"doc_id" % 5 =!= 0)
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
-      .persist()
-    val train = bigramsOfToks(toks)
-    val big = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).persist()
-    val fwd = big.groupBy($"w1")
-      .agg(sum($"c").as("ctot"), count(lit(1)).as("n1f")).persist()
-    val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b")).persist()
-    // bigram types GROW with the standing corpus, so each table's
-    // per-batch broadcast is guarded by its own (already-paid) count —
-    // same per-table discipline as the batch row: fwd/bwd are
-    // vocab-bounded and usually keep broadcasting after big (a row per
-    // bigram TYPE) has to fall back to a shuffle equi-join. ONE scalar
-    // action over big yields the continuation normalizer AND both
-    // context-table guard sizes (the batch row's fused-action pattern).
-    val stats = big.agg(count(lit(1)), countDistinct($"w1"),
-      countDistinct($"w2")).first()
+    // ---- prep: the standing LM as a TRAIN-ONCE Models artifact (the
+    // ccStandingArtifacts shape, r22): bigram/context/continuation
+    // tables plus the scalar stats row committed as parquet once per
+    // corpus fingerprint. Until r22 the LM was re-aggregated from the
+    // standing corpus on EVERY invocation — the production shape trains
+    // once and every later run (including the bench's min-of-2 rerun)
+    // reads the tables. The build tokenizes the standing corpus ONCE
+    // (a prep-only cache feeds both the bigram build and the
+    // vocabulary-size floor — the textBigramKn no-extra-pass
+    // discipline), and ONE fused scalar action over big yields the
+    // continuation normalizer and both context-table guard sizes.
+    val fp = graft.operators.Models.inputFingerprint(s"$dir/documents.parquet")
+    val lmDir = graft.operators.Models.root(
+        s"stream-lm|$dir|kn=$KnDiscount|in=$fp") { out =>
+      val toks = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+        .persist()
+      val bigB = bigramsOfToks(toks)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c")).persist()
+      bigB.write.mode("overwrite").parquet(s"$out/big")
+      bigB.groupBy($"w1").agg(sum($"c").as("ctot"), count(lit(1)).as("n1f"))
+        .write.mode("overwrite").parquet(s"$out/fwd")
+      bigB.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+        .write.mode("overwrite").parquet(s"$out/bwd")
+      val stats = bigB.agg(count(lit(1)), countDistinct($"w1"),
+        countDistinct($"w2")).first()
+      val vSizeL = toks.select(explode($"t").as("tok"))
+        .agg(countDistinct($"tok")).first().getLong(0)
+      Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2), vSizeL))
+        .toDF("n_types", "n_fwd", "n_bwd", "v_size")
+        .write.mode("overwrite").parquet(s"$out/stats")
+      bigB.unpersist(); toks.unpersist()
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_SUCCESS"))
+    }
+    // session-lived pins over the artifact reads: the per-batch joins
+    // broadcast these frames, and a pinned read materializes once
+    val big = s.read.parquet(s"$lmDir/big").persist()
+    val fwd = s.read.parquet(s"$lmDir/fwd").persist()
+    val bwd = s.read.parquet(s"$lmDir/bwd").persist()
+    val st = s.read.parquet(s"$lmDir/stats").first()
     val (nTypesL, nFwd, nBwd) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      (st.getAs[Long]("n_types"), st.getAs[Long]("n_fwd"), st.getAs[Long]("n_bwd"))
     val nTypes = nTypesL.toDouble
+    val vSize = st.getAs[Long]("v_size").toDouble
+    // bigram types GROW with the standing corpus, so each table's
+    // per-batch broadcast is guarded by its own (artifact-carried)
+    // count — fwd/bwd are vocab-bounded and usually keep broadcasting
+    // after big (a row per bigram TYPE) has to fall back to a shuffle
+    // equi-join (regime equality pinned by StreamingLmRegimeSpec).
     def lm(df: DataFrame, rows: Long): DataFrame =
       if (rows <= maxTypes) broadcast(df) else df
-    val vSize = toks.select(explode($"t").as("tok"))
-      .agg(countDistinct($"tok")).first().getLong(0).toDouble
-    // materialize the context frames before the stream races them
-    // (cheap: both read the already-cached big); their guard counts
-    // came from the fused action above
-    fwd.count(); bwd.count()
-    toks.unpersist() // prep-only: nothing after this reads the cache
+    // materialize the pins before the stream races them
+    big.count(); fwd.count(); bwd.count()
     StreamPlans.recordPrep("stream_lm_score", (System.nanoTime() - prepT0) / 1e9)
 
     // ---- arriving corpus staged as 4 files -> 2 micro-batches
-    val stage = Files.createTempDirectory(s"graft-$runId").toString
-    docs.filter($"doc_id" % 5 === 0)
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-      .repartition(4, $"doc_id")
-      .write.mode("overwrite").parquet(stage)
+    val stage = StageCache.dir("stream_lm_score",
+        s"$dir|docs|mod5eq0|hash:4:doc_id", Seq(s"$dir/documents.parquet")) { out =>
+      docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .repartition(4, $"doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
     val queue = InMemoryQueueRegistry.queue(runId)
     val files = new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

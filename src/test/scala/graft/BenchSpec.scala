@@ -23,9 +23,13 @@ class BenchSpec extends AnyFunSuite {
       BenchBands.Breach(longName(i), 1234.567, 987.654, 876.543, 99.99 - i)
     })
 
+  // a ~1000-query inventory's worth of mid spins (one per 50 queries):
+  // the trailer copy must stay capped however many fire (r21 ADVICE —
+  // the old hardcoded 4-entry literal silently assumed today's inventory)
+  private val manyMidSpins = (1 to 20).map(i => (i * 50, 10000.0 + i))
+
   private def worstTrailer(nBreaches: Int, nFailed: Int): String = {
-    val calib = """"calib_start_ms":12345.6,"calib_end_ms":23456.7""" +
-      ""","calib_mid_ms":[[50,12345.6],[100,23456.7],[150,34567.8],[200,45678.9]]"""
+    val calib = Bench.calibFragment(12345.6, 23456.7, manyMidSpins, capped = true)
     val topQs = (0 until 10)
       .map(i => "\"" + longName(i) + "\":" + f"${1234.567}%.3f")
       .mkString("{", ",", "}")
@@ -47,6 +51,22 @@ class BenchSpec extends AnyFunSuite {
     assert(root.get("failed_n").asInt() == 12)
     assert(root.get("failed").size() == 5)
     assert(root.get("queries").size() == 10)
+  }
+
+  test("trailer calib fragment caps mid spins (top-K by ms + count), main keeps all") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val capped = om.readTree(
+      "{" + Bench.calibFragment(1.0, 2.0, manyMidSpins, capped = true) + "}")
+    assert(capped.get("calib_mid_ms").size() == Bench.MidSpinTopK)
+    assert(capped.get("calib_mid_n").asInt() == manyMidSpins.size)
+    // the kept spins are the K largest by ms (the burst evidence), in
+    // index order — here the last K constructed
+    assert(capped.get("calib_mid_ms").get(0).get(0).asInt() ==
+      manyMidSpins(manyMidSpins.size - Bench.MidSpinTopK)._1)
+    val full = om.readTree(
+      "{" + Bench.calibFragment(1.0, 2.0, manyMidSpins, capped = false) + "}")
+    assert(full.get("calib_mid_ms").size() == manyMidSpins.size)
+    assert(!full.has("calib_mid_n"))
   }
 
   test("trailer keeps the WORST breaches (top-5 by x), main line keeps all") {
