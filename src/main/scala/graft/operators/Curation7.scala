@@ -285,12 +285,17 @@ object Curation7 {
     // exact kernel's pair fan-out MEASURED super-linear on the scale
     // harness (shuffle slope 2.72 top-decade, 6 GB at x100) while the
     // LSH path holds slope ~1 — the same reason dedup_cc_lsh exists
-    // persisted: the pair list feeds three consumers (the pos rows, the
-    // anchor set, and the symmetric exclusion list) — without the pin the
-    // whole LSH kernel would re-run per consumer (measured 6.6 s -> the
-    // kernel's own band once pinned)
-    val pos = Dedup.dedupMinhashLsh(s, d).select($"a_id", $"b_id")
-      .localCheckpoint(true)
+    // checkpointed: the pair list feeds three consumers (the pos rows,
+    // the anchor set, and the symmetric exclusion list) — without the
+    // pin the whole LSH kernel would re-run per consumer (measured
+    // 6.6 s -> the kernel's own band once pinned). LAZY since r22 (the
+    // ccFixpoint discipline): all three consumers live in the ONE final
+    // output plan, so the checkpoint materializes once inside that
+    // action — the eager variant paid a separate pre-AQE
+    // materialization wave (and is the r14 x100 SMJ-zip hazard).
+    // Unordered kernel: pos is re-sorted by the output's orderBy.
+    val pos = Dedup.ccCheckpoint(
+      Dedup.minhashLshPairs(s, d).select($"a_id", $"b_id"))
     val nPart = math.max(2, s.sparkContext.defaultParallelism)
     val ring = Tables.documents(s, d).select($"doc_id", hk($"doc_id").as("hkey"))
       .repartitionByRange(nPart, $"hkey", $"doc_id")

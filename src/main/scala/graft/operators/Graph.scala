@@ -121,7 +121,7 @@ object Graph {
   }
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.dedupMinhashLsh(s, d).select($"a_id", $"b_id")
+    Dedup.minhashLshPairs(s, d).select($"a_id", $"b_id")
   }
 
   /** Gate row: top-[[PrTopK]] most central documents of the near-dup

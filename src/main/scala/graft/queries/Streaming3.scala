@@ -1146,8 +1146,9 @@ object Streaming3 {
       .start()
     try query.processAllAvailable() finally query.stop()
     InMemoryQueueRegistry.remove(runId)
+    // persisted (the delta merge reads the edge frame several times);
+    // no eager count — the merge's first guard action fills the cache
     val acc = s.read.parquet(edgesDir).select($"a_id", $"b_id").persist()
-    acc.count() // the delta merge reads the edge frame several times
     // commit the merged map the way an ingest would (to storage), then
     // release every cache this run pinned — the returned frame reads
     // the committed artifact, so nothing leaks into the session
