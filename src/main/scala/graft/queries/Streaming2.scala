@@ -428,7 +428,11 @@ object Streaming2 {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val deltaSets = graft.operators.Dedup2.shingleSets(batch).persist()
         try {
-          deltaSets.count()
+          // no eager count (the stream_kmv_distinct rationale): the
+          // persist boundary blocks tokenizer fusing by itself, and both
+          // consumers (the broadcast batch-shingle set and the scored
+          // aggregate) materialize inside the one write action below,
+          // filling the cache on first touch
           val deltaEx = graft.operators.Dedup2.explodeSets(deltaSets)
           // the standing set is CORPUS-sized and the batch is bounded:
           // never shuffle (or broadcast) the corpus side per batch.
@@ -619,7 +623,11 @@ object Streaming2 {
         val bytes0 = StreamPlans.dirBytes(outDir)
         val sets = Dedup2.shingleSets(batch).persist()
         try {
-          sets.count()
+          // no eager count: the persist boundary alone is the
+          // anti-fusing barrier shingleSets requires (InMemoryRelation
+          // enters the plan at analysis, materialized or not), and the
+          // sketch write below is the batch's one consumer — the old
+          // count was one extra full job per micro-batch
           // md5-prefix 32-bit hash of the shingle STRING — must match
           // Sketches.sourceHashes so the merged sketch replays in DuckDB
           val hashed = sets.select(col("doc_id"), explode(col("sh")).as("sg"))
